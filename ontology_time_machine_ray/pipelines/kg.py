@@ -1,0 +1,147 @@
+"""The flagship KG-construction pipeline.
+
+    documents (interleaved spans) --map_batches--> mentions
+      --actor pool--> triples (policy-routed, version-pinned)
+      --star rounds--> canonicalized
+      --hash groupby--> deduped
+      --partitioned write--> triple store + lineage
+
+Every stage is lazy Ray Data; nothing materializes the corpus.  The
+reference's request-at-a-time control flow (``custom_proxy.py:62-204``)
+appears here as the stage sequence; its per-request ``if`` ladders are the
+mask/combo logic inside the linker.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, replace
+from typing import Optional
+
+import ray.data as rd
+
+from ontology_time_machine_ray.config import DEFAULT_CONFIG, PipelineConfig
+from ontology_time_machine_ray.fixtures import FixturePaths, ensure_fixtures
+from ontology_time_machine_ray.stages.canonicalize import canonicalize_triples
+from ontology_time_machine_ray.stages.dedup import dedupe_triples
+from ontology_time_machine_ray.stages.detect import MentionDetector
+from ontology_time_machine_ray.stages.link import EntityLinker
+from ontology_time_machine_ray.sources.writers import write_partitioned
+
+
+def _default_pool_size() -> int:
+    """Size each actor pool so detect + link pools together leave at least
+    a third of the cluster for the stateless read/shuffle/write operators
+    (a pool that reserves every CPU starves the rest and the pipeline
+    serializes -- or deadlocks on a small cluster)."""
+    import ray
+
+    try:
+        total = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    except Exception:
+        total = 4
+    return max(1, total // 3)
+
+
+@dataclass
+class KgPipeline:
+    paths: FixturePaths
+    config: PipelineConfig = DEFAULT_CONFIG
+    detect_concurrency: Optional[int] = None
+    link_concurrency: Optional[int] = None
+    batch_size: Optional[int] = 2048
+
+    @classmethod
+    def for_sf_dir(cls, sf_dir: str, repeat: int = 1, **kw) -> "KgPipeline":
+        return cls(paths=ensure_fixtures(sf_dir, repeat), **kw)
+
+    def config_hash(self) -> str:
+        blob = json.dumps(
+            {
+                "fmt": self.config.onto_format.format.value,
+                "prec": self.config.onto_format.precedence.value,
+                "patch": self.config.onto_format.patch_accept_upstream,
+                "policy": self.config.onto_version.value,
+                "restricted": self.config.restricted_access,
+                "ts": self.config.timestamp,
+                "root": self.paths.root,
+            },
+            sort_keys=True,
+        )
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+    # ------------------------------------------------------------------ #
+    def documents(self) -> rd.Dataset:
+        return rd.read_parquet(self.paths.documents)
+
+    def mentions(self) -> rd.Dataset:
+        return self.documents().map_batches(
+            MentionDetector,
+            fn_constructor_kwargs={"index_path": self.paths.ontology_index},
+            batch_format="pyarrow",
+            batch_size=self.batch_size,
+            concurrency=self.detect_concurrency or _default_pool_size(),
+        )
+
+    def _link(self, emit: str) -> rd.Dataset:
+        return self.mentions().map_batches(
+            EntityLinker,
+            fn_constructor_kwargs={
+                "origins_path": self.paths.origins,
+                "content_path": self.paths.snapshot_content,
+                "status_path": self.paths.snapshot_status,
+                "config": self.config,
+                "emit": emit,
+            },
+            batch_format="pyarrow",
+            batch_size=self.batch_size,
+            concurrency=self.link_concurrency or _default_pool_size(),
+        )
+
+    def triples_raw(self) -> rd.Dataset:
+        return self._link("triples")
+
+    def status(self) -> rd.Dataset:
+        return self._link("status")
+
+    def triples(self) -> rd.Dataset:
+        """Deduped, pre-canonicalization triple store."""
+        return dedupe_triples(self.triples_raw()).drop_columns(["tkey"])
+
+    def triples_canonical(self) -> rd.Dataset:
+        """sameAs-canonicalized + re-deduped triple store.
+
+        Order matters at scale: dedup FIRST shrinks the corpus-scale raw
+        stream to the vocabulary-scale distinct store, so the detect+link
+        stages execute exactly once and the equivalence-graph pass plus the
+        rewrite run over the small table.  The deduped store is pinned
+        (``materialize``) because two downstream consumers (edge extraction
+        and the rewrite) would otherwise re-execute the whole pipeline; at
+        production scale this pin is a Parquet/Lance checkpoint boundary
+        instead (the reference's inter-stage log files, S6).
+        """
+        deduped = self.triples().materialize()
+        canon = canonicalize_triples(
+            deduped, concurrency=self.link_concurrency or _default_pool_size()
+        )
+        return dedupe_triples(canon).drop_columns(["tkey"])
+
+    def report(self) -> rd.Dataset:
+        """Accessibility report: grouped counts per (category, format) --
+        the reference's aggregate_results.py:92-151 bucket table (A1)."""
+        return self.status().groupby(["category", "format"]).count()
+
+    def materialize(self, out_dir: str, canonical: bool = True) -> dict:
+        ds = self.triples_canonical() if canonical else self.triples()
+        return write_partitioned(
+            ds,
+            out_dir,
+            num_partitions=self.config.output_partitions,
+            config_hash=self.config_hash(),
+            key="subj",
+        )
+
+    def with_policy(self, policy, **kw) -> "KgPipeline":
+        cfg = replace(self.config, onto_version=policy, per_row_policy=False, **kw)
+        return replace(self, config=cfg)

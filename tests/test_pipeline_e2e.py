@@ -1,0 +1,102 @@
+"""End-to-end KG pipeline vs the independent Python oracle.
+
+Gates (BASELINE.md / FIXTURES.md §6): triple P/R >= 0.95 vs reference
+semantics (we assert exact set equality, which is stronger), per-row
+span-sequence equality on the passthrough, exact dedup, and matching
+status/report buckets.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from ontology_time_machine_ray.fixtures import ensure_fixtures
+from ontology_time_machine_ray.pipelines.kg import KgPipeline
+
+from oracle_py import Oracle
+
+
+@pytest.fixture(scope="module")
+def pipeline(ray_session, sf_dir):
+    return KgPipeline.for_sf_dir(sf_dir, detect_concurrency=1, link_concurrency=1)
+
+
+@pytest.fixture(scope="module")
+def oracle(sf_dir):
+    return Oracle(ensure_fixtures(sf_dir))
+
+
+@pytest.fixture(scope="module")
+def oracle_run(oracle):
+    return oracle.run()
+
+
+def _pr(got: set, want: set) -> tuple[float, float]:
+    if not got or not want:
+        return (0.0, 0.0)
+    tp = len(got & want)
+    return tp / len(got), tp / len(want)
+
+
+def test_triples_match_oracle(pipeline, oracle_run):
+    want, _ = oracle_run
+    got_df = pipeline.triples().to_pandas()
+    got = {(r.subj, r.pred, r.obj) for r in got_df.itertuples()}
+    precision, recall = _pr(got, set(want))
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    assert got == set(want)  # stronger than the 0.95 gate
+    # exact dedup: no (s,p,o) duplicates
+    assert len(got_df) == len(got)
+    # provenance tie-break matches the oracle's min rule
+    for r in got_df.itertuples():
+        assert (r.doc_id, r.ontology_version, r.format) == want[(r.subj, r.pred, r.obj)]
+
+
+def test_canonical_triples_match_oracle(pipeline, oracle, oracle_run):
+    want_raw, _ = oracle_run
+    want = oracle.canonicalize(want_raw)
+    got_df = pipeline.triples_canonical().to_pandas()
+    got = {(r.subj, r.pred, r.obj) for r in got_df.itertuples()}
+    precision, recall = _pr(got, set(want))
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    assert got == set(want)
+    assert len(got_df) == len(got)
+
+
+def test_status_report_matches_oracle(pipeline, oracle_run):
+    _, statuses = oracle_run
+    want = (
+        pd.DataFrame(statuses, columns=["doc_id", "iri", "status", "category", "format"])
+        .groupby(["category", "format"], dropna=False)
+        .size()
+    )
+    got = pipeline.report().to_pandas().set_index(["category", "format"])["count()"]
+    for (cat, fmt), n in want.items():
+        key = (cat, fmt if isinstance(fmt, str) else None)
+        assert int(got.get(key, 0)) == int(n), (key, n, got.get(key))
+    assert int(got.sum()) == int(want.sum())
+
+
+def test_span_sequence_passthrough(pipeline, sf_dir):
+    """Per-row span-sequence equality (kind, text, media_ref, order) between
+    the input corpus and the pipeline's view of it."""
+    paths = ensure_fixtures(sf_dir)
+    src = pq.read_table(paths.documents)
+    out = pipeline.documents().to_pandas().sort_values("doc_id").reset_index(drop=True)
+    src_df = src.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == len(src_df)
+    for a, b in zip(src_df.itertuples(), out.itertuples()):
+        assert a.doc_id == b.doc_id
+        assert [(s["kind"], s["text"], s["media_ref"]) for s in a.spans] == [
+            (s["kind"], s["text"], s["media_ref"]) for s in b.spans
+        ]
+
+
+def test_mentions_cover_all_ranks(pipeline):
+    m = pipeline.mentions().to_pandas()
+    # the corpus exercises exact, stripped-slash, parent(+/) and
+    # grandparent(+/) truncation forms plus the not-in-index route
+    assert {-1, 0, 1}.issubset(set(m["match_rank"].unique()))
+    assert (m["match_rank"] >= -1).all() and (m["match_rank"] <= 5).all()
