@@ -1,0 +1,154 @@
+"""Query registry: every implemented operator as a named callable.
+
+``QUERIES[name](sf_dir)`` runs the Ray pipeline; ``oracle_sql_for(sf_dir)``
+returns the matching DuckDB statements (SQL-expressible subset).  Column
+names are contract: they match the SQL aliases exactly so the driver's
+order-insensitive value-hash comparison is meaningful.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import pandas as pd
+
+from ontology_time_machine_ray.config import DEFAULT_CONFIG
+from ontology_time_machine_ray.fixtures import ensure_fixtures
+from ontology_time_machine_ray.pipelines import relational, sql_oracles
+from ontology_time_machine_ray.pipelines.kg import KgPipeline
+from ontology_time_machine_ray.stages import dedup_docs, media, similarity, textops
+from ontology_time_machine_ray.stages.canonicalize import connected_components, sameas_edges
+
+
+def _pipe(sf_dir: str) -> KgPipeline:
+    return KgPipeline.for_sf_dir(sf_dir)
+
+
+# ------------------------------- KG family --------------------------- #
+def kg_mentions(sf_dir: str):
+    return _pipe(sf_dir).mentions().select_columns(
+        ["doc_id", "span_idx", "term_iri", "ontology_id", "canonical_iri"]
+    )
+
+
+def kg_status(sf_dir: str):
+    return _pipe(sf_dir).status()
+
+
+def kg_report(sf_dir: str):
+    return _pipe(sf_dir).report()
+
+
+def kg_triples(sf_dir: str):
+    return _pipe(sf_dir).triples()
+
+
+def kg_triples_canonical(sf_dir: str):
+    return _pipe(sf_dir).triples_canonical()
+
+
+def kg_components(sf_dir: str) -> pd.DataFrame:
+    p = _pipe(sf_dir)
+    cc = connected_components(sameas_edges(p.triples())).to_pandas()
+    # the star mapping lists leaves; add the root self-rows the SQL closure
+    # also reports
+    roots = sorted(set(cc["component"]) - set(cc["node"]))
+    out = pd.concat(
+        [cc, pd.DataFrame({"node": roots, "component": roots})], ignore_index=True
+    )
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def kg_restricted_denied(sf_dir: str):
+    """restrictedAccess mode: non-Archivo mentions denied with 403
+    (proxy_logic.py:39-54, M3)."""
+    p = _pipe(sf_dir)
+    p = replace(p, config=replace(DEFAULT_CONFIG, restricted_access=True))
+    status = p.status()
+    return status.filter(lambda r: r["status"] == 403).select_columns(
+        ["doc_id", "term_iri", "status"]
+    )
+
+
+def media_catalog(sf_dir: str):
+    paths = ensure_fixtures(sf_dir)
+    return media.media_catalog(paths.documents)
+
+
+# --------------------------- training-data ops ------------------------ #
+def dedup_minhash(sf_dir: str) -> pd.DataFrame:
+    return dedup_docs.minhash_clusters(sf_dir)
+
+
+def dedup_simhash(sf_dir: str) -> pd.DataFrame:
+    return dedup_docs.simhash_pairs(sf_dir)
+
+
+def dedup_jaccard(sf_dir: str) -> pd.DataFrame:
+    return dedup_docs.jaccard_pairs(sf_dir)
+
+
+def dedup_embed(sf_dir: str) -> pd.DataFrame:
+    return similarity.embedding_dup_pairs(sf_dir)[["a", "b"]]
+
+
+def ann_bruteforce(sf_dir: str) -> pd.DataFrame:
+    return similarity.ann_bruteforce(sf_dir)
+
+
+def ann_lsh(sf_dir: str) -> pd.DataFrame:
+    return similarity.ann_lsh(sf_dir)
+
+
+QUERIES = {
+    # KG pipeline (SURVEY.md §2 operator chain)
+    "kg_mentions": kg_mentions,
+    "kg_status": kg_status,
+    "kg_report": kg_report,
+    "kg_triples": kg_triples,
+    "kg_triples_canonical": kg_triples_canonical,
+    "kg_components": kg_components,
+    "kg_restricted_denied": kg_restricted_denied,
+    "media_catalog": media_catalog,
+    # relational / events engine ops
+    "rel_q1_lineitem": relational.q1_lineitem,
+    "rel_topk_orders": relational.topk_orders,
+    "rel_orders_by_nation": relational.orders_by_nation,
+    "events_hourly": relational.events_hourly,
+    "events_sessions": relational.events_sessions,
+    # text analysis
+    "text_stats": textops.text_stats,
+    "text_quality": textops.quality_score,
+    "text_fingerprint": textops.fingerprints,
+    "lang_id": textops.lang_id,
+    # dedup family
+    "dedup_exact": textops.dedup_exact,
+    "dedup_jaccard": dedup_jaccard,
+    "dedup_minhash": dedup_minhash,      # approximate: rows-only oracle
+    "dedup_simhash": dedup_simhash,      # approximate: rows-only oracle
+    "dedup_embed": dedup_embed,
+    # similarity search
+    "ann_bruteforce": ann_bruteforce,
+    "ann_lsh": ann_lsh,                  # approximate: rows-only oracle
+}
+
+#: KG queries whose oracle reads the fixture parquet.
+_KG_ORACLE_NAMES = (
+    "kg_mentions",
+    "kg_status",
+    "kg_report",
+    "kg_triples",
+    "kg_triples_canonical",
+    "kg_components",
+    "kg_restricted_denied",
+    "media_catalog",
+)
+
+
+def oracle_sql_for(sf_dir: str) -> dict[str, str]:
+    """DuckDB statements for the SQL-expressible queries.  Generating them
+    also materializes the fixture tables the statements read."""
+    paths = ensure_fixtures(sf_dir)
+    out = {n: sql_oracles.kg_sql(n, paths.root, DEFAULT_CONFIG.timestamp) for n in _KG_ORACLE_NAMES}
+    out.update(sql_oracles.TESTDATA_SQL)
+    return out

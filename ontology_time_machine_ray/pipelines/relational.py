@@ -1,0 +1,206 @@
+"""Relational / analytical operators over the TPC-H-ish testdata tables.
+
+These exercise the engine's generic dataflow machinery -- pruned reads,
+vectorized batch transforms, partial-aggregate combiners before the
+groupby shuffle, broadcast joins of small dimension tables, global sort /
+top-k, and event-stream windowing -- the same machinery the KG pipeline is
+built from (the reference's experiment pipeline shape: fetch -> extract ->
+aggregate, ``experiments/*`` per SURVEY.md §3.3).
+
+Numeric determinism: every float aggregate is computed over exact
+cent-scaled int64s (a double sum's value depends on addition order, which
+a distributed groupby does not fix; integer sums are associative), and
+only derived back to a float at the end -- so results hash-match the
+DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# --------------------------------------------------------------------- #
+# Q1-style grouped aggregate with a batch-local combiner                 #
+# --------------------------------------------------------------------- #
+def q1_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Pricing summary per (returnflag, linestatus) -- grouped sums over
+    exact cent-scaled integers, pre-aggregated per batch so the shuffle
+    moves O(groups) rows per block instead of O(rows)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        rev_e4 = pc.multiply(price_c, pc.subtract(100, disc_c))
+        tt = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": qty,
+                "price_c": price_c,
+                "rev_e4": rev_e4,
+            }
+        )
+        return (
+            tt.group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("qty", "sum"), ("price_c", "sum"), ("rev_e4", "sum"), ("qty", "count")])
+            .rename_columns(
+                ["l_returnflag", "l_linestatus", "qty", "price_c", "rev_e4", "n"]
+            )
+        )
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(partial, batch_format="pyarrow")
+    agg = (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_c", alias_name="price_c"),
+            Sum("rev_e4", alias_name="rev_e4"),
+            Sum("n", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    agg["sum_base_price"] = agg.pop("price_c") / 100.0
+    agg["sum_disc_price"] = agg.pop("rev_e4") / 10000.0
+    return agg[
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price", "count_order"]
+    ]
+
+
+# --------------------------------------------------------------------- #
+# global sort / top-k                                                    #
+# --------------------------------------------------------------------- #
+def topk_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k orders by total price (deterministic o_orderkey tie-break) --
+    a distributed sort feeding a limit, so only k rows reach the driver."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+    return out.to_pandas()
+
+
+# --------------------------------------------------------------------- #
+# broadcast join of small dimensions                                     #
+# --------------------------------------------------------------------- #
+class _NationEnricher:
+    """Actor stage holding the broadcast customer->nation mapping.
+
+    The dimension tables are the SMALL side (reference's 1,816-entry index
+    pattern, J1): ship them once per actor via ``ray.put`` handles, never
+    shuffle the fact table."""
+
+    def __init__(self, cust_ref, nation_ref):
+        self.cust_to_nation = ray.get(cust_ref)
+        self.nation_name = ray.get(nation_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        cust = t["o_custkey"].to_numpy()
+        nk = np.array([self.cust_to_nation.get(c, -1) for c in cust], dtype=np.int64)
+        names = pd.Series(nk).map(self.nation_name).fillna("UNKNOWN")
+        price_c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        return pa.table(
+            {"n_name": pa.array(names), "price_c": price_c}
+        )
+
+
+def orders_by_nation(sf_dir: str) -> pd.DataFrame:
+    """orders |x| customer |x| nation via broadcast lookup, then a grouped
+    count/sum per nation."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    nation_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        _NationEnricher,
+        fn_constructor_args=(cust_ref, nation_ref),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    agg = (
+        ds.groupby("n_name")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
+        .to_pandas()
+    )
+    agg["total_price"] = agg.pop("price_c") / 100.0
+    return agg
+
+
+# --------------------------------------------------------------------- #
+# event-stream windowing                                                 #
+# --------------------------------------------------------------------- #
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour window per user: count, exact value sum, and the
+    JSON-props field sum (the reference's JSON log flattening, M16)."""
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "hour": df["ts"].dt.floor("h"),
+                "value_c": (df["value"] * 100).round().astype("int64"),
+                "k": df["props"].str.extract(r'"k":\s*(\d+)', expand=False).fillna("0").astype("int64"),
+            }
+        )
+        # batch-local combiner before the shuffle
+        return (
+            out.groupby(["user_id", "hour"], as_index=False)
+            .agg(n=("value_c", "size"), value_c=("value_c", "sum"), sum_k=("k", "sum"))
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value", "props"]).map_batches(
+        prep, batch_format="pandas"
+    )
+    agg = (
+        ds.groupby(["user_id", "hour"])
+        .aggregate(
+            Sum("n", alias_name="n_events"),
+            Sum("value_c", alias_name="value_c"),
+            Sum("sum_k", alias_name="sum_k"),
+        )
+        .to_pandas()
+    )
+    agg["sum_value"] = agg.pop("value_c") / 100.0
+    return agg
+
+
+def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Session windows (gap > 30 min starts a new session) per user.
+
+    Ordering contract: rows are grouped per user and sorted by ts INSIDE
+    the group (``map_groups``), so cross-block order never matters -- the
+    streaming-shaped pattern from the Ray guide."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        new_session = (g["ts"].diff() > gap).cumsum()
+        n_sessions = int(new_session.nunique())
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+    )

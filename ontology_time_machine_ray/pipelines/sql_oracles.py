@@ -1,0 +1,381 @@
+"""DuckDB oracle SQL for every SQL-expressible query.
+
+Each statement is an INDEPENDENT restatement of the operator semantics in
+ANSI-ish SQL (DuckDB dialect) over the same parquet the Ray pipeline
+reads: testdata views (``documents``, ``lineitem``, ...) plus the fixture
+tables via ``read_parquet('<fixture_root>/...')``.  The KG oracle
+re-derives the reference's decision logic from scratch: truncation
+matching as a rank-ordered candidate join (proxy_logic.py:88-144),
+negotiation as a hand-built CASE table over the 8 corpus Accept headers
+(utils.py:60-157), policy routing incl. the failover cascade and the
+Archivo https retry (proxy_logic.py:163-273), as-of version resolution,
+triple expansion, window-function dedup, and recursive-CTE connected
+components for canonicalization.
+
+Determinism contracts shared with the Ray side: money/value aggregates on
+cent-scaled BIGINTs, Jaccard thresholds on integers, fingerprints via
+``md5``, tie-breaks always written out explicitly.
+"""
+
+from __future__ import annotations
+
+#: the detector's IRI scanner (functions/urls.py IRI_RE) with the single
+#: quote doubled for SQL string-literal escaping.
+IRI_REGEX = r"""https?://[^\s"''<>()\[\]{}]+"""
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+IS_DEFINED_BY = "http://www.w3.org/2000/01/rdf-schema#isDefinedBy"
+OWL_CLASS = "http://www.w3.org/2002/07/owl#Class"
+OWL_OBJPROP = "http://www.w3.org/2002/07/owl#ObjectProperty"
+SAME_AS = "http://www.w3.org/2002/07/owl#sameAs"
+
+A_OWL1 = "application/rdf+xml,text/turtle;q=0.9,*/*;q=0.8"
+A_NT = "application/n-triples;q=0.9,text/plain;q=0.8"
+A_HTML = "text/html,application/xhtml+xml,application/xml;q=0.9,image/webp,*/*;q=0.8"
+A_OWL2 = "application/owl+xml,application/n-triples;q=0.5"
+
+#: shared CTE chain: interleaved docs -> mentions with index match.
+_MENTIONS_CTES = f"""
+  raw_spans AS (
+    SELECT doc_id, accept, policy,
+           unnest(spans) AS span,
+           unnest(range(len(spans))) AS span_idx
+    FROM read_parquet('__ROOT__/documents_interleaved.parquet')
+  ),
+  iris AS (
+    SELECT doc_id, accept, policy, CAST(span_idx AS INTEGER) AS span_idx,
+           unnest(regexp_extract_all(span.text, '{IRI_REGEX}')) AS raw_iri
+    FROM raw_spans
+    WHERE span.kind = 'text'
+  ),
+  split0 AS (
+    SELECT doc_id, accept, policy, span_idx,
+           regexp_replace(raw_iri, '[.,;:!?]+$', '') AS term_iri
+    FROM iris
+    WHERE regexp_replace(raw_iri, '[.,;:!?]+$', '') <> ''
+  ),
+  split1 AS (
+    SELECT *, substr(term_iri, strpos(term_iri, '://') + 3) AS body FROM split0
+  ),
+  hp AS (
+    SELECT *,
+      CASE WHEN strpos(body, '/') = 0
+           THEN split_part(split_part(body, '#', 1), '?', 1)
+           ELSE substr(body, 1, strpos(body, '/') - 1) END AS host,
+      CASE WHEN strpos(body, '/') = 0 THEN ''
+           ELSE split_part(split_part(substr(body, strpos(body, '/')), '#', 1), '?', 1)
+      END AS path
+    FROM split1
+  ),
+  m AS (
+    SELECT row_number() OVER () AS mid, *,
+      CASE WHEN path LIKE '%/' THEN rtrim(path, '/') ELSE path END AS stripped
+    FROM hp
+  ),
+  m2 AS (
+    SELECT *, regexp_replace(stripped, '/[^/]*$', '') AS parent,
+           regexp_replace(regexp_replace(stripped, '/[^/]*$', ''), '/[^/]*$', '') AS grandparent
+    FROM m
+  ),
+  cand AS (
+              SELECT mid, host, 0 AS rank, path        AS cand FROM m2
+    UNION ALL SELECT mid, host, 1, stripped            FROM m2
+    UNION ALL SELECT mid, host, 2, parent              FROM m2
+    UNION ALL SELECT mid, host, 3, parent || '/'       FROM m2
+    UNION ALL SELECT mid, host, 4, grandparent         FROM m2
+    UNION ALL SELECT mid, host, 5, grandparent || '/'  FROM m2
+  ),
+  idx AS (SELECT * FROM read_parquet('__ROOT__/ontology_index.parquet')),
+  hits AS (
+    SELECT c.mid, min(c.rank) AS best_rank
+    FROM cand c JOIN idx i ON i.host = c.host AND i.path = c.cand
+    GROUP BY c.mid
+  ),
+  mentions AS (
+    SELECT m2.doc_id, m2.span_idx, m2.term_iri, m2.accept, m2.policy,
+           i.ontology_id, i.iri AS canonical_iri
+    FROM m2
+    LEFT JOIN hits h ON h.mid = m2.mid
+    LEFT JOIN cand c ON c.mid = m2.mid AND c.rank = h.best_rank
+    LEFT JOIN idx i ON i.host = c.host AND i.path = c.cand
+  )"""
+
+#: negotiation + policy routing on top of mentions.
+_ROUTING_CTES = f"""
+  neg AS (
+    SELECT *,
+      CASE WHEN accept IS NULL THEN 'ttl'
+           WHEN accept = 'text/turtle' THEN 'ttl'
+           WHEN accept = '*/*' THEN 'ttl'
+           WHEN accept = '{A_OWL1}' THEN 'owl'
+           WHEN accept = '{A_NT}' THEN 'nt'
+           WHEN accept = '{A_OWL2}' THEN 'owl'
+           ELSE NULL END AS fmt_patched,
+      CASE WHEN accept = 'text/turtle' THEN 'ttl'
+           WHEN accept = '{A_OWL1}' THEN 'owl'
+           WHEN accept = '{A_NT}' THEN 'nt'
+           WHEN accept = '{A_OWL2}' THEN 'owl'
+           ELSE NULL END AS fmt_unpatched,
+      (accept IS NULL OR accept IN ('text/turtle', '*/*', '{A_OWL1}')) AS ttl_in_req,
+      (accept = '{A_HTML}') AS html_in_req
+    FROM mentions
+  ),
+  content AS (SELECT * FROM read_parquet('__ROOT__/snapshot_content.parquet')),
+  avail AS (SELECT * FROM read_parquet('__ROOT__/snapshot_status.parquet')),
+  origins AS (SELECT * FROM read_parquet('__ROOT__/origins.parquet')),
+  latest AS (SELECT ontology_id, max(version) AS latest_version FROM content GROUP BY 1),
+  as_of AS (SELECT ontology_id, max(version) AS asof_version FROM content
+           WHERE version <= '__T__' GROUP BY 1),
+  routed AS (
+    SELECT n.*, o.origin_status, o.origin_content_type,
+           l.latest_version, a.asof_version,
+      CASE WHEN n.policy = 'original' THEN n.fmt_unpatched ELSE n.fmt_patched END AS report_fmt,
+      CASE WHEN n.policy = 'timestampArchived' THEN a.asof_version
+           ELSE l.latest_version END AS arch_version,
+      (n.policy = 'original'
+       OR (n.policy = 'originalFailoverLiveLatest' AND n.ontology_id IS NOT NULL
+           AND o.origin_status IN (100,101,102,103,200,300,301,302,303,304,307,308,451)
+           AND ((o.origin_content_type = 'text/turtle' AND n.ttl_in_req)
+                OR (o.origin_content_type = 'text/html' AND n.html_in_req)))
+      ) AS origin_branch
+    FROM neg n
+    LEFT JOIN origins o USING (ontology_id)
+    LEFT JOIN latest l USING (ontology_id)
+    LEFT JOIN as_of a USING (ontology_id)
+  ),
+  routed2 AS (
+    SELECT r.*,
+      CASE WHEN s.status IS NULL THEN 404
+           WHEN s.status != 500 THEN s.status
+           ELSE s.status_https END AS arch_status
+    FROM routed r
+    LEFT JOIN avail s ON s.ontology_id = r.ontology_id
+                     AND s.version = r.arch_version AND s.format = r.fmt_patched
+  ),
+  outcome AS (
+    SELECT *,
+      CASE
+        WHEN policy != 'original' AND fmt_patched IS NULL THEN FALSE
+        WHEN origin_branch THEN
+          (ontology_id IS NOT NULL AND origin_status = 200
+           AND origin_content_type = 'text/turtle')
+        ELSE (ontology_id IS NOT NULL AND arch_version IS NOT NULL AND arch_status = 200)
+      END AS served,
+      CASE WHEN origin_branch THEN latest_version ELSE arch_version END AS serve_version,
+      CASE WHEN origin_branch THEN 'ttl' ELSE fmt_patched END AS serve_fmt,
+      CASE
+        WHEN policy != 'original' AND fmt_patched IS NULL THEN 500
+        WHEN origin_branch THEN
+          CASE WHEN ontology_id IS NULL THEN 502
+               WHEN origin_status = 0 THEN 502
+               ELSE origin_status END
+        WHEN ontology_id IS NULL THEN 404
+        WHEN policy = 'timestampArchived' AND arch_version IS NULL THEN 404
+        ELSE arch_status
+      END AS status,
+      CASE
+        WHEN policy != 'original' AND fmt_patched IS NULL THEN 'no-archivo-format'
+        WHEN origin_branch THEN
+          CASE WHEN ontology_id IS NULL OR origin_status = 0 THEN 'origin-unreachable'
+               WHEN origin_status != 200 THEN 'origin-error'
+               WHEN origin_content_type = 'text/turtle' THEN 'served-origin'
+               ELSE 'origin-non-rdf' END
+        WHEN ontology_id IS NULL THEN 'not-in-archivo'
+        WHEN policy = 'timestampArchived' AND arch_version IS NULL THEN 'no-version-at-timestamp'
+        WHEN arch_status = 200 THEN 'served-archivo'
+        ELSE 'archivo-error'
+      END AS category
+    FROM routed2
+  )"""
+
+_TRIPLES_CTES = f"""
+  srv AS (SELECT * FROM outcome WHERE served),
+  all_triples AS (
+    SELECT term_iri AS subj, '{IS_DEFINED_BY}' AS pred, canonical_iri AS obj,
+           doc_id, serve_version AS ontology_version, serve_fmt AS format
+    FROM srv
+    UNION ALL
+    SELECT unnest(c.classes), '{RDF_TYPE}', '{OWL_CLASS}',
+           s.doc_id, s.serve_version, s.serve_fmt
+    FROM srv s JOIN content c ON c.ontology_id = s.ontology_id AND c.version = s.serve_version
+    UNION ALL
+    SELECT unnest(c.properties), '{RDF_TYPE}', '{OWL_OBJPROP}',
+           s.doc_id, s.serve_version, s.serve_fmt
+    FROM srv s JOIN content c ON c.ontology_id = s.ontology_id AND c.version = s.serve_version
+    UNION ALL
+    SELECT unnest(c.same_as_a), '{SAME_AS}', unnest(c.same_as_b),
+           s.doc_id, s.serve_version, s.serve_fmt
+    FROM srv s JOIN content c ON c.ontology_id = s.ontology_id AND c.version = s.serve_version
+  ),
+  dedup AS (
+    SELECT * FROM all_triples
+    QUALIFY row_number() OVER (
+      PARTITION BY subj, pred, obj ORDER BY doc_id, ontology_version, format) = 1
+  )"""
+
+_COMPONENT_CTES = f"""
+  edges AS (SELECT subj AS u, obj AS v FROM dedup WHERE pred = '{SAME_AS}'),
+  nodes AS (SELECT u AS n FROM edges UNION SELECT v FROM edges),
+  sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+  reach(a, b) AS (
+    SELECT n, n FROM nodes
+    UNION
+    SELECT r.a, s.v FROM reach r JOIN sym s ON s.u = r.b
+  ),
+  comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a)"""
+
+
+def kg_sql(name: str, fixture_root: str, timestamp: str = "2021-06-01") -> str:
+    """Full SQL statement for a KG-family query over ``fixture_root``."""
+    bodies = {
+        "kg_mentions": f"WITH {_MENTIONS_CTES}\n"
+        "SELECT doc_id, span_idx, term_iri, ontology_id, canonical_iri FROM mentions",
+        "kg_status": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES}\n"
+        "SELECT doc_id, term_iri, CAST(status AS INTEGER) AS status, category, "
+        "report_fmt AS format FROM outcome",
+        "kg_report": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES}\n"
+        'SELECT category, report_fmt AS format, count(*) AS "count()" '
+        "FROM outcome GROUP BY 1, 2",
+        "kg_triples": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES}\n"
+        "SELECT subj, pred, obj, doc_id, ontology_version, format FROM dedup",
+        "kg_components": f"WITH RECURSIVE {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},{_COMPONENT_CTES}\n"
+        "SELECT node, component FROM comp",
+        "kg_triples_canonical": f"WITH RECURSIVE {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},{_COMPONENT_CTES},\n"
+        f"""  rewritten AS (
+    SELECT coalesce(c1.component, d.subj) AS subj, d.pred,
+           coalesce(c2.component, d.obj) AS obj,
+           d.doc_id, d.ontology_version, d.format
+    FROM dedup d
+    LEFT JOIN comp c1 ON c1.node = d.subj
+    LEFT JOIN comp c2 ON c2.node = d.obj
+  ),
+  no_loops AS (
+    SELECT * FROM rewritten WHERE NOT (pred = '{SAME_AS}' AND subj = obj)
+  )
+SELECT * FROM no_loops
+QUALIFY row_number() OVER (
+  PARTITION BY subj, pred, obj ORDER BY doc_id, ontology_version, format) = 1""",
+        "kg_restricted_denied": f"WITH {_MENTIONS_CTES}\n"
+        "SELECT doc_id, term_iri, CAST(403 AS INTEGER) AS status FROM mentions "
+        "WHERE ontology_id IS NULL",
+        "media_catalog": """
+WITH flat AS (
+  SELECT doc_id, unnest(spans) AS span,
+         unnest(range(len(spans))) AS span_idx
+  FROM read_parquet('__ROOT__/documents_interleaved.parquet')
+)
+SELECT doc_id, CAST(span_idx AS INTEGER) AS span_idx, span.media_ref AS media_ref,
+       64 + length(span.media_ref) % 128 AS width,
+       64 + (length(span.media_ref) * 7) % 128 AS height,
+       length(span.media_ref) AS n_bytes
+FROM flat WHERE span.kind = 'media'""",
+    }
+    return bodies[name].replace("__ROOT__", fixture_root).replace("__T__", timestamp)
+
+
+#: testdata-view queries (driver pre-registers the views).
+STOP_RE = "|".join(("the", "a", "and", "of", "to", "in", "is"))
+
+TESTDATA_SQL: dict[str, str] = {
+    "rel_q1_lineitem": """
+SELECT l_returnflag, l_linestatus,
+  SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem GROUP BY 1, 2""",
+    "rel_topk_orders": """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "rel_orders_by_nation": """
+SELECT n.n_name, count(*) AS n_orders,
+  SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1""",
+    "events_hourly": """
+SELECT user_id, date_trunc('hour', ts) AS hour,
+  count(*) AS n_events,
+  SUM(CAST(coalesce(regexp_extract(props, '"k":\\s*(\\d+)', 1), '0') AS BIGINT)) AS sum_k,
+  SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events GROUP BY 1, 2""",
+    "events_sessions": """
+WITH x AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT user_id, count(*) AS n_events,
+  SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS n_sessions
+FROM x GROUP BY 1""",
+    "text_stats": f"""
+SELECT doc_id, length(text) AS n_chars,
+  len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+  len(regexp_extract_all(text, '\\b({STOP_RE})\\b')) AS n_stopwords
+FROM documents""",
+    "text_quality": f"""
+SELECT doc_id,
+  CAST(length(text) BETWEEN 100 AND 20000 AS BIGINT)
+  + CAST(len(regexp_extract_all(text, '\\b({STOP_RE})\\b')) * 100
+         >= len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+  + CAST(len(regexp_extract_all(text, '[.,;:!?]')) * 10
+         <= len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS quality
+FROM documents""",
+    "text_fingerprint": """
+SELECT doc_id, md5(lower(trim(text, ' \t\n\r'))) AS fingerprint FROM documents""",
+    "dedup_exact": """
+SELECT doc_id, md5(lower(trim(text, ' \t\n\r'))) AS fingerprint FROM documents
+QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1""",
+    "lang_id": """
+WITH s AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '\\b(the|and|of)\\b'))  AS s_en,
+    len(regexp_extract_all(lower(text), '\\b(der|und|die)\\b')) AS s_de,
+    len(regexp_extract_all(lower(text), '\\b(le|et|les)\\b'))   AS s_fr,
+    len(regexp_extract_all(lower(text), '\\b(el|y|los)\\b'))    AS s_es
+  FROM documents),
+g AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS mx FROM s)
+SELECT doc_id,
+  CASE WHEN mx <= 0 THEN 'unknown'
+       WHEN CAST(s_en = mx AS INT) + CAST(s_de = mx AS INT)
+            + CAST(s_fr = mx AS INT) + CAST(s_es = mx AS INT) > 1 THEN 'unknown'
+       WHEN s_en = mx THEN 'en' WHEN s_de = mx THEN 'de'
+       WHEN s_fr = mx THEN 'fr' ELSE 'es' END AS lang_pred
+FROM g""",
+    "dedup_jaccard": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents),
+expanded AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 2))) AS i
+  FROM toks WHERE len(t) > 0),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+  FROM expanded),
+freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN freq f ON f.shingle = a.shingle
+  WHERE f.df BETWEEN 2 AND 50
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)
+SELECT p.a, p.b, p.inter, sa.sz + sb.sz - p.inter AS union_size
+FROM pairs p JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b
+WHERE p.inter * 100 >= 80 * (sa.sz + sb.sz - p.inter)""",
+    "ann_bruteforce": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS sim
+  FROM embeddings e CROSS JOIN q)
+SELECT query_id, vec_id FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= 10""",
+    "dedup_embed": """
+WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE CAST(round(list_cosine_similarity(a.e, b.e) * 1e6) AS BIGINT) >= 990000""",
+}

@@ -1,0 +1,265 @@
+"""Document-level deduplication family for training-data pipelines.
+
+* ``dedup_exact``      -- in textops.py (md5 fingerprint groupby).
+* ``jaccard_pairs``    -- EXACT n-gram Jaccard similarity join: shingle
+  explode -> groupby(shingle) -> pair counts -> threshold.  Deterministic,
+  SQL-checkable.
+* ``minhash_clusters`` -- MinHash + LSH banding: signature per doc, band
+  rows, groupby((band, band_hash)) buckets, signature-estimated Jaccard
+  verify, connected components over surviving pairs (reuses the KG
+  union-find).  Approximate by design -> tested against exact Jaccard
+  recall in pytest, rows-only for the driver oracle.
+* ``simhash_pairs``    -- 64-bit SimHash with 4-segment blocking (hamming
+  <= 3 candidates must agree on >= 1 of 4 16-bit segments).
+
+Scale notes: every stage is a ``map_batches``/``groupby`` composition; the
+only all-to-all exchanges are on (shingle), (band, band_hash) and (simhash
+segment) keys.  Hot shingles (stopword-ish n-grams) are dropped by a
+document-frequency cap BEFORE the pair explosion -- the skew guard that
+keeps a common shingle from producing O(n^2) pairs on one reducer.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ontology_time_machine_ray.functions.hashing import stable_hash64_series
+
+#: document-frequency cap for shingle-based pair generation (skew guard).
+MAX_SHINGLE_DF = 50
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingles(text: str, n: int = 3) -> list[str]:
+    toks = text.lower().split()
+    if len(toks) < n:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _read_docs(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+
+# --------------------------------------------------------------------- #
+# exact n-gram Jaccard                                                   #
+# --------------------------------------------------------------------- #
+def _shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
+    rows_doc, rows_sh = [], []
+    for did, text in zip(df["doc_id"], df["text"].fillna("")):
+        for sh in set(_shingles(text)):
+            rows_doc.append(did)
+            rows_sh.append(sh)
+    return pd.DataFrame({"doc_id": rows_doc, "shingle": rows_sh})
+
+
+def jaccard_pairs(sf_dir: str, threshold: float = 0.8, docs_ds: rd.Dataset | None = None) -> pd.DataFrame:
+    """All document pairs with n-gram Jaccard >= threshold.
+
+    inter(a,b) via groupby(shingle) pair expansion (df-capped), sizes via a
+    broadcast of per-doc distinct-shingle counts; jaccard computed from
+    exact integers, thresholded as inter*100 >= ceil-free integer compare
+    to avoid float boundary flakiness: inter / (|a|+|b|-inter) >= t  <=>
+    inter * 100 >= t*100 * (|a|+|b|-inter) with t in hundredths.
+    """
+    t100 = int(round(threshold * 100))
+    shingle_ds = (docs_ds or _read_docs(sf_dir)).map_batches(_shingle_rows, batch_format="pandas")
+
+    sizes = (
+        shingle_ds.groupby("doc_id").count().to_pandas().rename(columns={"count()": "size"})
+    )
+    size_map = dict(zip(sizes["doc_id"], sizes["size"]))
+
+    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2 or len(g) > MAX_SHINGLE_DF:  # df cap: skew guard
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        ids = np.sort(g["doc_id"].to_numpy())
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+
+    inter = (
+        shingle_ds.groupby("shingle")
+        .map_groups(pairs_in_group, batch_format="pandas")
+        .groupby(["a", "b"])
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "inter"})
+    )
+    if len(inter) == 0:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "inter": pd.Series(dtype="int64"), "union_size": pd.Series(dtype="int64")}
+        )
+    inter["union_size"] = (
+        inter["a"].map(size_map).astype("int64")
+        + inter["b"].map(size_map).astype("int64")
+        - inter["inter"]
+    )
+    keep = inter["inter"] * 100 >= t100 * inter["union_size"]
+    return inter[keep].reset_index(drop=True)
+
+
+# --------------------------------------------------------------------- #
+# MinHash + LSH                                                          #
+# --------------------------------------------------------------------- #
+class MinHasher:
+    """Stateful batch stage: the permutation coefficients are built once
+    per actor from a fixed seed (deterministic across the pool)."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+        self.num_perm = num_perm
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = list(set(_shingles(text)))
+        if not sh:
+            return np.full(self.num_perm, _MERSENNE, dtype=np.int64)
+        x = stable_hash64_series(pd.Series(sh)).astype(np.uint64) >> np.uint64(3)
+        x = x.astype(np.int64)
+        # (a * x + b) mod p for each permutation, min over shingles
+        vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        sigs = [self.signature(t) for t in df["text"].fillna("")]
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "sig": sigs})
+
+
+def _band_rows(df: pd.DataFrame, bands: int, rows_per_band: int) -> pd.DataFrame:
+    out_doc, out_band, out_hash, out_sig = [], [], [], []
+    for did, sig in zip(df["doc_id"], df["sig"]):
+        sig = np.asarray(sig)
+        for b in range(bands):
+            seg = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            out_doc.append(did)
+            out_band.append(b)
+            out_hash.append(int(pd.util.hash_array(seg.astype(np.uint64)).sum() % (1 << 62)))
+            out_sig.append(sig)
+    return pd.DataFrame({"doc_id": out_doc, "band": out_band, "band_hash": out_hash, "sig": out_sig})
+
+
+def minhash_clusters(
+    sf_dir: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    docs_ds: rd.Dataset | None = None,
+) -> pd.DataFrame:
+    """(doc_id, cluster) for every document; near-dups share a cluster.
+
+    shingle -> minhash -> band -> bucket groupby -> verify (signature
+    agreement >= threshold) -> connected components (alternating-star, the
+    same distributed union-find as KG canonicalization).
+    """
+    from ontology_time_machine_ray.stages.canonicalize import connected_components
+
+    rows_per_band = num_perm // bands
+    docs = docs_ds or _read_docs(sf_dir)
+    sigs = docs.map_batches(MinHasher, fn_constructor_kwargs={"num_perm": num_perm},
+                            batch_format="pandas", concurrency=2)
+    band_ds = sigs.map_batches(
+        lambda df: _band_rows(df, bands, rows_per_band), batch_format="pandas"
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2 or len(g) > 200:  # bucket cap: hub guard
+            return pd.DataFrame({"u": pd.Series(dtype="string"), "v": pd.Series(dtype="string")})
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sig_mat = np.stack(g["sig"].to_numpy())
+        out_u, out_v = [], []
+        for i in range(len(ids)):
+            agree = (sig_mat[i + 1 :] == sig_mat[i]).mean(axis=1)
+            for j in np.nonzero(agree >= threshold)[0]:
+                out_u.append(str(ids[i]))
+                out_v.append(str(ids[i + 1 + j]))
+        return pd.DataFrame({"u": out_u, "v": out_v})
+
+    pairs = band_ds.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
+    comp = connected_components(pairs).to_pandas()
+    mapping = dict(zip(comp["node"], comp["component"]))
+    all_ids = docs.select_columns(["doc_id"]).to_pandas()
+    all_ids["cluster"] = all_ids["doc_id"].map(lambda d: mapping.get(str(d), str(d)))
+    return all_ids
+
+
+# --------------------------------------------------------------------- #
+# SimHash                                                                #
+# --------------------------------------------------------------------- #
+def _simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for text in df["text"].fillna(""):
+        toks = list(set(text.lower().split()))
+        if not toks:
+            out.append(0)
+            continue
+        h = stable_hash64_series(pd.Series(toks)).astype(np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        vote = (2 * bits - 1).sum(axis=0)
+        sim = np.uint64(0)
+        for i in np.nonzero(vote > 0)[0]:
+            sim |= np.uint64(1) << np.uint64(i)
+        out.append(int(sim))
+    return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "simhash": np.array(out, dtype=np.uint64)})
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 3, docs_ds: rd.Dataset | None = None) -> pd.DataFrame:
+    """Candidate near-dup pairs with hamming(simhash) <= max_hamming,
+    found via 4-segment blocking (pigeonhole: <=3 differing bits must
+    leave one 16-bit segment identical)."""
+    docs = docs_ds or _read_docs(sf_dir)
+    hashed = docs.map_batches(_simhash_batch, batch_format="pandas")
+
+    def seg_rows(df: pd.DataFrame) -> pd.DataFrame:
+        sims = df["simhash"].to_numpy(dtype=np.uint64)
+        out = {
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), 4),
+            "seg": np.tile(np.arange(4), len(df)),
+            "seg_val": np.concatenate(
+                [(sims >> np.uint64(16 * s)) & np.uint64(0xFFFF) for s in range(4)]
+            ) if len(df) else np.array([], dtype=np.uint64),
+            "simhash": np.repeat(sims, 4),
+        }
+        # interleave fix: repeat/tile must align (seg-major per doc)
+        n = len(df)
+        if n:
+            out["seg_val"] = np.stack(
+                [(sims >> np.uint64(16 * s)) & np.uint64(0xFFFF) for s in range(4)], axis=1
+            ).ravel()
+        return pd.DataFrame(out)
+
+    def seg_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2 or len(g) > 200:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                 "hamming": pd.Series(dtype="int64")}
+            )
+        g = g.sort_values("doc_id").drop_duplicates("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sims = g["simhash"].to_numpy(dtype=np.uint64)
+        out_a, out_b, out_h = [], [], []
+        for i in range(len(ids)):
+            x = sims[i + 1 :] ^ sims[i]
+            ham = np.array([bin(v).count("1") for v in x])
+            for j in np.nonzero(ham <= max_hamming)[0]:
+                out_a.append(int(ids[i]))
+                out_b.append(int(ids[i + 1 + j]))
+                out_h.append(int(ham[j]))
+        return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h})
+
+    pairs = (
+        hashed.map_batches(seg_rows, batch_format="pandas")
+        .groupby(["seg", "seg_val"])
+        .map_groups(seg_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    return pairs.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
