@@ -161,6 +161,11 @@ def minhash_clusters(
     from ontology_time_machine_ray.stages.canonicalize import connected_components
 
     rows_per_band = num_perm // bands
+    # the signature-agreement Jaccard estimator has std ~ sqrt(J(1-J)/k);
+    # verify with a 2-sigma one-sided margin so true near-dups at the
+    # threshold are kept (precision is recovered by exact-Jaccard
+    # verification downstream when required)
+    verify_threshold = max(0.0, threshold - 2.0 / (num_perm ** 0.5))
     docs = docs_ds or _read_docs(sf_dir)
     sigs = docs.map_batches(MinHasher, fn_constructor_kwargs={"num_perm": num_perm},
                             batch_format="pandas", concurrency=2)
@@ -177,7 +182,7 @@ def minhash_clusters(
         out_u, out_v = [], []
         for i in range(len(ids)):
             agree = (sig_mat[i + 1 :] == sig_mat[i]).mean(axis=1)
-            for j in np.nonzero(agree >= threshold)[0]:
+            for j in np.nonzero(agree >= verify_threshold)[0]:
                 out_u.append(str(ids[i]))
                 out_v.append(str(ids[i + 1 + j]))
         return pd.DataFrame({"u": out_u, "v": out_v})
