@@ -1,0 +1,144 @@
+"""Benchmark harness.
+
+Default mode: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)``
+and print ONE JSON line::
+
+    {"metric": "kg_build_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": "...", "num_cpus": N, ...}
+
+``--scaling``: run the headline job twice in FRESH processes at
+``num_cpus=8`` and ``num_cpus=32`` on the same input and report both
+throughputs plus scaling efficiency (the sandbox stand-in for the N vs 4N
+node criterion; see BASELINE.md).
+
+The KG corpus at bench scale is the deterministic interleaved synthesis of
+``$GRAFT_SF_DIR/documents.parquet`` replicated ``$OTM_BENCH_REPEAT`` times
+(default 20 -> 100k docs at sf0.1), generated once and cached in /tmp.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPEAT = int(os.environ.get("OTM_BENCH_REPEAT", "20"))
+OUT_DIR = "/tmp/otm_bench_out"
+
+
+def run_bench() -> dict:
+    import ray
+
+    from ontology_time_machine_ray.fixtures import ensure_fixtures
+
+    # corpus synthesis is one-time setup, outside the timed region
+    paths = ensure_fixtures(SF_DIR, repeat=REPEAT)
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from ontology_time_machine_ray.pipelines import relational
+    from ontology_time_machine_ray.pipelines.kg import KgPipeline
+    from ontology_time_machine_ray.stages import similarity
+    from ontology_time_machine_ray.stages.dedup_docs import minhash_clusters
+
+    pool = max(2, NUM_CPUS // 3)
+    pipe = KgPipeline(paths=paths, detect_concurrency=pool, link_concurrency=pool,
+                      batch_size=2048)
+
+    # warm the page cache with one untimed pass over the main input
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(paths.documents).num_rows
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        result = fn()
+        queries[name] = round(time.time() - t0, 3)
+        return result
+
+    # headline: full KG build (detect -> link -> dedup -> canonicalize ->
+    # partitioned write with lineage)
+    if os.path.isdir(OUT_DIR):
+        shutil.rmtree(OUT_DIR)
+    summary = timed("kg_build", lambda: pipe.materialize(OUT_DIR, canonical=True))
+    n_triples = sum(summary["partitions"].values())
+    extras["docs_per_sec"] = round(n_docs / queries["kg_build"], 1)
+    extras["triples_out"] = n_triples
+    extras["n_docs"] = n_docs
+
+    # raw link throughput (no shuffle): mentions+triples emission only
+    raw_triples = timed("kg_link_raw", lambda: pipe.triples_raw().count())
+    extras["raw_triples"] = raw_triples
+    extras["raw_triples_per_sec"] = round(raw_triples / queries["kg_link_raw"], 1)
+
+    timed("rel_q1_lineitem", lambda: relational.q1_lineitem(SF_DIR))
+    timed("events_hourly", lambda: relational.events_hourly(SF_DIR))
+    timed("dedup_minhash", lambda: minhash_clusters(SF_DIR))
+    timed("ann_bruteforce", lambda: similarity.ann_bruteforce(SF_DIR))
+
+    ray.shutdown()
+    return {
+        "metric": "kg_build_sec",
+        "value": queries["kg_build"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "repeat": REPEAT,
+        **extras,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, num_cpus=8 then 32; efficiency =
+    (t8/t32)/(32/8)."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8, t32 = results[8]["value"], results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8cpu": t8,
+        "sec_32cpu": t32,
+        "docs_per_sec_8cpu": results[8]["docs_per_sec"],
+        "docs_per_sec_32cpu": results[32]["docs_per_sec"],
+        "queries_8cpu": results[8]["queries"],
+        "queries_32cpu": results[32]["queries"],
+        "sf": SF_DIR,
+        "repeat": REPEAT,
+    }
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -107,7 +107,7 @@ class KgPipeline:
 
     def triples(self) -> rd.Dataset:
         """Deduped, pre-canonicalization triple store."""
-        return dedupe_triples(self.triples_raw()).drop_columns(["tkey"])
+        return dedupe_triples(self.triples_raw())
 
     def triples_canonical(self) -> rd.Dataset:
         """sameAs-canonicalized + re-deduped triple store.
@@ -125,7 +125,7 @@ class KgPipeline:
         canon = canonicalize_triples(
             deduped, concurrency=self.link_concurrency or _default_pool_size()
         )
-        return dedupe_triples(canon).drop_columns(["tkey"])
+        return dedupe_triples(canon)
 
     def report(self) -> rd.Dataset:
         """Accessibility report: grouped counts per (category, format) --

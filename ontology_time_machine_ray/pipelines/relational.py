@@ -24,7 +24,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count, Sum
+
+from ontology_time_machine_ray.stages.groupagg import grouped_aggregate, grouped_apply
 
 
 def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
@@ -165,15 +167,17 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["user_id", "ts", "value", "props"]).map_batches(
         prep, batch_format="pandas"
     )
-    agg = (
-        ds.groupby(["user_id", "hour"])
-        .aggregate(
-            Sum("n", alias_name="n_events"),
-            Sum("value_c", alias_name="value_c"),
-            Sum("sum_k", alias_name="sum_k"),
-        )
-        .to_pandas()
-    )
+    # (user, hour) is HIGH-cardinality: bucketed-vectorized aggregation
+    # (see groupagg.py), not the per-group accumulating groupby
+    agg = grouped_aggregate(
+        ds,
+        ["user_id", "hour"],
+        {
+            "n_events": ("n", "sum"),
+            "value_c": ("value_c", "sum"),
+            "sum_k": ("sum_k", "sum"),
+        },
+    ).to_pandas()
     agg["sum_value"] = agg.pop("value_c") / 100.0
     return agg
 
@@ -186,21 +190,19 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     streaming-shaped pattern from the Ray guide."""
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        new_session = (g["ts"].diff() > gap).cumsum()
-        n_sessions = int(new_session.nunique())
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(g)],
-                "n_sessions": [n_sessions],
-            }
+    def sessions_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized gap-and-island over the whole bucket: a session starts
+        # at a user change or a gap
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        new_user = g["user_id"] != g["user_id"].shift()
+        gap_hit = (g["ts"] - g["ts"].shift()) > gap
+        g = g.assign(_start=(new_user | gap_hit).astype("int64"))
+        return g.groupby("user_id", as_index=False).agg(
+            n_events=("_start", "size"), n_sessions=("_start", "sum")
         )
 
-    return (
-        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
-        .to_pandas()
-    )
+    return grouped_apply(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        ["user_id"],
+        sessions_in_bucket,
+    ).to_pandas()

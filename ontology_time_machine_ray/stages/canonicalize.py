@@ -1,28 +1,34 @@
 """Canonicalization: distributed union-find over owl:sameAs edges.
 
-Connected components are computed with the alternating large-star /
-small-star algorithm (Kiveris et al., "Connected Components in MapReduce
-and Beyond", SOCC'14 -- public literature), which needs ONLY
-``groupby().map_groups`` rounds over the edge list: no driver-side graph,
-no per-round join.  Each component's representative is its minimum IRI;
-every triple's subj/obj is rewritten through the resulting mapping and the
-store re-deduped (rewrites can collide).
+Connected components via the alternating large-star / small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SOCC'14
+-- public literature): pure ``groupby + vectorized per-bucket transform``
+rounds over the edge list, no driver-side graph, no per-round join.  The
+per-center min/emit logic is vectorized with pandas ``groupby.transform``
+inside hash buckets (see ``groupagg`` for why bucketed-vectorized beats
+per-group accumulation).
+
+Hybrid sizing: equivalence graphs are VOCABULARY-scale (entities that
+appear in sameAs/equivalence assertions), not corpus-scale.  Below
+``SMALL_GRAPH_LIMIT`` edges the rounds' fixed costs dwarf the work, so a
+driver-side union-find computes the identical mapping; above it the
+distributed star rounds run.  Both paths are tested against each other.
 
 Skew handling (hub entities like the fixture's ``O000#C1`` star): the
-node -> component mapping aggregation runs as an explicit SALTED two-phase
+final node -> component aggregation runs as an explicit SALTED two-phase
 min -- ``groupby((node, salt)).min`` then ``groupby(node).min`` -- so a
 hub whose edges all land on one reducer is first reduced in ``skew_salt``
 parallel shards (SURVEY.md §4.2's mandatory hub-salting).
 
-The final mapping is the SMALL side (nodes appearing in equivalence edges
-only, a vocabulary-scale table, not corpus-scale), so the rewrite is a
-broadcast lookup inside ``map_batches`` (``ray.put`` once, read per actor)
-rather than two corpus-wide shuffle joins.  If the equivalence graph ever
-approached corpus scale, the rewrite would switch to a hash-partitioned
-join on subj/obj; that assumption is asserted at runtime.
+The final mapping is the SMALL side, so the triple rewrite is a broadcast
+lookup inside ``map_batches`` (``ray.put`` once, read per actor) rather
+than two corpus-wide shuffle joins; that assumption is asserted at
+runtime (``MAX_BROADCAST_NODES``).
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pandas as pd
@@ -32,9 +38,13 @@ import ray
 
 from ontology_time_machine_ray.functions.hashing import stable_hash64_series
 from ontology_time_machine_ray.schema import OWL_SAME_AS
+from ontology_time_machine_ray.stages.groupagg import grouped_apply
 
 #: guard for the broadcast assumption (nodes in the equivalence graph).
 MAX_BROADCAST_NODES = 5_000_000
+
+#: below this edge count the driver-side union-find fast path runs.
+SMALL_GRAPH_LIMIT = int(os.environ.get("OTM_SMALL_GRAPH_LIMIT", "100000"))
 
 
 def _empty_edges() -> pd.DataFrame:
@@ -57,6 +67,8 @@ def _canonical_edges(df: pd.DataFrame) -> pd.DataFrame:
     lo = np.where(u > v, v, u)
     out = pd.DataFrame({"u": hi, "v": lo})
     out = out[out["u"] != out["v"]].drop_duplicates()
+    if len(out) == 0:
+        return _empty_edges()
     # 31-bit folded key: its int64 sum is an overflow-safe convergence checksum
     ekey = (stable_hash64_series(out["u"].str.cat(out["v"], sep="\x1f")) % (2**31)).astype(
         "int64"
@@ -64,27 +76,32 @@ def _canonical_edges(df: pd.DataFrame) -> pd.DataFrame:
     return out.assign(ekey=ekey)
 
 
-def _large_star_group(g: pd.DataFrame) -> pd.DataFrame:
-    """For center c with neighbors N over symmetric edges: connect every
-    strictly-larger neighbor to min(N ∪ {c})."""
-    c = g["center"].iloc[0]
-    neigh = g["other"]
-    m = min(neigh.min(), c)
-    bigger = neigh[neigh > c]
-    if len(bigger) == 0:
+def _large_star_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized large-star over all centers in one bucket: connect every
+    strictly-larger neighbour of c to min(N(c) ∪ {c})."""
+    m_n = g.groupby("center")["other"].transform("min")
+    m = np.minimum(m_n, g["center"])
+    mask = g["other"] > g["center"]
+    out = pd.DataFrame({"u": g["other"][mask].to_numpy(), "v": m[mask].to_numpy()})
+    if len(out) == 0:
         return pd.DataFrame({"u": pd.Series(dtype="string"), "v": pd.Series(dtype="string")})
-    return pd.DataFrame({"u": bigger.to_numpy(), "v": m})
+    return out
 
 
-def _small_star_group(g: pd.DataFrame) -> pd.DataFrame:
-    """For center c over edges where c is the LARGER endpoint, connect c and
-    all its smaller neighbors to the minimum."""
-    c = g["center"].iloc[0]
-    neigh = g["other"]
-    m = neigh.min()
-    nodes = pd.unique(np.append(neigh.to_numpy(), c))
-    nodes = nodes[nodes != m]
-    return pd.DataFrame({"u": nodes, "v": m})
+def _small_star_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized small-star: for each center c (the LARGER endpoint of its
+    edges), connect c and all smaller neighbours to min(N(c))."""
+    m = g.groupby("center")["other"].transform("min")
+    # neighbours != m  ->  (neighbour, m)
+    mask = g["other"] != m
+    part1 = pd.DataFrame({"u": g["other"][mask].to_numpy(), "v": m[mask].to_numpy()})
+    # each center once ->  (center, min)
+    firsts = g.groupby("center", as_index=False)["other"].min()
+    part2 = pd.DataFrame({"u": firsts["center"].to_numpy(), "v": firsts["other"].to_numpy()})
+    out = pd.concat([part1, part2], ignore_index=True)
+    if len(out) == 0:
+        return pd.DataFrame({"u": pd.Series(dtype="string"), "v": pd.Series(dtype="string")})
+    return out
 
 
 def _sym(ds):
@@ -99,51 +116,77 @@ def _sym(ds):
     return ds.map_batches(both_dirs, batch_format="pandas")
 
 
-def connected_components(edges_ds, max_rounds: int = 12):
-    """Dataset[(u, v)] -> Dataset[(node, component)].
+def _driver_union_find(edges: pd.DataFrame) -> pd.DataFrame:
+    """Small-graph fast path: textbook union-find, min IRI as root.
+    Output contract matches the star rounds: one (node, component) row per
+    NON-ROOT node."""
+    parent: dict[str, str] = {}
 
-    Alternating star rounds until the canonical edge set stabilizes
-    (checksum aggregate as the convergence test -- a tiny global
-    aggregate, not a materialization of the graph).
-    """
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(edges["u"], edges["v"]):
+        ru, rv = find(u), find(v)
+        if ru == rv:
+            continue
+        if rv < ru:
+            ru, rv = rv, ru
+        parent[rv] = ru
+    rows = [(x, find(x)) for x in parent]
+    out = pd.DataFrame(rows, columns=["node", "component"])
+    return out[out["node"] != out["component"]].sort_values("node").reset_index(drop=True)
+
+
+def connected_components(edges_ds, max_rounds: int = 12, salt_mod: int = 8,
+                         small_graph_limit: int | None = None):
+    """Dataset[(u, v)] -> Dataset[(node, component)] (non-root nodes)."""
+    if small_graph_limit is None:
+        small_graph_limit = SMALL_GRAPH_LIMIT
     edges = edges_ds.map_batches(_canonical_edges, batch_format="pandas").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return ray.data.from_pandas(
             pd.DataFrame({"node": pd.Series(dtype="string"), "component": pd.Series(dtype="string")})
         )
+    if n_edges <= small_graph_limit:
+        return ray.data.from_pandas(_driver_union_find(edges.to_pandas()))
+
+    from ray.data.aggregate import Count, Sum
+
     prev_sig = None
     for _ in range(max_rounds):
-        large = (
-            _sym(edges)
-            .groupby("center")
-            .map_groups(_large_star_group, batch_format="pandas")
-        )
+        large = grouped_apply(_sym(edges), ["center"], _large_star_bucket)
         renamed = large.map_batches(
             lambda df: df.rename(columns={"u": "center", "v": "other"}),
             batch_format="pandas",
         )
-        small = renamed.groupby("center").map_groups(
-            _small_star_group, batch_format="pandas"
-        )
+        small = grouped_apply(renamed, ["center"], _small_star_bucket)
         edges = small.map_batches(_canonical_edges, batch_format="pandas").materialize()
-        agg = edges.sum("ekey")
-        n = edges.count()
-        sig = (n, agg)
+        stats = edges.aggregate(Sum("ekey", alias_name="s"), Count(alias_name="n"))
+        sig = (stats["s"], stats["n"])
         if sig == prev_sig:
             break
         prev_sig = sig
-    # node -> component via salted two-phase min (hub-safe)
-    def _salt(df: pd.DataFrame, salt_mod: int = 8) -> pd.DataFrame:
-        return df.assign(salt=(stable_hash64_series(df["v"]) % salt_mod).astype("int64"))
 
-    partial = (
-        edges.map_batches(_salt, batch_format="pandas")
-        .groupby(["u", "salt"])
-        .min("v")
+    # node -> component via salted two-phase min (hub-safe)
+    def _partial_min(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(salt=(stable_hash64_series(df["v"]) % salt_mod).astype("int64"))
+        return df.groupby(["u", "salt"], as_index=False)["v"].min()
+
+    partial = edges.map_batches(_partial_min, batch_format="pandas")
+    mapping = grouped_apply(
+        partial,
+        ["u"],
+        lambda g: g.groupby("u", as_index=False)["v"].min(),
     )
-    mapping = partial.groupby("u").min("min(v)")
     return mapping.map_batches(
-        lambda df: df.rename(columns={"u": "node", "min(min(v))": "component"}),
+        lambda df: df.rename(columns={"u": "node", "v": "component"}),
         batch_format="pandas",
     )
 

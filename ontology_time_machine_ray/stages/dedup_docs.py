@@ -67,28 +67,40 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.8, docs_ds: rd.Dataset | Non
     to avoid float boundary flakiness: inter / (|a|+|b|-inter) >= t  <=>
     inter * 100 >= t*100 * (|a|+|b|-inter) with t in hundredths.
     """
-    t100 = int(round(threshold * 100))
-    shingle_ds = (docs_ds or _read_docs(sf_dir)).map_batches(_shingle_rows, batch_format="pandas")
+    from ontology_time_machine_ray.stages.groupagg import grouped_aggregate, grouped_apply
 
-    sizes = (
-        shingle_ds.groupby("doc_id").count().to_pandas().rename(columns={"count()": "size"})
+    t100 = int(round(threshold * 100))
+    shingle_ds = (
+        (docs_ds or _read_docs(sf_dir))
+        .map_batches(_shingle_rows, batch_format="pandas")
+        .materialize()  # consumed twice: sizes + pair generation
     )
+
+    sizes = grouped_aggregate(
+        shingle_ds, ["doc_id"], {"size": ("shingle", "size")}
+    ).to_pandas()
     size_map = dict(zip(sizes["doc_id"], sizes["size"]))
 
-    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or len(g) > MAX_SHINGLE_DF:  # df cap: skew guard
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # keep only shingles with 2..MAX_SHINGLE_DF docs (df cap: skew
+        # guard), then expand pairs per qualifying shingle
+        df_counts = g["shingle"].value_counts()
+        keep = df_counts[(df_counts >= 2) & (df_counts <= MAX_SHINGLE_DF)].index
+        g = g[g["shingle"].isin(keep)]
+        out_a, out_b = [], []
+        for _, grp in g.groupby("shingle", sort=False):
+            ids = np.sort(grp["doc_id"].to_numpy())
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
             return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-        ids = np.sort(g["doc_id"].to_numpy())
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+        return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
 
+    pair_rows = grouped_apply(shingle_ds, ["shingle"], pairs_in_bucket)
     inter = (
-        shingle_ds.groupby("shingle")
-        .map_groups(pairs_in_group, batch_format="pandas")
-        .groupby(["a", "b"])
-        .count()
+        grouped_aggregate(pair_rows, ["a", "b"], {"inter": ("a", "size")})
         .to_pandas()
-        .rename(columns={"count()": "inter"})
     )
     if len(inter) == 0:
         return pd.DataFrame(
@@ -173,21 +185,28 @@ def minhash_clusters(
         lambda df: _band_rows(df, bands, rows_per_band), batch_format="pandas"
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or len(g) > 200:  # bucket cap: hub guard
-            return pd.DataFrame({"u": pd.Series(dtype="string"), "v": pd.Series(dtype="string")})
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sig_mat = np.stack(g["sig"].to_numpy())
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # only (band, band_hash) groups with a collision can yield pairs
+        g = g[g.duplicated(["band", "band_hash"], keep=False)]
         out_u, out_v = [], []
-        for i in range(len(ids)):
-            agree = (sig_mat[i + 1 :] == sig_mat[i]).mean(axis=1)
-            for j in np.nonzero(agree >= verify_threshold)[0]:
-                out_u.append(str(ids[i]))
-                out_v.append(str(ids[i + 1 + j]))
-        return pd.DataFrame({"u": out_u, "v": out_v})
+        for _, grp in g.groupby(["band", "band_hash"], sort=False):
+            if len(grp) > 200:  # bucket cap: hub guard
+                continue
+            grp = grp.sort_values("doc_id")
+            ids = grp["doc_id"].to_numpy()
+            sig_mat = np.stack(grp["sig"].to_numpy())
+            for i in range(len(ids)):
+                agree = (sig_mat[i + 1 :] == sig_mat[i]).mean(axis=1)
+                for j in np.nonzero(agree >= verify_threshold)[0]:
+                    out_u.append(str(ids[i]))
+                    out_v.append(str(ids[i + 1 + j]))
+        return pd.DataFrame(
+            {"u": pd.Series(out_u, dtype="string"), "v": pd.Series(out_v, dtype="string")}
+        )
 
-    pairs = band_ds.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply
+
+    pairs = grouped_apply(band_ds, ["band", "band_hash"], pairs_in_bucket)
     comp = connected_components(pairs).to_pandas()
     mapping = dict(zip(comp["node"], comp["component"]))
     all_ids = docs.select_columns(["doc_id"]).to_pandas()
@@ -242,29 +261,30 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, docs_ds: rd.Dataset | None 
             ).ravel()
         return pd.DataFrame(out)
 
-    def seg_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or len(g) > 200:
-            return pd.DataFrame(
-                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-                 "hamming": pd.Series(dtype="int64")}
-            )
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sims = g["simhash"].to_numpy(dtype=np.uint64)
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated(["seg", "seg_val"], keep=False)]
         out_a, out_b, out_h = [], [], []
-        for i in range(len(ids)):
-            x = sims[i + 1 :] ^ sims[i]
-            ham = np.array([bin(v).count("1") for v in x])
-            for j in np.nonzero(ham <= max_hamming)[0]:
-                out_a.append(int(ids[i]))
-                out_b.append(int(ids[i + 1 + j]))
-                out_h.append(int(ham[j]))
-        return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h})
+        for _, grp in g.groupby(["seg", "seg_val"], sort=False):
+            if len(grp) > 200:
+                continue
+            grp = grp.sort_values("doc_id").drop_duplicates("doc_id")
+            ids = grp["doc_id"].to_numpy()
+            sims = grp["simhash"].to_numpy(dtype=np.uint64)
+            for i in range(len(ids)):
+                x = sims[i + 1 :] ^ sims[i]
+                ham = np.array([bin(v).count("1") for v in x])
+                for j in np.nonzero(ham <= max_hamming)[0]:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[i + 1 + j]))
+                    out_h.append(int(ham[j]))
+        return pd.DataFrame(
+            {"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64"),
+             "hamming": pd.Series(out_h, dtype="int64")}
+        )
 
-    pairs = (
-        hashed.map_batches(seg_rows, batch_format="pandas")
-        .groupby(["seg", "seg_val"])
-        .map_groups(seg_pairs, batch_format="pandas")
-        .to_pandas()
-    )
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply
+
+    pairs = grouped_apply(
+        hashed.map_batches(seg_rows, batch_format="pandas"), ["seg", "seg_val"], pairs_in_bucket
+    ).to_pandas()
     return pairs.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)

@@ -1,0 +1,97 @@
+"""High-cardinality grouped aggregation that scales.
+
+Ray Data's built-in ``groupby().aggregate()`` / ``map_groups`` pay a
+Python-level cost PER GROUP, which is pathological for high-cardinality
+keys (profiling here: ~300 s CPU for a 95k-group aggregate of 100k rows).
+The scalable pattern is to shuffle on a LOW-cardinality hash bucket of the
+key and run the real aggregation VECTORIZED (pandas C speed) inside each
+bucket:
+
+    ds.add bucket = stable_hash(key) % B     (map_batches)
+      .groupby("bucket")                     (shuffle on B values)
+      .map_groups(vectorized pandas fn)      (B groups total)
+
+Correctness: every row of a key lands in exactly one bucket, so any
+per-key computation done inside the bucket is exact.  ``B`` bounds both
+the shuffle fan-in and the per-task memory (bucket size ~ rows/B); skewed
+keys only matter if a single KEY outweighs a bucket, which the combiner
+stages upstream prevent.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import pandas as pd
+
+from ontology_time_machine_ray.functions.hashing import stable_hash64_series
+
+DEFAULT_BUCKETS = 64
+
+
+def _with_bucket(df: pd.DataFrame, keys: Sequence[str], num_buckets: int) -> pd.DataFrame:
+    key = df[keys[0]].astype("string")
+    for k in keys[1:]:
+        key = key.str.cat(df[k].astype("string"), sep="\x1f")
+    return df.assign(_bucket=(stable_hash64_series(key) % num_buckets).astype("int64"))
+
+
+def grouped_apply(
+    ds,
+    keys: Sequence[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_buckets: int = DEFAULT_BUCKETS,
+):
+    """Apply ``fn`` (vectorized over a whole bucket; must itself respect
+    the ``keys`` grouping) after co-locating each key into one bucket."""
+    keys = list(keys)
+
+    def apply_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns=["_bucket"]))
+
+    return (
+        ds.map_batches(lambda df: _with_bucket(df, keys, num_buckets), batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(apply_bucket, batch_format="pandas")
+    )
+
+
+def grouped_aggregate(
+    ds,
+    keys: Sequence[str],
+    named_aggs: dict[str, tuple[str, str]],
+    num_buckets: int = DEFAULT_BUCKETS,
+):
+    """Exact grouped aggregation for high-cardinality keys.
+
+    ``named_aggs``: output column -> (input column, pandas agg name), e.g.
+    ``{"n_events": ("value_c", "size"), "value_c": ("value_c", "sum")}``.
+    """
+    keys = list(keys)
+
+    def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False, sort=False).agg(
+            **{out: pd.NamedAgg(col, how) for out, (col, how) in named_aggs.items()}
+        )
+
+    return grouped_apply(ds, keys, agg_bucket, num_buckets)
+
+
+def grouped_head1(
+    ds,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    num_buckets: int = DEFAULT_BUCKETS,
+):
+    """Deterministic first-row-per-key (the dedup primitive): rows sorted
+    by ``keys + order_by``, first of each key kept -- all vectorized."""
+    keys = list(keys)
+    order_by = list(order_by)
+
+    def first_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(keys + order_by, kind="stable")
+            .drop_duplicates(keys, keep="first")
+        )
+
+    return grouped_apply(ds, keys, first_bucket, num_buckets)

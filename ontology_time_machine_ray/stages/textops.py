@@ -112,15 +112,10 @@ def fingerprints(sf_dir: str) -> pd.DataFrame:
 
 
 def dedup_exact(sf_dir: str) -> pd.DataFrame:
-    """Exact document dedup: hash-partitioned groupby on the content
-    fingerprint, keep the min doc_id per group (deterministic winner)."""
+    """Exact document dedup: hash-bucketed shuffle on the content
+    fingerprint, min doc_id per fingerprint kept (deterministic winner),
+    vectorized inside buckets (groupagg)."""
+    from ontology_time_machine_ray.stages.groupagg import grouped_head1
+
     ds = _read_docs(sf_dir).map_batches(fingerprint_batch, batch_format="pandas")
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("doc_id").head(1)
-
-    return (
-        ds.groupby("fingerprint")
-        .map_groups(first, batch_format="pandas")
-        .to_pandas()
-    )
+    return grouped_head1(ds, keys=["fingerprint"], order_by=["doc_id"]).to_pandas()
