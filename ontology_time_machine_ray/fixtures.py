@@ -138,13 +138,22 @@ def version_date(k: int, j: int) -> _dt.datetime:
     return base + _dt.timedelta(days=173 * j)
 
 
-def _doc_spans(doc_id_str: str, text: str) -> tuple[list[dict], str, str]:
-    """Deterministic spans + request profile for one document."""
+def _doc_spans(
+    doc_id_str: str, text: str, text_scale: int = 1
+) -> tuple[list[dict], str, str]:
+    """Deterministic spans + request profile for one document.
+
+    ``text_scale`` multiplies the prose volume per span (bench corpora use
+    KB-scale documents so the scan stage is compute-bound like a real
+    corpus; correctness corpora keep scale=1)."""
     h = stable_hash64(doc_id_str)
     accept = ACCEPTS[h % 8]
     policy = POLICIES[(h >> 4) % 4]
     n_mentions = 1 + ((h >> 8) % 2)
     hub = (h % 20) == 0  # ~5% of docs mention the hub ontology O000
+    if text_scale > 1:
+        text = (text + " ") * text_scale
+    chunk = 60 * text_scale
 
     parts: list[tuple[str, str, str]] = []  # (kind, text, media_ref)
     for j in range(n_mentions):
@@ -155,9 +164,9 @@ def _doc_spans(doc_id_str: str, text: str) -> tuple[list[dict], str, str]:
             form = (h >> (40 + 5 * j)) % 6
         https = bool((h >> 60) & 1) and form == 0
         iri = mention_iri(k, form, j, https=https)
-        prose = text[j * 60 : j * 60 + 60]
+        prose = text[j * chunk : j * chunk + chunk]
         parts.append(("text", f"{prose} see {iri} for details.", ""))
-    tail = text[n_mentions * 60 : n_mentions * 60 + 80]
+    tail = text[n_mentions * chunk : n_mentions * chunk + 80 * text_scale]
     parts.append(("text", f"{tail} end.", ""))
     if (h >> 3) % 5 == 0:  # ~20% of docs carry a media span
         pos = (h >> 9) % (len(parts) + 1)
@@ -262,41 +271,64 @@ def build_snapshots() -> tuple[pa.Table, pa.Table]:
     )
 
 
-def build_documents(sf_dir: str, repeat: int = 1) -> pa.Table:
+def _documents_chunks(sf_dir: str, repeat: int, text_scale: int):
+    """Yield Arrow tables of synthesized docs, one chunk per repeat pass
+    (bounded memory for multi-million-doc bench corpora)."""
     src = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     doc_ids = src["doc_id"].to_pylist()
     texts = src["text"].to_pylist()
-    out_ids, out_spans, out_accept, out_policy = [], [], [], []
     for r in range(repeat):
         suffix = f"-r{r}" if repeat > 1 else ""
+        out_ids, out_spans, out_accept, out_policy = [], [], [], []
         for did, text in zip(doc_ids, texts):
             doc_id_str = f"doc-{did:08d}{suffix}"
-            spans, accept, policy = _doc_spans(doc_id_str, text or "")
+            spans, accept, policy = _doc_spans(doc_id_str, text or "", text_scale)
             out_ids.append(doc_id_str)
             out_spans.append(spans)
             out_accept.append(accept)
             out_policy.append(policy)
-    return pa.table(
-        {"doc_id": out_ids, "spans": out_spans, "accept": out_accept, "policy": out_policy},
-        schema=DOCUMENTS_SCHEMA,
-    )
+        yield pa.table(
+            {"doc_id": out_ids, "spans": out_spans, "accept": out_accept, "policy": out_policy},
+            schema=DOCUMENTS_SCHEMA,
+        )
 
 
-def fixture_dir(sf_dir: str, repeat: int = 1) -> str:
+def build_documents(sf_dir: str, repeat: int = 1, text_scale: int = 1) -> pa.Table:
+    return pa.concat_tables(_documents_chunks(sf_dir, repeat, text_scale))
+
+
+def write_documents(path: str, sf_dir: str, repeat: int, text_scale: int) -> None:
+    """repeat == 1: a single parquet file (what the SQL oracle reads).
+    repeat > 1 (bench corpora): a DIRECTORY of part files, one per repeat
+    pass, so `read_parquet` fans out one read task per file -- a
+    single-file corpus serializes the scan and caps pipeline scaling."""
+    if repeat == 1:
+        with pq.ParquetWriter(path, DOCUMENTS_SCHEMA) as writer:
+            for chunk in _documents_chunks(sf_dir, repeat, text_scale):
+                writer.write_table(chunk)
+        return
+    os.makedirs(path, exist_ok=True)
+    for i, chunk in enumerate(_documents_chunks(sf_dir, repeat, text_scale)):
+        pq.write_table(chunk, os.path.join(path, f"part-{i:05d}.parquet"))
+
+
+def fixture_dir(sf_dir: str, repeat: int = 1, text_scale: int = 1) -> str:
     name = os.path.basename(os.path.normpath(sf_dir))
     if repeat > 1:
         name = f"{name}_x{repeat}"
+    if text_scale > 1:
+        name = f"{name}_t{text_scale}"
     return os.path.join(FIXTURE_ROOT, name)
 
 
-def ensure_fixtures(sf_dir: str, repeat: int = 1) -> FixturePaths:
+def ensure_fixtures(sf_dir: str, repeat: int = 1, text_scale: int = 1) -> FixturePaths:
     """Idempotently materialize the fixture tables for ``sf_dir``.
 
     Content-addressed skip via a _SUCCESS marker carrying the generator
     version (the reference's sha256 hash-skip idea,
     download_archivo_urls.py:65-74).
     """
-    root = fixture_dir(sf_dir, repeat)
+    root = fixture_dir(sf_dir, repeat, text_scale)
     marker = os.path.join(root, "_SUCCESS")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -304,7 +336,7 @@ def ensure_fixtures(sf_dir: str, repeat: int = 1) -> FixturePaths:
                 return FixturePaths(root)
     os.makedirs(root, exist_ok=True)
     paths = FixturePaths(root)
-    pq.write_table(build_documents(sf_dir, repeat), paths.documents)
+    write_documents(paths.documents, sf_dir, repeat, text_scale)
     pq.write_table(build_ontology_index(), paths.ontology_index)
     pq.write_table(build_origins(), paths.origins)
     content, status = build_snapshots()

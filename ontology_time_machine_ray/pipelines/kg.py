@@ -24,9 +24,9 @@ import ray.data as rd
 from ontology_time_machine_ray.config import DEFAULT_CONFIG, PipelineConfig
 from ontology_time_machine_ray.fixtures import FixturePaths, ensure_fixtures
 from ontology_time_machine_ray.stages.canonicalize import canonicalize_triples
-from ontology_time_machine_ray.stages.dedup import dedupe_triples
+from ontology_time_machine_ray.stages.dedup import _local_dedup, dedupe_triples
 from ontology_time_machine_ray.stages.detect import MentionDetector
-from ontology_time_machine_ray.stages.link import EntityLinker
+from ontology_time_machine_ray.stages.detect_link import DetectLink, make_detect_link
 from ontology_time_machine_ray.sources.writers import write_partitioned
 
 
@@ -42,6 +42,18 @@ def _default_pool_size() -> int:
     except Exception:
         total = 4
     return max(1, total // 3)
+
+
+def _fused_pool_size() -> int:
+    """The fused detect+link pool takes ~3/4 of the cluster, leaving the
+    rest for read / shuffle / write tasks."""
+    import ray
+
+    try:
+        total = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    except Exception:
+        total = 4
+    return max(1, total * 3 // 4)
 
 
 @dataclass
@@ -85,18 +97,35 @@ class KgPipeline:
         )
 
     def _link(self, emit: str) -> rd.Dataset:
-        return self.mentions().map_batches(
-            EntityLinker,
-            fn_constructor_kwargs={
-                "origins_path": self.paths.origins,
-                "content_path": self.paths.snapshot_content,
-                "status_path": self.paths.snapshot_status,
-                "config": self.config,
-                "emit": emit,
-            },
-            batch_format="pyarrow",
-            batch_size=self.batch_size,
-            concurrency=self.link_concurrency or _default_pool_size(),
+        """Fused detect+link stage: task-based with per-worker cached
+        state (see make_detect_link; the state is small+immutable, so
+        elastic tasks beat a fixed actor pool).  Set ``link_concurrency``
+        to force an actor pool of the ``DetectLink`` class instead."""
+        fn = make_detect_link(
+            index_path=self.paths.ontology_index,
+            origins_path=self.paths.origins,
+            content_path=self.paths.snapshot_content,
+            status_path=self.paths.snapshot_status,
+            config=self.config,
+            emit=emit,
+        )
+        if self.link_concurrency:
+            return self.documents().map_batches(
+                DetectLink,
+                fn_constructor_kwargs={
+                    "index_path": self.paths.ontology_index,
+                    "origins_path": self.paths.origins,
+                    "content_path": self.paths.snapshot_content,
+                    "status_path": self.paths.snapshot_status,
+                    "config": self.config,
+                    "emit": emit,
+                },
+                batch_format="pyarrow",
+                batch_size=self.batch_size,
+                concurrency=self.link_concurrency,
+            )
+        return self.documents().map_batches(
+            fn, batch_format="pyarrow", batch_size=self.batch_size
         )
 
     def triples_raw(self) -> rd.Dataset:
@@ -106,8 +135,10 @@ class KgPipeline:
         return self._link("status")
 
     def triples(self) -> rd.Dataset:
-        """Deduped, pre-canonicalization triple store."""
-        return dedupe_triples(self.triples_raw())
+        """Deduped, pre-canonicalization triple store.  Bucketing on
+        ``subj`` alone is complete for (subj, pred, obj) dedup and keeps
+        the shuffle key aligned with the output partitioning."""
+        return dedupe_triples(self.triples_raw(), bucket_keys=["subj"])
 
     def triples_canonical(self) -> rd.Dataset:
         """sameAs-canonicalized + re-deduped triple store.
@@ -122,10 +153,8 @@ class KgPipeline:
         instead (the reference's inter-stage log files, S6).
         """
         deduped = self.triples().materialize()
-        canon = canonicalize_triples(
-            deduped, concurrency=self.link_concurrency or _default_pool_size()
-        )
-        return dedupe_triples(canon)
+        canon = canonicalize_triples(deduped)
+        return dedupe_triples(canon, bucket_keys=["subj"])
 
     def report(self) -> rd.Dataset:
         """Accessibility report: grouped counts per (category, format) --
@@ -133,13 +162,28 @@ class KgPipeline:
         return self.status().groupby(["category", "format"]).count()
 
     def materialize(self, out_dir: str, canonical: bool = True) -> dict:
-        ds = self.triples_canonical() if canonical else self.triples()
+        """Build + write the partitioned store with the minimum number of
+        all-to-all exchanges: the final (s,p,o) dedup rides the
+        hash(subj)-partitioning shuffle of the writer (subj determines the
+        partition AND the dedup bucket), so the whole job is
+
+            canonical=False: stream -> ONE shuffle (partition+dedup+write)
+            canonical=True:  stream -> dedup shuffle (pinned) -> mapping
+                             -> rewrite -> ONE shuffle (partition+dedup+write)
+        """
+        if canonical:
+            deduped = self.triples().materialize()
+            ds = canonicalize_triples(deduped)
+        else:
+            ds = self.triples_raw().map_batches(_local_dedup, batch_format="pandas")
         return write_partitioned(
             ds,
             out_dir,
             num_partitions=self.config.output_partitions,
             config_hash=self.config_hash(),
             key="subj",
+            dedup_keys=["subj", "pred", "obj"],
+            dedup_order=["doc_id", "ontology_version", "format"],
         )
 
     def with_policy(self, policy, **kw) -> "KgPipeline":

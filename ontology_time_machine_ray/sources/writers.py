@@ -67,12 +67,22 @@ def write_partitioned(
     num_partitions: int,
     config_hash: str,
     key: str = "subj",
+    dedup_keys: list[str] | None = None,
+    dedup_order: list[str] | None = None,
 ) -> dict:
     """Materialize a Dataset into the partitioned layout, skipping
     partitions already complete for the same config (resume semantics).
 
+    When ``dedup_keys`` is given, each partition drops duplicate keys
+    (first row after sorting by ``dedup_keys + dedup_order``) before
+    writing -- the dedup rides the partitioning shuffle for free, which is
+    correct whenever ``key`` is one of ``dedup_keys`` (all duplicates of a
+    key share its hash partition).
+
     Returns a summary lineage dict (also written to ``_lineage.json``).
     """
+    if dedup_keys is not None:
+        assert key in dedup_keys, "fused dedup requires the partition key in dedup_keys"
     os.makedirs(out_dir, exist_ok=True)
     done = completed_partitions(out_dir, config_hash)
 
@@ -91,6 +101,10 @@ def write_partitioned(
     # directory atomically and returns one lineage row
     def _write_group(g: pd.DataFrame) -> pd.DataFrame:
         part = int(g["partition"].iloc[0])
+        if dedup_keys is not None:
+            g = g.sort_values(dedup_keys + (dedup_order or []), kind="stable").drop_duplicates(
+                dedup_keys, keep="first"
+            )
         pdir = os.path.join(out_dir, f"part={part:05d}")
         tmp = pdir + ".tmp"
         if os.path.isdir(tmp):

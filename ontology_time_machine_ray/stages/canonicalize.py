@@ -206,15 +206,27 @@ def sameas_edges(triples_ds):
     return triples_ds.map_batches(pick, batch_format="pyarrow")
 
 
-class CanonicalRewriter:
-    """Actor-pool stage: rewrite subj/obj through the broadcast component
-    mapping (state fetched once per actor in ``__init__``)."""
+#: per-worker-process cache of deserialized broadcast objects, so a
+#: task-based stage pays the ray.get deserialization once per worker, not
+#: once per batch (the task analog of actor-__init__ state).
+_BROADCAST_CACHE: dict[str, object] = {}
 
-    def __init__(self, mapping_ref):
-        self.mapping: dict[str, str] = ray.get(mapping_ref)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        m = self.mapping
+def _cached_get(ref):
+    key = ref.hex()
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE.clear()  # hold at most one broadcast per worker
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
+
+def make_rewriter(mapping_ref):
+    """Task-based rewrite stage: the mapping is immutable broadcast state,
+    so stateless tasks + a per-worker cached ``ray.get`` beat an actor
+    pool here (no pool spin-up on the critical path)."""
+
+    def rewrite(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _cached_get(mapping_ref)
         if not m:
             return batch
         batch = batch.copy()
@@ -224,25 +236,29 @@ class CanonicalRewriter:
         degenerate = (batch["pred"] == OWL_SAME_AS) & (batch["subj"] == batch["obj"])
         return batch[~degenerate]
 
+    return rewrite
 
-def canonicalize_triples(triples_ds, concurrency: int = 2):
-    """Rewrite the triple stream through sameAs components; caller should
-    re-dedup afterwards (rewrites can merge rows)."""
-    edges = sameas_edges(triples_ds)
-    mapping_ds = connected_components(edges)
+
+def component_mapping(triples_ds) -> dict[str, str]:
+    """node -> component dict from the stream's sameAs edges (broadcast
+    side; size-guarded)."""
+    mapping_ds = connected_components(sameas_edges(triples_ds))
     n_nodes = mapping_ds.count()
     assert n_nodes <= MAX_BROADCAST_NODES, (
         f"equivalence graph too large to broadcast ({n_nodes} nodes); "
         "switch the rewrite to a partitioned join"
     )
     if n_nodes == 0:
-        return triples_ds
+        return {}
     pdf = mapping_ds.to_pandas()
-    mapping = dict(zip(pdf["node"], pdf["component"]))
+    return dict(zip(pdf["node"], pdf["component"]))
+
+
+def canonicalize_triples(triples_ds, concurrency: int | None = None):
+    """Rewrite the triple stream through sameAs components; caller should
+    re-dedup afterwards (rewrites can merge rows)."""
+    mapping = component_mapping(triples_ds)
+    if not mapping:
+        return triples_ds
     mapping_ref = ray.put(mapping)
-    return triples_ds.map_batches(
-        CanonicalRewriter,
-        fn_constructor_args=(mapping_ref,),
-        batch_format="pandas",
-        concurrency=concurrency,
-    )
+    return triples_ds.map_batches(make_rewriter(mapping_ref), batch_format="pandas")

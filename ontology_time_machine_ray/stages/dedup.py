@@ -31,11 +31,12 @@ def _local_dedup(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(_KEY + _TIE, kind="stable").drop_duplicates(_KEY, keep="first")
 
 
-def dedupe_triples(ds, num_buckets: int = 64):
+def dedupe_triples(ds, num_buckets: int = 64, bucket_keys=None):
     """Dataset[TRIPLES] -> Dataset[TRIPLES] with unique (s,p,o)."""
     return grouped_head1(
-        ds.map_batches(_local_dedup, batch_format="pandas"),
+        ds.map_batches(_local_dedup, batch_format="pandas", batch_size=65536),
         keys=_KEY,
         order_by=_TIE,
         num_buckets=num_buckets,
+        bucket_keys=bucket_keys,
     )

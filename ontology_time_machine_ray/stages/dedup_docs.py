@@ -121,7 +121,11 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.8, docs_ds: rd.Dataset | Non
 # --------------------------------------------------------------------- #
 class MinHasher:
     """Stateful batch stage: the permutation coefficients are built once
-    per actor from a fixed seed (deterministic across the pool)."""
+    per actor from a fixed seed (deterministic across the pool).
+
+    The whole batch's shingles are hashed in ONE vectorized pass and the
+    per-document minima come from ``np.minimum.reduceat`` over the
+    flattened shingle-hash array -- no per-document pandas overhead."""
 
     def __init__(self, num_perm: int = 64, seed: int = 42):
         rng = np.random.RandomState(seed)
@@ -130,31 +134,61 @@ class MinHasher:
         self.num_perm = num_perm
 
     def signature(self, text: str) -> np.ndarray:
-        sh = list(set(_shingles(text)))
-        if not sh:
-            return np.full(self.num_perm, _MERSENNE, dtype=np.int64)
-        x = stable_hash64_series(pd.Series(sh)).astype(np.uint64) >> np.uint64(3)
-        x = x.astype(np.int64)
-        # (a * x + b) mod p for each permutation, min over shingles
-        vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
-        return vals.min(axis=1)
+        out = self._signatures([text])
+        return out[0]
+
+    def _signatures(self, texts: list[str]) -> np.ndarray:
+        per_doc = [sorted(set(_shingles(t))) for t in texts]
+        counts = np.array([max(len(p), 1) for p in per_doc])
+        flat: list[str] = []
+        for p in per_doc:
+            flat.extend(p if p else [""])  # sentinel keeps offsets aligned
+        x = (stable_hash64_series(pd.Series(flat)).astype(np.uint64) >> np.uint64(3)).astype(
+            np.int64
+        )
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        sigs = np.empty((len(texts), self.num_perm), dtype=np.int64)
+        for i in range(self.num_perm):
+            vals = (self.a[i] * x + self.b[i]) % _MERSENNE
+            sigs[:, i] = np.minimum.reduceat(vals, offsets)
+        empty = np.array([len(p) == 0 for p in per_doc])
+        if empty.any():
+            sigs[empty] = _MERSENNE
+        return sigs
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sigs = [self.signature(t) for t in df["text"].fillna("")]
-        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "sig": sigs})
+        sigs = self._signatures(list(df["text"].fillna("")))
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "sig": list(sigs)})
+
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _band_rows(df: pd.DataFrame, bands: int, rows_per_band: int) -> pd.DataFrame:
-    out_doc, out_band, out_hash, out_sig = [], [], [], []
-    for did, sig in zip(df["doc_id"], df["sig"]):
-        sig = np.asarray(sig)
-        for b in range(bands):
-            seg = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            out_doc.append(did)
-            out_band.append(b)
-            out_hash.append(int(pd.util.hash_array(seg.astype(np.uint64)).sum() % (1 << 62)))
-            out_sig.append(sig)
-    return pd.DataFrame({"doc_id": out_doc, "band": out_band, "band_hash": out_hash, "sig": out_sig})
+    """One (band, band_hash) row per doc per band, fully vectorized: the
+    band hash is a multiply-xor fold of the band's signature segment
+    (deterministic numpy integer ops, stable across processes)."""
+    n = len(df)
+    if n == 0:
+        return pd.DataFrame(
+            {"doc_id": [], "band": pd.Series(dtype="int64"),
+             "band_hash": pd.Series(dtype="int64"), "sig": []}
+        )
+    sig_mat = np.stack(df["sig"].to_numpy()).astype(np.uint64)  # (n, num_perm)
+    segs = sig_mat.reshape(n, bands, rows_per_band)
+    h = np.zeros((n, bands), dtype=np.uint64)
+    for r in range(rows_per_band):
+        h = (h ^ (segs[:, :, r] + np.uint64(r) * _MIX)) * _MIX
+    band_hash = (h >> np.uint64(2)).astype(np.int64)
+    sig_list = list(sig_mat.astype(np.int64))
+    return pd.DataFrame(
+        {
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), bands),
+            "band": np.tile(np.arange(bands, dtype=np.int64), n),
+            "band_hash": band_hash.ravel(),
+            "sig": [sig_list[i] for i in range(n) for _ in range(bands)],
+        }
+    )
 
 
 def minhash_clusters(

@@ -41,10 +41,17 @@ def grouped_apply(
     keys: Sequence[str],
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_buckets: int = DEFAULT_BUCKETS,
+    bucket_keys: Sequence[str] | None = None,
 ):
     """Apply ``fn`` (vectorized over a whole bucket; must itself respect
-    the ``keys`` grouping) after co-locating each key into one bucket."""
-    keys = list(keys)
+    the ``keys`` grouping) after co-locating each key into one bucket.
+
+    ``bucket_keys`` may be a PREFIX/subset of the full grouping key when
+    that subset already determines co-location (e.g. bucket triples by
+    ``subj`` alone while deduping on ``(subj, pred, obj)``) -- this lets a
+    downstream stage partitioned on the same subset ride the same shuffle.
+    """
+    keys = list(bucket_keys) if bucket_keys is not None else list(keys)
 
     def apply_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return fn(g.drop(columns=["_bucket"]))
@@ -82,6 +89,7 @@ def grouped_head1(
     keys: Sequence[str],
     order_by: Sequence[str],
     num_buckets: int = DEFAULT_BUCKETS,
+    bucket_keys: Sequence[str] | None = None,
 ):
     """Deterministic first-row-per-key (the dedup primitive): rows sorted
     by ``keys + order_by``, first of each key kept -- all vectorized."""
@@ -94,4 +102,4 @@ def grouped_head1(
             .drop_duplicates(keys, keep="first")
         )
 
-    return grouped_apply(ds, keys, first_bucket, num_buckets)
+    return grouped_apply(ds, keys, first_bucket, num_buckets, bucket_keys=bucket_keys)
