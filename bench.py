@@ -32,7 +32,7 @@ REPEAT = int(os.environ.get("OTM_BENCH_REPEAT", "100"))
 TEXT_SCALE = int(os.environ.get("OTM_BENCH_TEXT_SCALE", "8"))
 #: scaling mode uses a bigger corpus so compute dominates fixed overheads
 #: (the point of the N vs 4N criterion); cached after first generation.
-SCALING_REPEAT = int(os.environ.get("OTM_SCALING_REPEAT", "1600"))
+SCALING_REPEAT = int(os.environ.get("OTM_SCALING_REPEAT", "800"))
 ONLY_KG = os.environ.get("OTM_BENCH_ONLY") == "kg"
 OUT_DIR = "/tmp/otm_bench_out"
 
@@ -66,10 +66,7 @@ def run_bench() -> dict:
     # warm up untimed: spins the Ray worker pool, imports the library in
     # the workers and pulls the input through the page cache, so timed
     # numbers measure compute + shuffle rather than process startup
-    import pyarrow.parquet as pq
-
-    n_docs = pq.read_metadata(paths.documents).num_rows
-    pipe.documents().map_batches(lambda t: t, batch_format="pyarrow").count()
+    n_docs = pipe.documents().map_batches(lambda t: t, batch_format="pyarrow").count()
 
     queries: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -82,9 +79,17 @@ def run_bench() -> dict:
 
     # headline: full KG build (detect -> link -> dedup -> canonicalize ->
     # partitioned write with lineage)
-    if os.path.isdir(OUT_DIR):
-        shutil.rmtree(OUT_DIR)
-    summary = timed("kg_build", lambda: pipe.materialize(OUT_DIR, canonical=True))
+    def build():
+        if os.path.isdir(OUT_DIR):
+            shutil.rmtree(OUT_DIR)
+        return pipe.materialize(OUT_DIR, canonical=True)
+
+    summary = timed("kg_build", build)
+    if ONLY_KG:
+        # scaling mode: a second, steady-state run; report the min so a
+        # one-off stall (spill, straggler) doesn't distort the efficiency
+        summary = timed("kg_build_2", build)
+        queries["kg_build"] = min(queries["kg_build"], queries.pop("kg_build_2"))
     n_triples = sum(summary["partitions"].values())
     extras["docs_per_sec"] = round(n_docs / queries["kg_build"], 1)
     extras["triples_out"] = n_triples
