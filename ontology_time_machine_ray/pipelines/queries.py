@@ -70,6 +70,64 @@ def kg_restricted_denied(sf_dir: str):
     )
 
 
+def kg_formats_complete(sf_dir: str) -> pd.DataFrame:
+    """A2 parity ('correct for all 3 formats', aggregate_results.py:96,
+    143,149-151): per ontology, is the LATEST version's snapshot available
+    (status 200, after the https retry) in all of ttl/nt/owl?"""
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Max
+
+    paths = ensure_fixtures(sf_dir)
+    content = rd.read_parquet(paths.snapshot_content, columns=["ontology_id", "version"])
+    latest = content.groupby("ontology_id").aggregate(Max("version", alias_name="latest_version"))
+    latest_map = dict(
+        zip(*(latest.to_pandas()[c] for c in ("ontology_id", "latest_version")))
+    )
+
+    def ok_formats(df: pd.DataFrame) -> pd.DataFrame:
+        eff = df["status"].where(df["status"] != 500, df["status_https"])
+        keep = (df["version"] == df["ontology_id"].map(latest_map)) & (eff == 200)
+        return df[keep][["ontology_id", "format"]]
+
+    status = rd.read_parquet(paths.snapshot_status)
+    agg = (
+        status.map_batches(ok_formats, batch_format="pandas")
+        .groupby("ontology_id")
+        .aggregate(Count(alias_name="n_formats"))
+        .to_pandas()
+    )
+    agg["all_formats"] = (agg["n_formats"] == 3).astype("int64")
+    return agg
+
+
+def events_topk_users(sf_dir: str) -> pd.DataFrame:
+    """Top 10 users by exact total value (combiner -> global top-k)."""
+    import ray.data as rd
+    import os as _os
+
+    ds = rd.read_parquet(
+        _os.path.join(sf_dir, "events.parquet"), columns=["user_id", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(value_c=(df["value"] * 100).round().astype("int64"))
+        return df.groupby("user_id", as_index=False).agg(
+            n=("value_c", "size"), value_c=("value_c", "sum")
+        )
+
+    from ontology_time_machine_ray.stages.groupagg import grouped_aggregate
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"],
+        {"n_events": ("n", "sum"), "value_c": ("value_c", "sum")},
+    ).to_pandas()
+    agg = agg.sort_values(["value_c", "user_id"], ascending=[False, True]).head(10)
+    agg["total_value"] = agg.pop("value_c") / 100.0
+    return agg.reset_index(drop=True)
+
+
 def media_catalog(sf_dir: str):
     paths = ensure_fixtures(sf_dir)
     return media.media_catalog(paths.documents)
@@ -109,6 +167,7 @@ QUERIES = {
     "kg_triples_canonical": kg_triples_canonical,
     "kg_components": kg_components,
     "kg_restricted_denied": kg_restricted_denied,
+    "kg_formats_complete": kg_formats_complete,
     "media_catalog": media_catalog,
     # relational / events engine ops
     "rel_q1_lineitem": relational.q1_lineitem,
@@ -116,6 +175,7 @@ QUERIES = {
     "rel_orders_by_nation": relational.orders_by_nation,
     "events_hourly": relational.events_hourly,
     "events_sessions": relational.events_sessions,
+    "events_topk_users": events_topk_users,
     # text analysis
     "text_stats": textops.text_stats,
     "text_quality": textops.quality_score,
@@ -141,6 +201,7 @@ _KG_ORACLE_NAMES = (
     "kg_triples_canonical",
     "kg_components",
     "kg_restricted_denied",
+    "kg_formats_complete",
     "media_catalog",
 )
 

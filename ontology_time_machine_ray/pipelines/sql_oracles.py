@@ -258,6 +258,18 @@ QUALIFY row_number() OVER (
         "kg_restricted_denied": f"WITH {_MENTIONS_CTES}\n"
         "SELECT doc_id, term_iri, CAST(403 AS INTEGER) AS status FROM mentions "
         "WHERE ontology_id IS NULL",
+        "kg_formats_complete": """
+WITH content AS (SELECT * FROM read_parquet('__ROOT__/snapshot_content.parquet')),
+latest AS (SELECT ontology_id, max(version) AS latest_version FROM content GROUP BY 1),
+ok AS (
+  SELECT s.ontology_id, s.format
+  FROM read_parquet('__ROOT__/snapshot_status.parquet') s
+  JOIN latest l ON l.ontology_id = s.ontology_id AND l.latest_version = s.version
+  WHERE (CASE WHEN s.status != 500 THEN s.status ELSE s.status_https END) = 200
+)
+SELECT ontology_id, count(*) AS n_formats,
+       CAST(count(*) = 3 AS BIGINT) AS all_formats
+FROM ok GROUP BY 1""",
         "media_catalog": """
 WITH flat AS (
   SELECT doc_id, unnest(spans) AS span,
@@ -279,7 +291,7 @@ STOP_RE = "|".join(("the", "a", "and", "of", "to", "in", "is"))
 TESTDATA_SQL: dict[str, str] = {
     "rel_q1_lineitem": """
 SELECT l_returnflag, l_linestatus,
-  SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
       * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS sum_disc_price,
@@ -297,7 +309,7 @@ GROUP BY 1""",
     "events_hourly": """
 SELECT user_id, date_trunc('hour', ts) AS hour,
   count(*) AS n_events,
-  SUM(CAST(coalesce(regexp_extract(props, '"k":\\s*(\\d+)', 1), '0') AS BIGINT)) AS sum_k,
+  CAST(SUM(CAST(coalesce(regexp_extract(props, '"k":\\s*(\\d+)', 1), '0') AS BIGINT)) AS BIGINT) AS sum_k,
   SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM events GROUP BY 1, 2""",
     "events_sessions": """
@@ -306,8 +318,13 @@ WITH x AS (
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
   FROM events)
 SELECT user_id, count(*) AS n_events,
-  SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS n_sessions
+  CAST(SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM x GROUP BY 1""",
+    "events_topk_users": """
+SELECT user_id, count(*) AS n_events,
+  SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM events GROUP BY 1
+ORDER BY SUM(CAST(round(value * 100) AS BIGINT)) DESC, user_id LIMIT 10""",
     "text_stats": f"""
 SELECT doc_id, length(text) AS n_chars,
   len(regexp_extract_all(text, '\\S+')) AS n_tokens,

@@ -1,0 +1,104 @@
+"""Source readers: index build/load, URL lists, TSV conformance corpora.
+
+Restates the reference's source operators on Ray Data:
+
+* S1 -- index build: IRI text file -> parsed (host, path) parquet with a
+  sha256 content-hash skip (``download_archivo_urls.py:50-100``: download
+  CSV, hash-compare :41-46,65-74, project column 0 -> txt).
+* S2 -- index load: text -> ``{(host, path)}`` with exact dedup
+  (``download_archivo_urls.py:103-132``, O2).
+* S5 -- URL list reader: strip + drop blanks
+  (``experiments/download_ontologies.py:20-26``).
+* S7 -- TSV conformance corpus reader (``tests/archivo_test_IRIs.tsv``;
+  loader ``test_proxy_auth_header_archivo.py:28-31``).
+* S8 -- TSV results writer (``aggregate_results.py:154-165``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from urllib.parse import urlparse
+
+import pyarrow as pa
+import pyarrow.csv as pa_csv
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ontology_time_machine_ray.schema import ONTOLOGY_INDEX_SCHEMA
+
+
+def read_iri_lines(path: str) -> rd.Dataset:
+    """S5: text file of IRIs -> Dataset[{'text': iri}], blanks dropped."""
+    return rd.read_text(path).map_batches(
+        lambda df: df[df["text"].str.strip() != ""].assign(text=lambda x: x["text"].str.strip()),
+        batch_format="pandas",
+    )
+
+
+def file_sha256(path: str) -> str:
+    """O3: content hash = version identity (download_archivo_urls.py:41-46)."""
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def build_index_parquet(iri_txt_path: str, out_parquet: str) -> str:
+    """S1+S2: IRI list -> ontology_index parquet, skipped when the input
+    hash is unchanged (idempotent refresh; the reference's daily-download
+    hash-skip, download_archivo_urls.py:65-74).
+
+    Returns the content hash of the input."""
+    digest = file_sha256(iri_txt_path)
+    marker = out_parquet + ".sha256"
+    if os.path.exists(marker) and os.path.exists(out_parquet):
+        if open(marker).read().strip() == digest:
+            return digest
+
+    def parse(df):
+        df = df[df["text"].str.strip() != ""]
+        iris = df["text"].str.strip()
+        parsed = [urlparse(i) for i in iris]
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "iri": list(iris),
+                "host": [p.netloc for p in parsed],
+                "path": [p.path for p in parsed],
+            }
+        )
+
+    ds = rd.read_text(iri_txt_path).map_batches(parse, batch_format="pandas")
+    # exact dedup on (host, path) -- the reference's set comprehension (O2)
+    pdf = ds.to_pandas().drop_duplicates(["host", "path"]).reset_index(drop=True)
+    # stable ids: position in the sorted order (deterministic)
+    pdf = pdf.sort_values("iri").reset_index(drop=True)
+    pdf["ontology_id"] = [f"O{i:03d}" for i in range(len(pdf))]
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=ONTOLOGY_INDEX_SCHEMA, preserve_index=False),
+        out_parquet,
+    )
+    with open(marker, "w") as f:
+        f.write(digest)
+    return digest
+
+
+def read_conformance_tsv(path: str) -> pa.Table:
+    """S7: tab-separated conformance corpus with the reference's columns
+    (enable_testcase, iri, error_dimension, expected_error, iri_type,
+    comment -- tests/archivo_test_IRIs.tsv:1)."""
+    return pa_csv.read_csv(
+        path,
+        parse_options=pa_csv.ParseOptions(delimiter="\t"),
+        convert_options=pa_csv.ConvertOptions(
+            column_types={"enable_testcase": pa.int32(), "expected_error": pa.string()}
+        ),
+    )
+
+
+def write_report_tsv(df, path: str) -> None:
+    """S8: small aggregate -> TSV (aggregate_results.py:154-165)."""
+    df.to_csv(path, sep="\t", index=False)

@@ -1,0 +1,85 @@
+"""Source readers (S1/S2/S5/S7/S8) + error classification (M13/M14)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from ontology_time_machine_ray.functions.errors import (
+    causal_chain,
+    classify_exception,
+    classify_status,
+    type_chain,
+)
+from ontology_time_machine_ray.sources.readers import (
+    build_index_parquet,
+    file_sha256,
+    read_iri_lines,
+    write_report_tsv,
+)
+
+
+def test_build_index_parquet_hash_skip(ray_session, tmp_path):
+    txt = tmp_path / "iris.txt"
+    txt.write_text(
+        "http://a.example.org/onto/\n"
+        "\n"
+        "http://b.example.org/ns/v1\n"
+        "http://a.example.org/onto/\n"  # duplicate -> O2 dedup
+    )
+    out = str(tmp_path / "index.parquet")
+    d1 = build_index_parquet(str(txt), out)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(out)
+    assert t.num_rows == 2
+    assert set(t["host"].to_pylist()) == {"a.example.org", "b.example.org"}
+    assert t["ontology_id"].to_pylist() == ["O000", "O001"]
+    # unchanged input -> skip (mtime of output untouched)
+    m1 = os.path.getmtime(out)
+    d2 = build_index_parquet(str(txt), out)
+    assert d1 == d2 and os.path.getmtime(out) == m1
+    # changed input -> rebuild
+    txt.write_text("http://c.example.org/x\n")
+    d3 = build_index_parquet(str(txt), out)
+    assert d3 != d1
+    assert pq.read_table(out).num_rows == 1
+    assert d3 == file_sha256(str(txt))
+
+
+def test_read_iri_lines(ray_session, tmp_path):
+    txt = tmp_path / "urls.txt"
+    txt.write_text("http://x/1\n\n  http://x/2  \n")
+    got = read_iri_lines(str(txt)).to_pandas()["text"].tolist()
+    assert got == ["http://x/1", "http://x/2"]
+
+
+def test_write_report_tsv(tmp_path):
+    p = str(tmp_path / "report.tsv")
+    write_report_tsv(pd.DataFrame({"category": ["a"], "n": [1]}), p)
+    assert open(p).read().splitlines() == ["category\tn", "a\t1"]
+
+
+def test_causal_chain_and_classification():
+    try:
+        try:
+            raise ConnectionRefusedError("no route")
+        except ConnectionRefusedError:
+            raise RuntimeError("wrapper")
+    except RuntimeError as e:
+        chain = causal_chain(e)
+        assert [c["type"] for c in chain] == ["RuntimeError", "ConnectionRefusedError"]
+        assert type_chain(e) == ["RuntimeError", "ConnectionRefusedError"]
+        assert classify_exception(e) == "connection-refused"
+    assert classify_exception(ValueError("x")) == "transport-error"
+
+
+def test_classify_status_buckets():
+    assert classify_status(0, None, False) == "unreachable"
+    assert classify_status(200, "text/turtle", True) == "ok-rdf"
+    assert classify_status(200, "text/html", False) == "ok-but-html"
+    assert classify_status(200, "application/json", False) == "ok-wrong-mimetype"
+    assert classify_status(301, None, False) == "redirect"
+    assert classify_status(404, None, False) == "client-error-404"
+    assert classify_status(503, None, False) == "server-error-503"
