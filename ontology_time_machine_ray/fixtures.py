@@ -46,7 +46,7 @@ from ontology_time_machine_ray.schema import (
     SNAPSHOT_STATUS_SCHEMA,
 )
 
-GENERATOR_VERSION = "otm-fixtures-v1"
+GENERATOR_VERSION = "otm-fixtures-v2"
 FIXTURE_ROOT = "/tmp/otm_fixtures"
 
 N_INDEX = 48  # in-index ontologies O000..O047
@@ -229,7 +229,8 @@ def build_origins() -> pa.Table:
 
 def build_snapshots() -> tuple[pa.Table, pa.Table]:
     content = {k: [] for k in ("ontology_id", "version", "version_ts", "classes",
-                               "properties", "same_as_a", "same_as_b")}
+                               "properties", "same_as_a", "same_as_b",
+                               "equiv_a", "equiv_b")}
     status = {k: [] for k in ("ontology_id", "version", "format", "status", "status_https")}
     for k in range(N_INDEX):
         cbase = term_base(k)
@@ -242,15 +243,22 @@ def build_snapshots() -> tuple[pa.Table, pa.Table]:
             content["classes"].append([f"{cbase}#C{i}" for i in range(2 + j)])
             content["properties"].append([f"{cbase}#p{i}" for i in range(1 + (j + k) % 3)])
             sa, sb = [], []
-            if j >= 1:  # sameAs edges appear from the second version on
+            ea, eb = [], []
+            if j >= 1:  # equivalence edges appear from the second version on
                 if k % 3 in (0, 1) and k + 1 < N_INDEX:  # chains of three
                     sa.append(f"{cbase}#C0")
                     sb.append(f"{term_base(k + 1)}#C0")
                 if k % 5 == 2:  # hub star on O000#C1
                     sa.append(f"{cbase}#C1")
                     sb.append(f"{term_base(0)}#C1")
+            if j >= 2 and k % 4 == 1 and k + 2 < N_INDEX:
+                # owl:equivalentClass pairs (distinct node set: C2s)
+                ea.append(f"{cbase}#C2")
+                eb.append(f"{term_base(k + 2)}#C2")
             content["same_as_a"].append(sa)
             content["same_as_b"].append(sb)
+            content["equiv_a"].append(ea)
+            content["equiv_b"].append(eb)
             for fmt in FORMATS:
                 st = 200
                 st_https = 200

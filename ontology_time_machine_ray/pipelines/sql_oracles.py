@@ -28,6 +28,7 @@ IS_DEFINED_BY = "http://www.w3.org/2000/01/rdf-schema#isDefinedBy"
 OWL_CLASS = "http://www.w3.org/2002/07/owl#Class"
 OWL_OBJPROP = "http://www.w3.org/2002/07/owl#ObjectProperty"
 SAME_AS = "http://www.w3.org/2002/07/owl#sameAs"
+EQUIV_CLASS = "http://www.w3.org/2002/07/owl#equivalentClass"
 
 A_OWL1 = "application/rdf+xml,text/turtle;q=0.9,*/*;q=0.8"
 A_NT = "application/n-triples;q=0.9,text/plain;q=0.8"
@@ -206,6 +207,10 @@ _TRIPLES_CTES = f"""
     SELECT unnest(c.same_as_a), '{SAME_AS}', unnest(c.same_as_b),
            s.doc_id, s.serve_version, s.serve_fmt
     FROM srv s JOIN content c ON c.ontology_id = s.ontology_id AND c.version = s.serve_version
+    UNION ALL
+    SELECT unnest(c.equiv_a), '{EQUIV_CLASS}', unnest(c.equiv_b),
+           s.doc_id, s.serve_version, s.serve_fmt
+    FROM srv s JOIN content c ON c.ontology_id = s.ontology_id AND c.version = s.serve_version
   ),
   dedup AS (
     SELECT * FROM all_triples
@@ -214,7 +219,8 @@ _TRIPLES_CTES = f"""
   )"""
 
 _COMPONENT_CTES = f"""
-  edges AS (SELECT subj AS u, obj AS v FROM dedup WHERE pred = '{SAME_AS}'),
+  edges AS (SELECT subj AS u, obj AS v FROM dedup
+            WHERE pred IN ('{SAME_AS}', '{EQUIV_CLASS}')),
   nodes AS (SELECT u AS n FROM edges UNION SELECT v FROM edges),
   sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
   reach(a, b) AS (
@@ -250,7 +256,8 @@ def kg_sql(name: str, fixture_root: str, timestamp: str = "2021-06-01") -> str:
     LEFT JOIN comp c2 ON c2.node = d.obj
   ),
   no_loops AS (
-    SELECT * FROM rewritten WHERE NOT (pred = '{SAME_AS}' AND subj = obj)
+    SELECT * FROM rewritten
+    WHERE NOT (pred IN ('{SAME_AS}', '{EQUIV_CLASS}') AND subj = obj)
   )
 SELECT * FROM no_loops
 QUALIFY row_number() OVER (

@@ -61,6 +61,8 @@ SNAPSHOT_CONTENT_SCHEMA = pa.schema(
         ("properties", pa.list_(pa.string())),
         ("same_as_a", pa.list_(pa.string())),
         ("same_as_b", pa.list_(pa.string())),
+        ("equiv_a", pa.list_(pa.string())),
+        ("equiv_b", pa.list_(pa.string())),
     ]
 )
 
@@ -118,3 +120,4 @@ RDFS_IS_DEFINED_BY = "http://www.w3.org/2000/01/rdf-schema#isDefinedBy"
 OWL_CLASS = "http://www.w3.org/2002/07/owl#Class"
 OWL_OBJECT_PROPERTY = "http://www.w3.org/2002/07/owl#ObjectProperty"
 OWL_SAME_AS = "http://www.w3.org/2002/07/owl#sameAs"
+OWL_EQUIVALENT_CLASS = "http://www.w3.org/2002/07/owl#equivalentClass"

@@ -37,7 +37,7 @@ import pyarrow as pa
 import ray
 
 from ontology_time_machine_ray.functions.hashing import stable_hash64_series
-from ontology_time_machine_ray.schema import OWL_SAME_AS
+from ontology_time_machine_ray.schema import OWL_EQUIVALENT_CLASS, OWL_SAME_AS
 from ontology_time_machine_ray.stages.groupagg import grouped_apply
 
 #: guard for the broadcast assumption (nodes in the equivalence graph).
@@ -199,7 +199,7 @@ def sameas_edges(triples_ds):
     def pick(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        mask = pc.equal(t["pred"], OWL_SAME_AS)
+        mask = pc.is_in(t["pred"], value_set=pa.array([OWL_SAME_AS, OWL_EQUIVALENT_CLASS]))
         f = t.filter(mask)
         return pa.table({"u": f["subj"], "v": f["obj"]})
 
@@ -233,7 +233,9 @@ def make_rewriter(mapping_ref):
         batch["subj"] = batch["subj"].map(lambda s: m.get(s, s))
         batch["obj"] = batch["obj"].map(lambda s: m.get(s, s))
         # equivalence edges whose endpoints merged are now self-loops: drop
-        degenerate = (batch["pred"] == OWL_SAME_AS) & (batch["subj"] == batch["obj"])
+        degenerate = batch["pred"].isin((OWL_SAME_AS, OWL_EQUIVALENT_CLASS)) & (
+            batch["subj"] == batch["obj"]
+        )
         return batch[~degenerate]
 
     return rewrite

@@ -54,6 +54,7 @@ from ontology_time_machine_ray.functions.negotiate import (
 )
 from ontology_time_machine_ray.schema import (
     OWL_CLASS,
+    OWL_EQUIVALENT_CLASS,
     OWL_OBJECT_PROPERTY,
     OWL_SAME_AS,
     RDF_TYPE,
@@ -92,6 +93,8 @@ class SnapshotStore:
                 row["properties"],
                 row["same_as_a"],
                 row["same_as_b"],
+                row["equiv_a"],
+                row["equiv_b"],
             )
         for v in self.versions.values():
             v.sort()
@@ -326,12 +329,14 @@ class EntityLinker:
             .reset_index()
         )
         for ont, ver, fmt, doc in content.itertuples(index=False):
-            classes, props, sa, sb = self.store.content[(ont, ver)]
+            classes, props, sa, sb, ea, eb = self.store.content[(ont, ver)]
             for c in classes:
                 emit(c, RDF_TYPE, OWL_CLASS, doc, ver, fmt)
             for p in props:
                 emit(p, RDF_TYPE, OWL_OBJECT_PROPERTY, doc, ver, fmt)
             for a, b in zip(sa, sb):
                 emit(a, OWL_SAME_AS, b, doc, ver, fmt)
+            for a, b in zip(ea, eb):
+                emit(a, OWL_EQUIVALENT_CLASS, b, doc, ver, fmt)
 
         return pa.table(cols, schema=TRIPLES_SCHEMA)

@@ -56,6 +56,7 @@ IS_DEFINED_BY = "http://www.w3.org/2000/01/rdf-schema#isDefinedBy"
 OWL_CLASS = "http://www.w3.org/2002/07/owl#Class"
 OWL_OBJPROP = "http://www.w3.org/2002/07/owl#ObjectProperty"
 SAME_AS = "http://www.w3.org/2002/07/owl#sameAs"
+EQUIV = "http://www.w3.org/2002/07/owl#equivalentClass"
 
 IRI_RE = re.compile(r"https?://[^\s\"'<>()\[\]{}]+")
 
@@ -207,6 +208,8 @@ class Oracle:
                         emit(p_, RDF_TYPE, OWL_OBJPROP, doc["doc_id"], ver, fmt)
                     for a, b in zip(c["same_as_a"], c["same_as_b"]):
                         emit(a, SAME_AS, b, doc["doc_id"], ver, fmt)
+                    for a, b in zip(c["equiv_a"], c["equiv_b"]):
+                        emit(a, EQUIV, b, doc["doc_id"], ver, fmt)
         return triples, statuses
 
     def canonicalize(self, triples):
@@ -229,7 +232,7 @@ class Oracle:
             parent[rb] = ra
 
         for (s, p, o) in triples:
-            if p == SAME_AS:
+            if p in (SAME_AS, EQUIV):
                 union(s, o)
         # path-compress fully, rooted at min of each component
         comp = {}
@@ -243,7 +246,7 @@ class Oracle:
         out = {}
         for (s, p, o), val in triples.items():
             s2, o2 = mapping.get(s, s), mapping.get(o, o)
-            if p == SAME_AS and s2 == o2:
+            if p in (SAME_AS, EQUIV) and s2 == o2:
                 continue
             key = (s2, p, o2)
             if key not in out or val < out[key]:
