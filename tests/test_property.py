@@ -1,0 +1,174 @@
+"""Property-based and differential tests (hypothesis).
+
+* Accept parsing is differential-tested against werkzeug -- the library
+  the REFERENCE uses (utils.py:1,127), available in this container, making
+  it a true independent implementation.
+* Truncation candidates are checked against a naive step-by-step
+  re-derivation of proxy_logic.py:103-141's control flow.
+* Distributed connected components must equal driver union-find on random
+  graphs.
+* Dedup winners are invariant under input permutation (determinism under
+  re-partitioning / resume).
+"""
+
+from __future__ import annotations
+
+import string
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ontology_time_machine_ray.functions.negotiate import (
+    parse_accept_header_with_priority,
+    select_highest_priority_mime_from_archivo,
+)
+from ontology_time_machine_ray.functions.urls import truncation_candidates
+
+MIMES = st.sampled_from(
+    [
+        "text/turtle", "application/rdf+xml", "application/n-triples",
+        "application/owl+xml", "text/html", "application/json", "*/*",
+        "image/webp", "application/xml",
+    ]
+)
+
+
+@st.composite
+def accept_headers(draw):
+    n = draw(st.integers(1, 5))
+    parts = []
+    for _ in range(n):
+        mime = draw(MIMES)
+        q = draw(st.sampled_from([None, 1.0, 0.9, 0.8, 0.5, 0.3, 0.0]))
+        parts.append(mime if q is None else f"{mime};q={q}")
+    return ",".join(parts)
+
+
+@settings(max_examples=200, deadline=None)
+@given(accept_headers())
+def test_accept_parse_matches_werkzeug(header):
+    from werkzeug.http import parse_accept_header
+
+    ours = parse_accept_header_with_priority(header)
+    werk = [(m, q) for m, q in parse_accept_header(header)]
+    assert ours == werk, (header, ours, werk)
+
+
+_SEG = st.text(alphabet=string.ascii_lowercase + string.digits + "._-", min_size=1, max_size=6)
+
+
+@st.composite
+def paths(draw):
+    segs = draw(st.lists(_SEG, min_size=0, max_size=5))
+    trailing = draw(st.booleans())
+    return "/" + "/".join(segs) + ("/" if trailing and segs else "")
+
+
+def _naive_candidates(path: str) -> list[str]:
+    """Literal re-derivation of proxy_logic.py:103-141's probe sequence."""
+    probes = [path]
+    p = path
+    if p.endswith("/"):
+        p = p.rstrip("/")
+    probes.append(p)
+    parts = p.split("/")
+    new_path = "/".join(parts[:-1])
+    probes.append(new_path)
+    probes.append(new_path + "/")
+    new_path = "/".join(parts[:-2])
+    probes.append(new_path)
+    probes.append(new_path + "/")
+    out, seen = [], set()
+    for x in probes:
+        if x not in seen:
+            seen.add(x)
+            out.append(x)
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(paths())
+def test_truncation_candidates_match_reference_probe_order(path):
+    assert truncation_candidates(path) == _naive_candidates(path)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(MIMES.flatmap(lambda m: st.tuples(st.just(m), st.sampled_from([1.0, 0.9, 0.5]))),
+                min_size=1, max_size=6))
+def test_select_highest_priority_only_from_top_group(mime_list):
+    got = select_highest_priority_mime_from_archivo(mime_list)
+    top_q = max(q for _, q in mime_list)
+    top = [m for m, q in mime_list if q == top_q]
+    archivo = {"application/rdf+xml", "application/owl+xml", "text/turtle",
+               "application/n-triples"}
+    want = next((m for m in top if m in archivo), None)
+    assert got == want
+
+
+def _random_edges(seed: int, n_nodes: int, n_edges: int) -> pd.DataFrame:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    u = rng.randint(0, n_nodes, n_edges)
+    v = rng.randint(0, n_nodes, n_edges)
+    return pd.DataFrame({"u": [f"n{x:03d}" for x in u], "v": [f"n{x:03d}" for x in v]})
+
+
+def test_cc_distributed_equals_union_find_random_graphs(ray_session):
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.canonicalize import (
+        _driver_union_find,
+        _canonical_edges,
+        connected_components,
+    )
+
+    for seed in (1, 2, 3):
+        edges = _random_edges(seed, n_nodes=40, n_edges=60)
+        want_df = _driver_union_find(_canonical_edges(edges)[["u", "v"]])
+        want = dict(zip(want_df["node"], want_df["component"]))
+        got_df = connected_components(rd.from_pandas(edges), small_graph_limit=0).to_pandas()
+        got = dict(zip(got_df["node"], got_df["component"]))
+        assert got == want, f"seed {seed}"
+
+
+def test_dedup_winner_invariant_under_permutation(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.dedup import dedupe_triples
+
+    rng = np.random.RandomState(11)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "subj": [f"s{rng.randint(0, 40)}" for _ in range(n)],
+            "pred": [f"p{rng.randint(0, 3)}" for _ in range(n)],
+            "obj": [f"o{rng.randint(0, 10)}" for _ in range(n)],
+            "doc_id": [f"d{rng.randint(0, 99):02d}" for _ in range(n)],
+            "ontology_version": [f"200{rng.randint(0, 5)}-01-01" for _ in range(n)],
+            "format": [rng.choice(["ttl", "nt", "owl"]) for _ in range(n)],
+        }
+    )
+    base = None
+    for seed in (0, 1):
+        shuffled = df.sample(frac=1, random_state=seed).reset_index(drop=True)
+        out = (
+            dedupe_triples(rd.from_pandas(shuffled).repartition(7))
+            .to_pandas()
+            .sort_values(["subj", "pred", "obj"])
+            .reset_index(drop=True)
+        )
+        if base is None:
+            base = out
+        else:
+            pd.testing.assert_frame_equal(base, out)
+    # winner really is the lexicographic min provenance
+    want = (
+        df.sort_values(["subj", "pred", "obj", "doc_id", "ontology_version", "format"])
+        .drop_duplicates(["subj", "pred", "obj"])
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, want)
