@@ -175,6 +175,7 @@ QUERIES = {
     "rel_orders_by_nation": relational.orders_by_nation,
     "events_hourly": relational.events_hourly,
     "events_sessions": relational.events_sessions,
+    "events_sliding": relational.events_sliding,
     "events_topk_users": events_topk_users,
     # text analysis
     "text_stats": textops.text_stats,

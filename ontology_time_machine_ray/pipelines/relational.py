@@ -182,6 +182,46 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
     return agg
 
 
+def events_sliding(sf_dir: str) -> pd.DataFrame:
+    """Sliding (hopping) window aggregate: 1-hour windows every 30 min.
+
+    Each event expands to its two covering windows inside ``map_batches``
+    (window starts = the two half-hour marks in (ts-1h, ts]), then the
+    usual bucketed grouped aggregate -- the streaming-shaped pattern where
+    window assignment is a stateless row-local computation and only the
+    aggregation shuffles."""
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        half = df["ts"].dt.floor("30min")
+        value_c = (df["value"] * 100).round().astype("int64")
+        out = pd.concat(
+            [
+                pd.DataFrame({"user_id": df["user_id"], "window_start": half, "value_c": value_c}),
+                pd.DataFrame(
+                    {"user_id": df["user_id"],
+                     "window_start": half - pd.Timedelta(minutes=30),
+                     "value_c": value_c}
+                ),
+            ],
+            ignore_index=True,
+        )
+        # batch-local combiner
+        return out.groupby(["user_id", "window_start"], as_index=False).agg(
+            n=("value_c", "size"), value_c=("value_c", "sum")
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+        expand, batch_format="pandas"
+    )
+    agg = grouped_aggregate(
+        ds,
+        ["user_id", "window_start"],
+        {"n_events": ("n", "sum"), "value_c": ("value_c", "sum")},
+    ).to_pandas()
+    agg["sum_value"] = agg.pop("value_c") / 100.0
+    return agg
+
+
 def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Session windows (gap > 30 min starts a new session) per user.
 

@@ -327,6 +327,17 @@ WITH x AS (
 SELECT user_id, count(*) AS n_events,
   CAST(SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM x GROUP BY 1""",
+    "events_sliding": """
+WITH expanded AS (
+  SELECT user_id,
+         time_bucket(INTERVAL '30 minutes', ts)
+           - (unnest([0, 1])) * INTERVAL 30 MINUTE AS window_start,
+         CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events)
+SELECT user_id, window_start,
+  count(*) AS n_events,
+  SUM(value_c) / 100.0 AS sum_value
+FROM expanded GROUP BY 1, 2""",
     "events_topk_users": """
 SELECT user_id, count(*) AS n_events,
   SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
