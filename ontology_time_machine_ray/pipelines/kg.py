@@ -184,6 +184,13 @@ class KgPipeline:
             key="subj",
             dedup_keys=["subj", "pred", "obj"],
             dedup_order=["doc_id", "ontology_version", "format"],
+            inputs=[
+                self.paths.documents,
+                self.paths.ontology_index,
+                self.paths.origins,
+                self.paths.snapshot_content,
+                self.paths.snapshot_status,
+            ],
         )
 
     def with_policy(self, policy, **kw) -> "KgPipeline":

@@ -133,6 +133,13 @@ def media_catalog(sf_dir: str):
     return media.media_catalog(paths.documents)
 
 
+def media_frames(sf_dir: str):
+    """Full multimodal chain: explode -> decode -> resize -> frame-sample
+    (stubbed codecs, real plumbing); rows-only oracle by design."""
+    paths = ensure_fixtures(sf_dir)
+    return media.media_pipeline(paths.documents)
+
+
 # --------------------------- training-data ops ------------------------ #
 def dedup_minhash(sf_dir: str) -> pd.DataFrame:
     return dedup_docs.minhash_clusters(sf_dir)
@@ -169,6 +176,7 @@ QUERIES = {
     "kg_restricted_denied": kg_restricted_denied,
     "kg_formats_complete": kg_formats_complete,
     "media_catalog": media_catalog,
+    "media_frames": media_frames,
     # relational / events engine ops
     "rel_q1_lineitem": relational.q1_lineitem,
     "rel_topk_orders": relational.topk_orders,

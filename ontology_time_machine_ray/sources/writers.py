@@ -69,6 +69,7 @@ def write_partitioned(
     key: str = "subj",
     dedup_keys: list[str] | None = None,
     dedup_order: list[str] | None = None,
+    inputs: list[str] | None = None,
 ) -> dict:
     """Materialize a Dataset into the partitioned layout, skipping
     partitions already complete for the same config (resume semantics).
@@ -96,7 +97,7 @@ def write_partitioned(
             lambda df: df[df["partition"].isin(keep)], batch_format="pandas"
         )
 
-    summary = {"partitions": {}, "config_hash": config_hash}
+    summary = {"partitions": {}, "config_hash": config_hash, "inputs": inputs or []}
     # one shuffle groups each partition's rows; each group writes its own
     # directory atomically and returns one lineage row
     def _write_group(g: pd.DataFrame) -> pd.DataFrame:

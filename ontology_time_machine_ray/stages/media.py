@@ -86,7 +86,79 @@ class MediaDecoder:
         )
 
 
-def media_catalog(documents_path: str, concurrency: int = 2) -> rd.Dataset:
+class MediaResizer:
+    """Actor-pool resize stage (stub): clamps decoded dimensions into a
+    target box preserving aspect ratio with integer arithmetic (the real
+    implementation would transform pixel buffers; the metadata math and
+    pipeline plumbing are identical)."""
+
+    def __init__(self, max_side: int = 96, fake: bool = True):
+        self.max_side = max_side
+        self.fake = fake
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if not self.fake:
+            raise NotImplementedError("real resize requires an image codec library")
+        w = df["width"].to_numpy()
+        h = df["height"].to_numpy()
+        side = np.maximum(w, h)
+        # scale numerator/denominator kept integer: new = dim*max_side//side
+        nw = np.where(side > self.max_side, w * self.max_side // side, w)
+        nh = np.where(side > self.max_side, h * self.max_side // side, h)
+        return df.assign(resized_w=nw.astype("int64"), resized_h=nh.astype("int64"))
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage (stub): emits k deterministic frame
+    indices per video-like asset (evenly spaced over a fake frame count
+    derived from the payload size)."""
+
+    def __init__(self, k: int = 3, fake: bool = True):
+        self.k = k
+        self.fake = fake
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if not self.fake:
+            raise NotImplementedError("real frame sampling requires a video codec library")
+        rows = {"doc_id": [], "media_ref": [], "frame_idx": []}
+        for did, ref, nb in zip(df["doc_id"], df["media_ref"], df["n_bytes"]):
+            n_frames = 10 + (int(nb) % 90)  # deterministic fake frame count
+            step = max(1, n_frames // self.k)
+            for i in range(self.k):
+                rows["doc_id"].append(did)
+                rows["media_ref"].append(ref)
+                rows["frame_idx"].append(min(i * step, n_frames - 1))
+        return pd.DataFrame(
+            {"doc_id": rows["doc_id"], "media_ref": rows["media_ref"],
+             "frame_idx": pd.Series(rows["frame_idx"], dtype="int64")}
+        )
+
+
+def _media_pool_size() -> int:
+    """Three chained pools must fit alongside read tasks: cap each at a
+    quarter of the cluster (a chain of pools that reserves every CPU
+    deadlocks a small cluster)."""
+    import ray
+
+    try:
+        total = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    except Exception:
+        total = 4
+    return max(1, total // 4)
+
+
+def media_pipeline(documents_path: str, concurrency: int | None = None) -> rd.Dataset:
+    """explode -> decode -> resize -> frame-sample: the full multimodal
+    chain as consecutive actor-pool stages over small batches."""
+    c = concurrency or _media_pool_size()
+    return (
+        media_catalog(documents_path, concurrency=c)
+        .map_batches(MediaResizer, batch_format="pandas", batch_size=64, concurrency=c)
+        .map_batches(FrameSampler, batch_format="pandas", batch_size=64, concurrency=c)
+    )
+
+
+def media_catalog(documents_path: str, concurrency: int | None = None) -> rd.Dataset:
     """documents -> exploded media assets with decoded (stub) metadata."""
     return (
         rd.read_parquet(documents_path, columns=["doc_id", "spans"])
@@ -95,6 +167,6 @@ def media_catalog(documents_path: str, concurrency: int = 2) -> rd.Dataset:
             MediaDecoder,
             batch_format="pandas",
             batch_size=64,  # large binary payloads: keep batches small
-            concurrency=concurrency,
+            concurrency=concurrency or _media_pool_size(),
         )
     )

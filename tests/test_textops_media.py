@@ -81,3 +81,27 @@ def test_explode_media_empty_batch():
     empty = pa.table({f.name: pa.array([], type=f.type) for f in DOCUMENTS_SCHEMA})
     out = explode_media(empty)
     assert out.num_rows == 0
+
+
+def test_media_pipeline_resize_and_frames(ray_session, sf_dir):
+    from ontology_time_machine_ray.fixtures import ensure_fixtures
+    from ontology_time_machine_ray.stages.media import media_pipeline
+
+    paths = ensure_fixtures(sf_dir)
+    frames = media_pipeline(paths.documents).to_pandas()
+    assert len(frames) > 0
+    assert (frames["frame_idx"] >= 0).all()
+    # exactly k=3 frames per asset
+    per_asset = frames.groupby(["doc_id", "media_ref"]).size()
+    assert (per_asset == 3).all()
+
+
+def test_media_resizer_bounds():
+    import pandas as pd
+
+    from ontology_time_machine_ray.stages.media import MediaResizer
+
+    df = pd.DataFrame({"width": [200, 50], "height": [100, 80], "n_bytes": [1, 2]})
+    out = MediaResizer(max_side=96)(df)
+    assert out["resized_w"].tolist() == [96, 50]
+    assert out["resized_h"].tolist() == [48, 80]
