@@ -181,6 +181,7 @@ QUERIES = {
     "rel_q1_lineitem": relational.q1_lineitem,
     "rel_topk_orders": relational.topk_orders,
     "rel_orders_by_nation": relational.orders_by_nation,
+    "rel_order_lineitem_join": relational.order_lineitem_join,
     "events_hourly": relational.events_hourly,
     "events_sessions": relational.events_sessions,
     "events_sliding": relational.events_sliding,

@@ -182,6 +182,37 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
     return agg
 
 
+def order_lineitem_join(sf_dir: str) -> pd.DataFrame:
+    """Large x large hash join (orders |x| lineitem on orderkey via ONE
+    bucketed shuffle, pandas merge per bucket), then revenue per order
+    priority.  The no-broadcast join path -- both sides are fact tables."""
+    from ontology_time_machine_ray.stages.groupagg import bucketed_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "rev_e4": pc.multiply(
+                    pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()),
+                    pc.subtract(
+                        100, pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+                    ),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_join(orders, items, on=["o_orderkey"], how="inner")
+    agg = grouped_aggregate(
+        joined,
+        ["o_orderpriority"],
+        {"n_items": ("rev_e4", "size"), "rev_e4": ("rev_e4", "sum")},
+    ).to_pandas()
+    agg["revenue"] = agg.pop("rev_e4") / 10000.0
+    return agg
+
+
 def events_sliding(sf_dir: str) -> pd.DataFrame:
     """Sliding (hopping) window aggregate: 1-hour windows every 30 min.
 

@@ -313,6 +313,12 @@ SELECT n.n_name, count(*) AS n_orders,
 FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY 1""",
+    "rel_order_lineitem_join": """
+SELECT o.o_orderpriority, count(*) AS n_items,
+  SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1""",
     "events_hourly": """
 SELECT user_id, date_trunc('hour', ts) AS hour,
   count(*) AS n_events,

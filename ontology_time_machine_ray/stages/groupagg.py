@@ -84,6 +84,47 @@ def grouped_aggregate(
     return grouped_apply(ds, keys, agg_bucket, num_buckets)
 
 
+def bucketed_join(
+    left,
+    right,
+    on: Sequence[str],
+    how: str = "inner",
+    num_buckets: int = DEFAULT_BUCKETS,
+):
+    """Large x large hash join: both sides bucketed on the key, co-located
+    by ONE shuffle on the union, merged vectorized inside each bucket.
+
+    The portable partitioned-hash-join pattern from the Ray guide: when
+    neither side fits a broadcast, tag rows with their side, union the
+    streams, shuffle once on ``hash(key) % B``, and run ``pandas.merge``
+    per bucket.  Key skew is bounded by bucket size (rows/B); salt hot
+    keys upstream if a single key exceeds a bucket.
+    """
+    on = list(on)
+    lcols = [c for c in left.schema().names if c not in on]
+    rcols = [c for c in right.schema().names if c not in on]
+    assert not (set(lcols) & set(rcols)), "non-key columns must not collide"
+    all_cols = on + lcols + rcols
+
+    def tag(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.assign(_side=side)
+            return df.reindex(columns=all_cols + ["_side"])
+
+        return fn
+
+    both = left.map_batches(tag("l"), batch_format="pandas").union(
+        right.map_batches(tag("r"), batch_format="pandas")
+    )
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == "l"][on + lcols]
+        r = g[g["_side"] == "r"][on + rcols]
+        return l.merge(r, on=on, how=how)
+
+    return grouped_apply(both, on, merge_bucket, num_buckets)
+
+
 def grouped_head1(
     ds,
     keys: Sequence[str],
