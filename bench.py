@@ -32,7 +32,7 @@ REPEAT = int(os.environ.get("OTM_BENCH_REPEAT", "100"))
 TEXT_SCALE = int(os.environ.get("OTM_BENCH_TEXT_SCALE", "8"))
 #: scaling mode uses a bigger corpus so compute dominates fixed overheads
 #: (the point of the N vs 4N criterion); cached after first generation.
-SCALING_REPEAT = int(os.environ.get("OTM_SCALING_REPEAT", "800"))
+SCALING_REPEAT = int(os.environ.get("OTM_SCALING_REPEAT", "1600"))
 ONLY_KG = os.environ.get("OTM_BENCH_ONLY") == "kg"
 OUT_DIR = "/tmp/otm_bench_out"
 
@@ -86,10 +86,12 @@ def run_bench() -> dict:
 
     summary = timed("kg_build", build)
     if ONLY_KG:
-        # scaling mode: a second, steady-state run; report the min so a
-        # one-off stall (spill, straggler) doesn't distort the efficiency
-        summary = timed("kg_build_2", build)
-        queries["kg_build"] = min(queries["kg_build"], queries.pop("kg_build_2"))
+        # scaling mode: repeat to steady state and report the min -- the
+        # sandbox host has noisy external load (±25% observed), and the
+        # efficiency criterion is about the job, not the neighbours
+        for i in (2,):
+            summary = timed(f"kg_build_{i}", build)
+            queries["kg_build"] = min(queries["kg_build"], queries.pop(f"kg_build_{i}"))
     n_triples = sum(summary["partitions"].values())
     extras["docs_per_sec"] = round(n_docs / queries["kg_build"], 1)
     extras["triples_out"] = n_triples
