@@ -128,6 +128,43 @@ def events_topk_users(sf_dir: str) -> pd.DataFrame:
     return agg.reset_index(drop=True)
 
 
+def kg_spans_passthrough(sf_dir: str):
+    """The per-row span-sequence invariant as a checkable query: the
+    pipeline's view of the corpus, exploded to (doc_id, span_idx, kind,
+    text, media_ref) THROUGH the engine (Arrow zero-copy round trip).
+    Hash-equality with the SQL explode of the input parquet proves kind,
+    text, media_ref and ORDER are preserved per row."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = pc.list_parent_indices(spans).to_numpy()
+        flat = spans.flatten()
+        if len(flat) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.string()), "span_idx": pa.array([], pa.int32()),
+                 "kind": pa.array([], pa.string()), "text": pa.array([], pa.string()),
+                 "media_ref": pa.array([], pa.string())}
+            )
+        offsets = spans.offsets.to_numpy()
+        span_idx = np.arange(len(flat), dtype=np.int32) - offsets[parent].astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").take(pa.array(parent)),
+                "span_idx": pa.array(span_idx),
+                "kind": flat.field("kind"),
+                "text": flat.field("text"),
+                "media_ref": flat.field("media_ref"),
+            }
+        )
+
+    return _pipe(sf_dir).documents().map_batches(explode, batch_format="pyarrow")
+
+
 def media_catalog(sf_dir: str):
     paths = ensure_fixtures(sf_dir)
     return media.media_catalog(paths.documents)
@@ -175,6 +212,7 @@ QUERIES = {
     "kg_components": kg_components,
     "kg_restricted_denied": kg_restricted_denied,
     "kg_formats_complete": kg_formats_complete,
+    "kg_spans_passthrough": kg_spans_passthrough,
     "media_catalog": media_catalog,
     "media_frames": media_frames,
     # relational / events engine ops
@@ -212,6 +250,7 @@ _KG_ORACLE_NAMES = (
     "kg_components",
     "kg_restricted_denied",
     "kg_formats_complete",
+    "kg_spans_passthrough",
     "media_catalog",
 )
 

@@ -277,6 +277,15 @@ ok AS (
 SELECT ontology_id, count(*) AS n_formats,
        CAST(count(*) = 3 AS BIGINT) AS all_formats
 FROM ok GROUP BY 1""",
+        "kg_spans_passthrough": """
+WITH flat AS (
+  SELECT doc_id, unnest(spans) AS span,
+         unnest(range(len(spans))) AS span_idx
+  FROM read_parquet('__ROOT__/documents_interleaved.parquet')
+)
+SELECT doc_id, CAST(span_idx AS INTEGER) AS span_idx,
+       span.kind AS kind, span.text AS text, span.media_ref AS media_ref
+FROM flat""",
         "media_catalog": """
 WITH flat AS (
   SELECT doc_id, unnest(spans) AS span,
