@@ -204,6 +204,10 @@ class FixturePaths:
     def snapshot_status(self) -> str:
         return os.path.join(self.root, "snapshot_status.parquet")
 
+    @property
+    def dependencies(self) -> str:
+        return os.path.join(self.root, "dependencies.parquet")
+
 
 def build_ontology_index() -> pa.Table:
     rows = {
@@ -213,6 +217,28 @@ def build_ontology_index() -> pa.Table:
         "path": [ont_path(k) for k in range(N_INDEX)],
     }
     return pa.table(rows, schema=ONTOLOGY_INDEX_SCHEMA)
+
+
+def build_dependencies() -> pa.Table:
+    """Ontology dependency edges -- the reference's dormant dependency
+    manifest (tests/dependency.ttl; commented-out resolution at
+    proxy_logic.py:276-307) realized as a deterministic edge table.
+    Chains with shared tails and one 2-cycle (closure must terminate)."""
+    src, dst = [], []
+    for k in range(N_INDEX):
+        if k % 6 < 2:
+            src.append(ont_id(k))
+            dst.append(ont_id((k * 7 + 3) % N_INDEX))
+        if k % 9 == 4:
+            src.append(ont_id(k))
+            dst.append(ont_id((k + 5) % N_INDEX))
+    # explicit 2-cycle
+    src += [ont_id(40), ont_id(41)]
+    dst += [ont_id(41), ont_id(40)]
+    return pa.table(
+        {"ontology_id": src, "depends_on": dst},
+        schema=pa.schema([("ontology_id", pa.string()), ("depends_on", pa.string())]),
+    )
 
 
 def build_origins() -> pa.Table:
@@ -341,10 +367,16 @@ def ensure_fixtures(sf_dir: str, repeat: int = 1, text_scale: int = 1) -> Fixtur
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == GENERATOR_VERSION:
-                return FixturePaths(root)
+                paths = FixturePaths(root)
+                # backfill tables added after the corpus was generated
+                # (documents are untouched, so no version bump / regen)
+                if not os.path.exists(paths.dependencies):
+                    pq.write_table(build_dependencies(), paths.dependencies)
+                return paths
     os.makedirs(root, exist_ok=True)
     paths = FixturePaths(root)
     write_documents(paths.documents, sf_dir, repeat, text_scale)
+    pq.write_table(build_dependencies(), paths.dependencies)
     pq.write_table(build_ontology_index(), paths.ontology_index)
     pq.write_table(build_origins(), paths.origins)
     content, status = build_snapshots()

@@ -165,6 +165,15 @@ def kg_spans_passthrough(sf_dir: str):
     return _pipe(sf_dir).documents().map_batches(explode, batch_format="pyarrow")
 
 
+def kg_dependency_closure(sf_dir: str) -> pd.DataFrame:
+    """J5: dependency-manifest transitive closure (the reference's dormant
+    graph walk, proxy_logic.py:276-307) via distributed path doubling."""
+    from ontology_time_machine_ray.stages.graph import dependency_closure
+
+    paths = ensure_fixtures(sf_dir)
+    return dependency_closure(paths.dependencies)
+
+
 def media_catalog(sf_dir: str):
     paths = ensure_fixtures(sf_dir)
     return media.media_catalog(paths.documents)
@@ -213,6 +222,7 @@ QUERIES = {
     "kg_restricted_denied": kg_restricted_denied,
     "kg_formats_complete": kg_formats_complete,
     "kg_spans_passthrough": kg_spans_passthrough,
+    "kg_dependency_closure": kg_dependency_closure,
     "media_catalog": media_catalog,
     "media_frames": media_frames,
     # relational / events engine ops
@@ -251,6 +261,7 @@ _KG_ORACLE_NAMES = (
     "kg_restricted_denied",
     "kg_formats_complete",
     "kg_spans_passthrough",
+    "kg_dependency_closure",
     "media_catalog",
 )
 

@@ -286,6 +286,16 @@ WITH flat AS (
 SELECT doc_id, CAST(span_idx AS INTEGER) AS span_idx,
        span.kind AS kind, span.text AS text, span.media_ref AS media_ref
 FROM flat""",
+        "kg_dependency_closure": """
+WITH RECURSIVE deps AS (
+  SELECT * FROM read_parquet('__ROOT__/dependencies.parquet')
+),
+reach(a, b) AS (
+  SELECT ontology_id, depends_on FROM deps
+  UNION
+  SELECT r.a, d.depends_on FROM reach r JOIN deps d ON d.ontology_id = r.b
+)
+SELECT a AS ontology_id, b AS dep_id FROM reach""",
         "media_catalog": """
 WITH flat AS (
   SELECT doc_id, unnest(spans) AS span,
