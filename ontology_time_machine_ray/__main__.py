@@ -1,0 +1,104 @@
+"""CLI entry point: run the KG build standalone.
+
+Mirrors the reference's CLI config surface (``config.py:141-337
+parse_arguments``, M11): version policy, format + precedence, restricted
+access, and the time-machine timestamp -- applied here as the run config
+of a batch build instead of proxy flags.
+
+    python -m ontology_time_machine_ray \
+        --sf-dir /root/testdata/sf0.001 --out /tmp/otm_store \
+        --ontoVersion originalFailoverLiveLatest --ontoFormat turtle \
+        --ontoPrecedence default --timestamp 2021-06-01 [--restricted] \
+        [--no-per-row-policy] [--repeat N] [--num-cpus N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="ontology_time_machine_ray")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", default="/tmp/otm_store")
+    ap.add_argument(
+        "--ontoVersion",
+        default="originalFailoverLiveLatest",
+        choices=["original", "originalFailoverLiveLatest", "latestArchived", "timestampArchived"],
+    )
+    ap.add_argument(
+        "--ontoFormat", default="turtle", choices=["turtle", "ntriples", "rdfxml", "htmldocu"]
+    )
+    ap.add_argument(
+        "--ontoPrecedence", default="default", choices=["default", "enforcedPriority", "always"]
+    )
+    ap.add_argument("--patchAcceptUpstream", action="store_true")
+    ap.add_argument("--restricted", action="store_true")
+    ap.add_argument("--timestamp", default="2021-06-01")
+    ap.add_argument("--no-per-row-policy", action="store_true")
+    ap.add_argument("--no-canonical", action="store_true")
+    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from ontology_time_machine_ray.config import (
+        HttpsInterception,
+        OntoFormat,
+        OntoFormatConfig,
+        OntoPrecedence,
+        OntoVersion,
+        PipelineConfig,
+    )
+    from ontology_time_machine_ray.pipelines.kg import KgPipeline
+
+    config = PipelineConfig(
+        onto_format=OntoFormatConfig(
+            format=OntoFormat(args.ontoFormat),
+            precedence=OntoPrecedence(args.ontoPrecedence),
+            patch_accept_upstream=args.patchAcceptUpstream,
+        ),
+        onto_version=OntoVersion(args.ontoVersion),
+        restricted_access=args.restricted,
+        https_interception=HttpsInterception.ALL,
+        timestamp=args.timestamp,
+        per_row_policy=not args.no_per_row_policy,
+    )
+    pipe = KgPipeline.for_sf_dir(args.sf_dir, repeat=args.repeat)
+    pipe = type(pipe)(paths=pipe.paths, config=config)
+
+    summary = pipe.materialize(args.out, canonical=not args.no_canonical)
+    report = pipe.report().to_pandas().to_dict(orient="records")
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "triples": sum(summary["partitions"].values()),
+                "skipped_partitions": summary["skipped"],
+                "report": report,
+            }
+        )
+    )
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
