@@ -111,13 +111,10 @@ class _NationEnricher:
         self.nation_name = ray.get(nation_ref)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        cust = t["o_custkey"].to_numpy()
-        nk = np.array([self.cust_to_nation.get(c, -1) for c in cust], dtype=np.int64)
-        names = pd.Series(nk).map(self.nation_name).fillna("UNKNOWN")
+        cust = pd.Series(t["o_custkey"].to_numpy())
+        names = cust.map(self.cust_to_nation).map(self.nation_name).fillna("UNKNOWN")
         price_c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
-        return pa.table(
-            {"n_name": pa.array(names), "price_c": price_c}
-        )
+        return pa.table({"n_name": pa.array(names), "price_c": price_c})
 
 
 def orders_by_nation(sf_dir: str) -> pd.DataFrame:
