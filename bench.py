@@ -61,7 +61,7 @@ def run_bench() -> dict:
     from ontology_time_machine_ray.stages import similarity
     from ontology_time_machine_ray.stages.dedup_docs import minhash_clusters
 
-    pipe = KgPipeline(paths=paths, batch_size=4096)
+    pipe = KgPipeline(paths=paths)
 
     # warm up untimed: spins the Ray worker pool, imports the library in
     # the workers and pulls the input through the page cache, so timed

@@ -62,7 +62,10 @@ class KgPipeline:
     config: PipelineConfig = DEFAULT_CONFIG
     detect_concurrency: Optional[int] = None
     link_concurrency: Optional[int] = None
-    batch_size: Optional[int] = 2048
+    #: None = whole-block batches: the linker's per-batch fixed costs
+    #: (pandas merges, combo memo lookups) amortize best over big batches;
+    #: measured 45us/doc at None vs 66us/doc at 4096 on the bench corpus.
+    batch_size: Optional[int] = None
 
     @classmethod
     def for_sf_dir(cls, sf_dir: str, repeat: int = 1, **kw) -> "KgPipeline":
@@ -158,8 +161,18 @@ class KgPipeline:
 
     def report(self) -> rd.Dataset:
         """Accessibility report: grouped counts per (category, format) --
-        the reference's aggregate_results.py:92-151 bucket table (A1)."""
-        return self.status().groupby(["category", "format"]).count()
+        the reference's aggregate_results.py:92-151 bucket table (A1).
+        Bucketed-vectorized (format is nullable; the built-in sort-based
+        groupby cannot order null keys)."""
+        from ontology_time_machine_ray.stages.groupagg import grouped_apply
+
+        def count_bucket(g):
+            out = g.groupby(["category", "format"], dropna=False, as_index=False).agg(
+                n=("doc_id", "size")
+            )
+            return out.rename(columns={"n": "count()"})
+
+        return grouped_apply(self.status(), ["category", "format"], count_bucket)
 
     def materialize(self, out_dir: str, canonical: bool = True) -> dict:
         """Build + write the partitioned store with the minimum number of

@@ -29,10 +29,15 @@ from ontology_time_machine_ray.functions.hashing import stable_hash64_series
 DEFAULT_BUCKETS = 64
 
 
+_NULL_KEY = "\x00<null>"
+
+
 def _with_bucket(df: pd.DataFrame, keys: Sequence[str], num_buckets: int) -> pd.DataFrame:
-    key = df[keys[0]].astype("string")
+    # null-safe key: NA values get a sentinel so a null in one key column
+    # doesn't blank the combined key (rows still co-locate correctly)
+    key = df[keys[0]].astype("string").fillna(_NULL_KEY)
     for k in keys[1:]:
-        key = key.str.cat(df[k].astype("string"), sep="\x1f")
+        key = key.str.cat(df[k].astype("string").fillna(_NULL_KEY), sep="\x1f")
     return df.assign(_bucket=(stable_hash64_series(key) % num_buckets).astype("int64"))
 
 
