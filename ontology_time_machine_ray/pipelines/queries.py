@@ -165,6 +165,26 @@ def kg_spans_passthrough(sf_dir: str):
     return _pipe(sf_dir).documents().map_batches(explode, batch_format="pyarrow")
 
 
+def kg_intercept_archivo(sf_dir: str):
+    """The per-request TLS-interception decision under the ARCHIVO policy
+    (custom_proxy.py:133-174 do_intercept): intercept exactly the hosts
+    whose IRI resolves into the Archivo index (re-uses M1 membership,
+    custom_proxy.py:157-171)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def decide(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "term_iri": t["term_iri"],
+                "intercept": pc.cast(pc.is_valid(t["ontology_id"]), pa.int64()),
+            }
+        )
+
+    return _pipe(sf_dir).mentions().map_batches(decide, batch_format="pyarrow")
+
+
 def kg_dependency_closure(sf_dir: str) -> pd.DataFrame:
     """J5: dependency-manifest transitive closure (the reference's dormant
     graph walk, proxy_logic.py:276-307) via distributed path doubling."""
@@ -223,6 +243,7 @@ QUERIES = {
     "kg_formats_complete": kg_formats_complete,
     "kg_spans_passthrough": kg_spans_passthrough,
     "kg_dependency_closure": kg_dependency_closure,
+    "kg_intercept_archivo": kg_intercept_archivo,
     "media_catalog": media_catalog,
     "media_frames": media_frames,
     # relational / events engine ops
@@ -262,6 +283,7 @@ _KG_ORACLE_NAMES = (
     "kg_formats_complete",
     "kg_spans_passthrough",
     "kg_dependency_closure",
+    "kg_intercept_archivo",
     "media_catalog",
 )
 

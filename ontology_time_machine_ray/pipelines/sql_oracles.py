@@ -286,6 +286,9 @@ WITH flat AS (
 SELECT doc_id, CAST(span_idx AS INTEGER) AS span_idx,
        span.kind AS kind, span.text AS text, span.media_ref AS media_ref
 FROM flat""",
+        "kg_intercept_archivo": f"WITH {_MENTIONS_CTES}\n"
+        "SELECT doc_id, term_iri, CAST(ontology_id IS NOT NULL AS BIGINT) AS intercept "
+        "FROM mentions",
         "kg_dependency_closure": """
 WITH RECURSIVE deps AS (
   SELECT * FROM read_parquet('__ROOT__/dependencies.parquet')

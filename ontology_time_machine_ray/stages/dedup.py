@@ -34,6 +34,10 @@ def _local_dedup(df: pd.DataFrame) -> pd.DataFrame:
 def dedupe_triples(ds, num_buckets: int = 64, bucket_keys=None):
     """Dataset[TRIPLES] -> Dataset[TRIPLES] with unique (s,p,o)."""
     return grouped_head1(
+        # batch_size doubles as the fused chain's min bundle size: 65536 gives
+        # ~50-200 coarse tasks whose strong combine ratio (fewer duplicate
+        # rows into the shuffle) beats finer-grained packing (A/B min-of-3:
+        # 11.8s vs 14.9s at 4M docs / 32 cpus)
         ds.map_batches(_local_dedup, batch_format="pandas", batch_size=65536),
         keys=_KEY,
         order_by=_TIE,

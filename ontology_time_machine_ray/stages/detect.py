@@ -37,6 +37,10 @@ import pyarrow.parquet as pq
 from ontology_time_machine_ray.functions.urls import IRI_RE, _TRAILING_PUNCT, truncation_candidates
 from ontology_time_machine_ray.schema import MENTIONS_SCHEMA
 
+#: RE2-compatible forms of the scanner for the Arrow C kernels.
+IRI_PATTERN = r"""https?://[^\s"'<>()\[\]{}]+"""
+_PUNCT_RE_SQL = r"[.,;:!?]+$"
+
 
 def load_index_map(index_path: str) -> dict[tuple[str, str], tuple[str, str]]:
     """(host, path) -> (ontology_id, canonical_iri); the analog of
@@ -84,6 +88,7 @@ class MentionDetector:
         else:
             self.index = load_index_map(index_path)
         self.iri_re = IRI_RE  # compiled once per process
+        self._match_cache: dict[str, tuple] = {}
 
     def match(self, iri: str) -> tuple[Optional[str], Optional[str], int]:
         """(ontology_id, canonical_iri, rank) for one surface IRI.
@@ -105,6 +110,18 @@ class MentionDetector:
                 return hit[0], hit[1], rank
         return None, None, -1
 
+    def match_cached(self, iri: str) -> tuple[Optional[str], Optional[str], int]:
+        """Per-worker memo over distinct surface IRIs: real corpora repeat
+        surface forms heavily, so the <=6 dict probes + string splits run
+        once per distinct IRI, not once per occurrence."""
+        hit = self._match_cache.get(iri)
+        if hit is None:
+            hit = self.match(iri)
+            if len(self._match_cache) > 1_000_000:
+                self._match_cache.clear()
+            self._match_cache[iri] = hit
+        return hit
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         spans = batch.column("spans")
         if isinstance(spans, pa.ChunkedArray):
@@ -125,27 +142,49 @@ class MentionDetector:
         offsets = spans.offsets.to_numpy()
         span_idx_all = np.arange(n_flat, dtype=np.int32) - offsets[parent].astype(np.int32)
 
-        doc_ids = batch.column("doc_id").to_pylist()
-        accepts = batch.column("accept").to_pylist()
-        policies = batch.column("policy").to_pylist()
-
-        out = {name: [] for name in MENTIONS_SCHEMA.names}
         sel = np.nonzero(cand_mask)[0]
-        sel_texts = texts.take(pa.array(sel)).to_pylist()
-        finditer = self.iri_re.finditer
-        for flat_i, text in zip(sel, sel_texts):
-            row = parent[flat_i]
-            for m in finditer(text):
-                iri = m.group(0).rstrip(_TRAILING_PUNCT)
-                if not iri:
-                    continue
-                oid, ciri, rank = self.match(iri)
-                out["doc_id"].append(doc_ids[row])
-                out["span_idx"].append(int(span_idx_all[flat_i]))
-                out["term_iri"].append(iri)
-                out["canonical_iri"].append(ciri)
-                out["ontology_id"].append(oid)
-                out["match_rank"].append(rank)
-                out["accept"].append(accepts[row])
-                out["policy"].append(policies[row])
-        return pa.table(out, schema=MENTIONS_SCHEMA)
+        sel_texts = texts.take(pa.array(sel))
+
+        # the common case (one IRI per span) runs entirely in Arrow C
+        # kernels: count matches, extract the first, strip prose punct --
+        # no Python string materialization.  Multi-IRI spans (rare) fall
+        # back to the compiled-regex loop.
+        n_matches = pc.count_substring_regex(sel_texts, IRI_PATTERN).to_numpy(
+            zero_copy_only=False
+        )
+        first = pc.extract_regex(sel_texts, f"(?P<iri>{IRI_PATTERN})")
+        single = n_matches == 1
+        single_pos = np.nonzero(single)[0]
+        single_iris = pc.replace_substring_regex(
+            first.field("iri").take(pa.array(single_pos)), _PUNCT_RE_SQL, ""
+        ).to_pylist()
+        flat_rows = [sel[i] for i in single_pos]
+
+        multi_pos = np.nonzero(n_matches > 1)[0]
+        if len(multi_pos):
+            finditer = self.iri_re.finditer
+            for i, text in zip(multi_pos, sel_texts.take(pa.array(multi_pos)).to_pylist()):
+                for m in finditer(text):
+                    iri = m.group(0).rstrip(_TRAILING_PUNCT)
+                    if iri:
+                        single_iris.append(iri)
+                        flat_rows.append(sel[i])
+
+        match_cached = self.match_cached
+        matches = [match_cached(iri) for iri in single_iris]
+        rows = np.asarray(flat_rows, dtype=np.int64)
+        parent_rows = parent[rows] if len(rows) else rows
+        parent_idx = pa.array(parent_rows)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").take(parent_idx),
+                "span_idx": pa.array(span_idx_all[rows] if len(rows) else [], type=pa.int32()),
+                "term_iri": pa.array(single_iris, type=pa.string()),
+                "canonical_iri": pa.array([m[1] for m in matches], type=pa.string()),
+                "ontology_id": pa.array([m[0] for m in matches], type=pa.string()),
+                "match_rank": pa.array([m[2] for m in matches], type=pa.int32()),
+                "accept": batch.column("accept").take(parent_idx),
+                "policy": batch.column("policy").take(parent_idx),
+            },
+            schema=MENTIONS_SCHEMA,
+        )
