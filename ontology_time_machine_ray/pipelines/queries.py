@@ -251,6 +251,9 @@ QUERIES = {
     "rel_topk_orders": relational.topk_orders,
     "rel_orders_by_nation": relational.orders_by_nation,
     "rel_order_lineitem_join": relational.order_lineitem_join,
+    "rel_price_quantiles": relational.price_quantiles,
+    "rel_distinct_customers": relational.distinct_customers,
+    "sample_docs_hash": relational.sample_docs_hash,
     "events_hourly": relational.events_hourly,
     "events_sessions": relational.events_sessions,
     "events_sliding": relational.events_sliding,

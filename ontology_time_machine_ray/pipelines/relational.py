@@ -139,6 +139,71 @@ def orders_by_nation(sf_dir: str) -> pd.DataFrame:
     return agg
 
 
+def price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact discrete quantiles of o_totalprice (p25/p50/p75/p90).
+
+    Scalable shape: a distributed value-histogram (bucketed count per
+    distinct cent value -- the shuffle moves one row per distinct value)
+    plus a driver-side cumulative walk over the small histogram.  Exact,
+    unlike sketch quantiles, and hash-identical to SQL ``quantile_disc``.
+    """
+    ds = _read(sf_dir, "orders", ["o_totalprice"]).map_batches(
+        lambda df: df.assign(price_c=(df["o_totalprice"] * 100).round().astype("int64"))
+        .groupby("price_c", as_index=False)
+        .agg(n=("price_c", "size")),
+        batch_format="pandas",
+    )
+    hist = grouped_aggregate(ds, ["price_c"], {"n": ("n", "sum")}).to_pandas()
+    hist = hist.sort_values("price_c").reset_index(drop=True)
+    cum = hist["n"].cumsum()
+    total = int(cum.iloc[-1])
+    rows = []
+    for q in (0.25, 0.50, 0.75, 0.90):
+        # quantile_disc: smallest value with cumulative count >= ceil(q * n)
+        import math
+
+        target = max(1, math.ceil(q * total))
+        idx = int((cum >= target).idxmax())
+        rows.append({"q": q, "price": hist["price_c"].iloc[idx] / 100.0})
+    return pd.DataFrame(rows)
+
+
+def distinct_customers(sf_dir: str) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT custkey) per order priority: batch-local
+    distinct pairs first (combiner), then bucketed nunique."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_custkey"]).map_batches(
+        lambda df: df.drop_duplicates(["o_orderpriority", "o_custkey"]),
+        batch_format="pandas",
+    )
+    return grouped_apply(
+        ds,
+        ["o_orderpriority"],
+        lambda g: g.drop_duplicates(["o_orderpriority", "o_custkey"])
+        .groupby("o_orderpriority", as_index=False)
+        .agg(n_customers=("o_custkey", "nunique"), ),
+    ).to_pandas()
+
+
+def sample_docs_hash(sf_dir: str) -> pd.DataFrame:
+    """Deterministic ~1/8 content-hash sample of documents: keep rows whose
+    md5(text) starts with '0' or '1' -- reproducible across engines and
+    partitionings (unlike seeded random sampling, whose result depends on
+    block layout)."""
+    import ray.data as rd
+
+    from ontology_time_machine_ray.functions.hashing import content_md5_series
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        fp = content_md5_series(df["text"].fillna(""))
+        return df[fp.str[0].isin(["0", "1"])][["doc_id"]]
+
+    return (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        .map_batches(pick, batch_format="pandas")
+        .to_pandas()
+    )
+
+
 # --------------------------------------------------------------------- #
 # event-stream windowing                                                 #
 # --------------------------------------------------------------------- #

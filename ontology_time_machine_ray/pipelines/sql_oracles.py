@@ -341,6 +341,18 @@ SELECT o.o_orderpriority, count(*) AS n_items,
       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY 1""",
+    "rel_price_quantiles": """
+WITH c AS (SELECT round(o_totalprice * 100) / 100.0 AS p FROM orders)
+SELECT 0.25 AS q, quantile_disc(p, 0.25) AS price FROM c
+UNION ALL SELECT 0.50, quantile_disc(p, 0.50) FROM c
+UNION ALL SELECT 0.75, quantile_disc(p, 0.75) FROM c
+UNION ALL SELECT 0.90, quantile_disc(p, 0.90) FROM c""",
+    "rel_distinct_customers": """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY 1""",
+    "sample_docs_hash": """
+SELECT doc_id FROM documents
+WHERE substr(md5(coalesce(text, '')), 1, 1) IN ('0', '1')""",
     "events_hourly": """
 SELECT user_id, date_trunc('hour', ts) AS hour,
   count(*) AS n_events,
