@@ -47,6 +47,11 @@ from ontology_time_machine_ray.schema import (
 )
 
 GENERATOR_VERSION = "otm-fixtures-v2"
+#: version of the SMALL derived tables (index/origins/snapshots/deps/
+#: embeddings_aug/client_auth).  Bumping this rewrites only those tables
+#: (<1 s) and leaves the expensive documents corpus untouched -- bench
+#: corpora at x800/x1600 stay valid across small-table semantic changes.
+SMALL_TABLES_VERSION = "small-v3"
 FIXTURE_ROOT = "/tmp/otm_fixtures"
 
 N_INDEX = 48  # in-index ontologies O000..O047
@@ -208,6 +213,18 @@ class FixturePaths:
     def dependencies(self) -> str:
         return os.path.join(self.root, "dependencies.parquet")
 
+    @property
+    def dependencies_ttl(self) -> str:
+        return os.path.join(self.root, "dependencies.ttl")
+
+    @property
+    def embeddings_aug(self) -> str:
+        return os.path.join(self.root, "embeddings_aug.parquet")
+
+    @property
+    def client_auth(self) -> str:
+        return os.path.join(self.root, "client_auth.parquet")
+
 
 def build_ontology_index() -> pa.Table:
     rows = {
@@ -242,12 +259,15 @@ def build_dependencies() -> pa.Table:
 
 
 def build_origins() -> pa.Table:
-    status_rot = (200, 200, 404, 503, 200, 0)
+    # 301 exercises the failover passthrough branch for non-200 statuses
+    # (proxy_logic.py:218-229 returns ANY passthrough-status origin
+    # response with a matching mime as-is, not just 200)
+    status_rot = (200, 200, 404, 503, 200, 0, 301)
     rows = {
         "ontology_id": [ont_id(k) for k in range(N_INDEX)],
-        "origin_status": [status_rot[k % 6] for k in range(N_INDEX)],
+        "origin_status": [status_rot[k % 7] for k in range(N_INDEX)],
         "origin_content_type": [
-            "text/html" if k % 6 == 4 else "text/turtle" for k in range(N_INDEX)
+            "text/html" if k % 7 == 4 else "text/turtle" for k in range(N_INDEX)
         ],
     }
     return pa.table(rows, schema=ORIGINS_SCHEMA)
@@ -305,6 +325,123 @@ def build_snapshots() -> tuple[pa.Table, pa.Table]:
     )
 
 
+def build_dependencies_ttl(deps: pa.Table) -> str:
+    """The dependency manifest in the reference's Turtle shape
+    (tests/dependency.ttl: ``<s> ex-version:dependency <o1>, <o2> .``),
+    with canonical ontology IRIs as subjects/objects.  Paired with
+    ``sources.readers.read_dependency_ttl`` so RDF-format manifest
+    ingestion is exercised, not just the parquet edge table."""
+    by_src: dict[str, list[str]] = {}
+    for s, d in zip(deps["ontology_id"].to_pylist(), deps["depends_on"].to_pylist()):
+        by_src.setdefault(s, []).append(d)
+    id_to_iri = {ont_id(k): ont_iri(k) for k in range(N_INDEX)}
+    lines = ["@prefix ex-version: <https://example.org/versioning/> .", ""]
+    for s in sorted(by_src):
+        objs = ", ".join(f"<{id_to_iri[d]}>" for d in by_src[s])
+        lines.append(f"<{id_to_iri[s]}> ex-version:dependency {objs} .")
+    return "\n".join(lines) + "\n"
+
+
+#: planted near-duplicate target cosines (all safely off the 0.99
+#: threshold boundary); the %7==1 plant at 0.9850 is a negative control.
+_DUP_COSINES = (0.9995, 0.9975, 0.9952)
+
+
+def build_embeddings_aug(sf_dir: str) -> pa.Table:
+    """The driver's embeddings table plus deterministic planted
+    near-duplicates, so ``dedup_embed`` has a non-trivial exact answer
+    (the raw testdata's max off-diagonal cosine is ~0.51).
+
+    Construction: for a unit base vector e and target cosine c, the dup is
+    ``c*e + sqrt(1-c^2)*u_perp`` with u_perp a unit vector orthogonal to e
+    (exact cosine by construction).  vec_id namespaces: base ids,
+    10M+id (first dup), 20M+id (second dup -> planted triple clusters),
+    30M+id (sub-threshold negative control at 0.9850).
+    """
+    import numpy as np
+
+    src = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    ids = np.asarray(src["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(src["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    rng = np.random.RandomState(13)
+
+    def dup_of(i: int, cos: float) -> np.ndarray:
+        e = norm[i]
+        u = rng.normal(size=e.shape)
+        u_perp = u - (u @ e) * e
+        u_perp = u_perp / np.linalg.norm(u_perp)
+        scale = np.linalg.norm(mat[i])  # keep the source's magnitude
+        return (cos * e + np.sqrt(1.0 - cos * cos) * u_perp) * scale
+
+    out_ids = list(ids)
+    out_vecs = [mat[i] for i in range(len(ids))]
+    for i, vid in enumerate(ids):
+        if vid % 5 == 0:
+            out_ids.append(10_000_000 + int(vid))
+            out_vecs.append(dup_of(i, _DUP_COSINES[int(vid) % 3]))
+            if vid % 25 == 0:
+                out_ids.append(20_000_000 + int(vid))
+                out_vecs.append(dup_of(i, 0.9975))
+        elif vid % 7 == 1:
+            out_ids.append(30_000_000 + int(vid))
+            out_vecs.append(dup_of(i, 0.9850))
+    emb_type = pa.list_(pa.float32())
+    return pa.table(
+        {
+            "vec_id": pa.array(out_ids, type=pa.int64()),
+            "embedding": pa.array([v.astype("float32") for v in out_vecs], type=emb_type),
+        }
+    )
+
+
+def build_client_auth() -> pa.Table:
+    """Per-client Proxy-Authorization fixtures for the auth-config parse
+    (M10/M11, proxy_logic.py:65-86 + proxy_wrapper.py:134-151).
+
+    The username carries a www-form-encoded CLI string (space as '+' or
+    '%20'); rows cover every recognized option, enum case-insensitivity,
+    the reference test's quoting (tests/test_proxy_auth_header_archivo.py:
+    81-86), and each malformed-input route."""
+    import base64
+
+    def basic(creds: str) -> str:
+        return "Basic " + base64.b64encode(creds.encode()).decode()
+
+    rows = [
+        ("c01", basic("--ontoVersion%20latestArchived:my_password")),
+        ("c02", basic("--ontoFormat+turtle+--ontoPrecedence+always:secret")),
+        ("c03", basic("--patchAcceptUpstream+--restrictedAccess:x")),
+        ("c04", basic("--httpsInterception+block:x")),
+        ("c05", basic("--ontoVersion+LATESTARCHIVED:x")),  # case-insensitive enum
+        ("c06", basic("--ontoVersion+nonsense:x")),  # invalid enum value
+        ("c07", basic("--bogusFlag+x:x")),  # unknown argument
+        ("c08", basic("a:b:c")),  # >1 colon: reference split(':') raises
+        ("c09", "Bearer xyz"),  # non-basic auth type
+        ("c10", "Basic !!!notbase64!!!"),  # undecodable credentials
+        ("c11", None),  # no auth header at all
+        ("c12", basic("--ontoVersion+timestampArchived:x")),
+        (
+            "c13",
+            basic(
+                "--ontoFormat+ntriples+--ontoVersion+originalFailoverLiveLatest"
+                "+--httpsInterception+archivo+--disableRemovingRedirects:pw"
+            ),
+        ),
+        ("c14", basic("--ontoFormat%20rdfxml%20--httpsInterception%20none:pw")),
+        ("c15", basic("stray --ontoFormat turtle:x")),  # leading positional
+        ("c16", basic(":pw")),  # empty username: argparse([""]) errors
+    ]
+    return pa.table(
+        {
+            "client_id": pa.array([r[0] for r in rows], type=pa.string()),
+            "auth_header": pa.array([r[1] for r in rows], type=pa.string()),
+        }
+    )
+
+
 def _documents_chunks(sf_dir: str, repeat: int, text_scale: int):
     """Yield Arrow tables of synthesized docs, one chunk per repeat pass
     (bounded memory for multi-million-doc bench corpora)."""
@@ -355,33 +492,49 @@ def fixture_dir(sf_dir: str, repeat: int = 1, text_scale: int = 1) -> str:
     return os.path.join(FIXTURE_ROOT, name)
 
 
-def ensure_fixtures(sf_dir: str, repeat: int = 1, text_scale: int = 1) -> FixturePaths:
-    """Idempotently materialize the fixture tables for ``sf_dir``.
-
-    Content-addressed skip via a _SUCCESS marker carrying the generator
-    version (the reference's sha256 hash-skip idea,
-    download_archivo_urls.py:65-74).
-    """
-    root = fixture_dir(sf_dir, repeat, text_scale)
-    marker = os.path.join(root, "_SUCCESS")
-    if os.path.exists(marker):
-        with open(marker) as f:
-            if f.read().strip() == GENERATOR_VERSION:
-                paths = FixturePaths(root)
-                # backfill tables added after the corpus was generated
-                # (documents are untouched, so no version bump / regen)
-                if not os.path.exists(paths.dependencies):
-                    pq.write_table(build_dependencies(), paths.dependencies)
-                return paths
-    os.makedirs(root, exist_ok=True)
-    paths = FixturePaths(root)
-    write_documents(paths.documents, sf_dir, repeat, text_scale)
-    pq.write_table(build_dependencies(), paths.dependencies)
+def _write_small_tables(paths: FixturePaths, sf_dir: str) -> None:
+    deps = build_dependencies()
+    pq.write_table(deps, paths.dependencies)
+    with open(paths.dependencies_ttl, "w") as f:
+        f.write(build_dependencies_ttl(deps))
     pq.write_table(build_ontology_index(), paths.ontology_index)
     pq.write_table(build_origins(), paths.origins)
     content, status = build_snapshots()
     pq.write_table(content, paths.snapshot_content)
     pq.write_table(status, paths.snapshot_status)
+    pq.write_table(build_embeddings_aug(sf_dir), paths.embeddings_aug)
+    pq.write_table(build_client_auth(), paths.client_auth)
+
+
+def _marker_value() -> str:
+    return f"{GENERATOR_VERSION}|{SMALL_TABLES_VERSION}"
+
+
+def ensure_fixtures(sf_dir: str, repeat: int = 1, text_scale: int = 1) -> FixturePaths:
+    """Idempotently materialize the fixture tables for ``sf_dir``.
+
+    Content-addressed skip via a _SUCCESS marker carrying the generator
+    version (the reference's sha256 hash-skip idea,
+    download_archivo_urls.py:65-74).  The marker is two-part
+    (``docsver|smallver``): a small-tables version change rewrites only
+    the cheap derived tables, keeping multi-million-doc bench corpora.
+    """
+    root = fixture_dir(sf_dir, repeat, text_scale)
+    marker = os.path.join(root, "_SUCCESS")
+    paths = FixturePaths(root)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            parts = f.read().strip().split("|")
+        if parts[0] == GENERATOR_VERSION:
+            if len(parts) > 1 and parts[1] == SMALL_TABLES_VERSION:
+                return paths
+            _write_small_tables(paths, sf_dir)
+            with open(marker, "w") as f:
+                f.write(_marker_value())
+            return paths
+    os.makedirs(root, exist_ok=True)
+    write_documents(paths.documents, sf_dir, repeat, text_scale)
+    _write_small_tables(paths, sf_dir)
     with open(marker, "w") as f:
-        f.write(GENERATOR_VERSION)
+        f.write(_marker_value())
     return paths

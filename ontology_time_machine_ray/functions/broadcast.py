@@ -1,0 +1,23 @@
+"""Per-worker-process cache for broadcast objects in task-based stages.
+
+A stateless ``map_batches`` task that needs immutable shared state (an
+index, a component mapping, a query matrix) should ``ray.put`` it once on
+the driver and fetch it via ``cached_get`` inside the batch function: the
+object-store fetch + deserialization then happens once per WORKER PROCESS
+rather than once per batch -- the task-based analog of actor ``__init__``
+state, without the actor pool's spin-up cost on the critical path.
+"""
+
+from __future__ import annotations
+
+import ray
+
+_CACHE: dict[str, object] = {}
+
+
+def cached_get(ref):
+    key = ref.hex()
+    if key not in _CACHE:
+        _CACHE.clear()  # hold at most one broadcast per worker
+        _CACHE[key] = ray.get(ref)
+    return _CACHE[key]

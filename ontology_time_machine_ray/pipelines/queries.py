@@ -207,20 +207,23 @@ def media_frames(sf_dir: str):
 
 
 # --------------------------- training-data ops ------------------------ #
-def dedup_minhash(sf_dir: str) -> pd.DataFrame:
+def dedup_minhash(sf_dir: str):
     return dedup_docs.minhash_clusters(sf_dir)
 
 
-def dedup_simhash(sf_dir: str) -> pd.DataFrame:
+def dedup_simhash(sf_dir: str):
     return dedup_docs.simhash_pairs(sf_dir)
 
 
-def dedup_jaccard(sf_dir: str) -> pd.DataFrame:
+def dedup_jaccard(sf_dir: str):
     return dedup_docs.jaccard_pairs(sf_dir)
 
 
-def dedup_embed(sf_dir: str) -> pd.DataFrame:
-    return similarity.embedding_dup_pairs(sf_dir)[["a", "b"]]
+def dedup_embed(sf_dir: str):
+    """Embedding-cosine near-dup pairs over the augmented embeddings table
+    (planted near-duplicates; see fixtures.build_embeddings_aug) via
+    banded-LSH blocking + exact within-bucket cosine."""
+    return similarity.embedding_dup_pairs(sf_dir).select_columns(["a", "b"])
 
 
 def ann_bruteforce(sf_dir: str) -> pd.DataFrame:
@@ -297,4 +300,5 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     paths = ensure_fixtures(sf_dir)
     out = {n: sql_oracles.kg_sql(n, paths.root, DEFAULT_CONFIG.timestamp) for n in _KG_ORACLE_NAMES}
     out.update(sql_oracles.TESTDATA_SQL)
+    out["dedup_embed"] = sql_oracles.dedup_embed_sql(paths.root)
     return out

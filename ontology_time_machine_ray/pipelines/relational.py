@@ -89,46 +89,52 @@ def q1_lineitem(sf_dir: str) -> pd.DataFrame:
 # global sort / top-k                                                    #
 # --------------------------------------------------------------------- #
 def topk_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
-    """Top-k orders by total price (deterministic o_orderkey tie-break) --
-    a distributed sort feeding a limit, so only k rows reach the driver."""
+    """Top-k orders by total price (deterministic o_orderkey tie-break).
+
+    Per-batch partial top-k + driver merge of the (num_blocks x k)-row
+    partials -- no global sort of the fact table for a constant k (the
+    same pattern as ``ann_bruteforce`` / ``events_topk_users``)."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
-    return out.to_pandas()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="stable"
+        ).head(k)
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return (
+        partials.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True], kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )
 
 
 # --------------------------------------------------------------------- #
 # broadcast join of small dimensions                                     #
 # --------------------------------------------------------------------- #
-class _NationEnricher:
-    """Actor stage holding the broadcast customer->nation mapping.
+def orders_by_nation(sf_dir: str) -> pd.DataFrame:
+    """orders |x| customer |x| nation via broadcast lookup (the dimension
+    tables are the SMALL side, reference's 1,816-entry index pattern, J1:
+    ``ray.put`` once, per-worker cached fetch, never a fact-table shuffle),
+    then a grouped count/sum per nation."""
+    from ontology_time_machine_ray.functions.broadcast import cached_get
 
-    The dimension tables are the SMALL side (reference's 1,816-entry index
-    pattern, J1): ship them once per actor via ``ray.put`` handles, never
-    shuffle the fact table."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    dims_ref = ray.put(
+        (dict(zip(cust["c_custkey"], cust["c_nationkey"])),
+         dict(zip(nation["n_nationkey"], nation["n_name"])))
+    )
 
-    def __init__(self, cust_ref, nation_ref):
-        self.cust_to_nation = ray.get(cust_ref)
-        self.nation_name = ray.get(nation_ref)
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        cust = pd.Series(t["o_custkey"].to_numpy())
-        names = cust.map(self.cust_to_nation).map(self.nation_name).fillna("UNKNOWN")
+    def enrich(t: pa.Table) -> pa.Table:
+        cust_to_nation, nation_name = cached_get(dims_ref)
+        c = pd.Series(t["o_custkey"].to_numpy())
+        names = c.map(cust_to_nation).map(nation_name).fillna("UNKNOWN")
         price_c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
         return pa.table({"n_name": pa.array(names), "price_c": price_c})
 
-
-def orders_by_nation(sf_dir: str) -> pd.DataFrame:
-    """orders |x| customer |x| nation via broadcast lookup, then a grouped
-    count/sum per nation."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
-    nation_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        _NationEnricher,
-        fn_constructor_args=(cust_ref, nation_ref),
-        batch_format="pyarrow",
-        concurrency=2,
+        enrich, batch_format="pyarrow"
     )
     agg = (
         ds.groupby("n_name")
@@ -184,7 +190,7 @@ def distinct_customers(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
 
 
-def sample_docs_hash(sf_dir: str) -> pd.DataFrame:
+def sample_docs_hash(sf_dir: str) -> rd.Dataset:
     """Deterministic ~1/8 content-hash sample of documents: keep rows whose
     md5(text) starts with '0' or '1' -- reproducible across engines and
     partitionings (unlike seeded random sampling, whose result depends on
@@ -197,17 +203,15 @@ def sample_docs_hash(sf_dir: str) -> pd.DataFrame:
         fp = content_md5_series(df["text"].fillna(""))
         return df[fp.str[0].isin(["0", "1"])][["doc_id"]]
 
-    return (
-        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-        .map_batches(pick, batch_format="pandas")
-        .to_pandas()
-    )
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(pick, batch_format="pandas")
 
 
 # --------------------------------------------------------------------- #
 # event-stream windowing                                                 #
 # --------------------------------------------------------------------- #
-def events_hourly(sf_dir: str) -> pd.DataFrame:
+def events_hourly(sf_dir: str) -> rd.Dataset:
     """Tumbling 1-hour window per user: count, exact value sum, and the
     JSON-props field sum (the reference's JSON log flattening, M16)."""
 
@@ -239,9 +243,12 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
             "value_c": ("value_c", "sum"),
             "sum_k": ("sum_k", "sum"),
         },
-    ).to_pandas()
-    agg["sum_value"] = agg.pop("value_c") / 100.0
-    return agg
+    )
+    # derive the float column inside the stream; the per-(user, hour)
+    # result is corpus-scale, so it stays a Dataset end to end
+    return agg.map_batches(
+        lambda df: df.assign(sum_value=df.pop("value_c") / 100.0), batch_format="pandas"
+    )
 
 
 def order_lineitem_join(sf_dir: str) -> pd.DataFrame:
@@ -275,7 +282,7 @@ def order_lineitem_join(sf_dir: str) -> pd.DataFrame:
     return agg
 
 
-def events_sliding(sf_dir: str) -> pd.DataFrame:
+def events_sliding(sf_dir: str) -> rd.Dataset:
     """Sliding (hopping) window aggregate: 1-hour windows every 30 min.
 
     Each event expands to its two covering windows inside ``map_batches``
@@ -310,12 +317,13 @@ def events_sliding(sf_dir: str) -> pd.DataFrame:
         ds,
         ["user_id", "window_start"],
         {"n_events": ("n", "sum"), "value_c": ("value_c", "sum")},
-    ).to_pandas()
-    agg["sum_value"] = agg.pop("value_c") / 100.0
-    return agg
+    )
+    return agg.map_batches(
+        lambda df: df.assign(sum_value=df.pop("value_c") / 100.0), batch_format="pandas"
+    )
 
 
-def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+def events_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     """Session windows (gap > 30 min starts a new session) per user.
 
     Ordering contract: rows are grouped per user and sorted by ts INSIDE
@@ -338,4 +346,4 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
         ["user_id"],
         sessions_in_bucket,
-    ).to_pandas()
+    )

@@ -178,6 +178,9 @@ _ROUTING_CTES = f"""
         WHEN policy != 'original' AND fmt_patched IS NULL THEN 'no-archivo-format'
         WHEN origin_branch THEN
           CASE WHEN ontology_id IS NULL OR origin_status = 0 THEN 'origin-unreachable'
+               -- failover passthrough: non-200 passthrough status with a
+               -- matching mime is returned as-is (proxy_logic.py:218-229)
+               WHEN policy != 'original' AND origin_status != 200 THEN 'origin-passthrough'
                WHEN origin_status != 200 THEN 'origin-error'
                WHEN origin_content_type = 'text/turtle' THEN 'served-origin'
                ELSE 'origin-non-rdf' END
@@ -448,9 +451,17 @@ scored AS (
   FROM embeddings e CROSS JOIN q)
 SELECT query_id, vec_id FROM scored
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= 10""",
-    "dedup_embed": """
-WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+}
+
+
+def dedup_embed_sql(fixture_root: str) -> str:
+    """Exact all-pairs restatement of ``dedup_embed`` over the augmented
+    embeddings fixture (the Ray side uses banded-LSH blocking whose miss
+    probability at cosine>=0.99 is ~1e-7 per pair -- see
+    stages/similarity.py -- so the exact SQL answer is the expected set)."""
+    return f"""
+WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM read_parquet('{fixture_root}/embeddings_aug.parquet'))
 SELECT a.vec_id AS a, b.vec_id AS b
 FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE CAST(round(list_cosine_similarity(a.e, b.e) * 1e6) AS BIGINT) >= 990000""",
-}
+WHERE CAST(round(list_cosine_similarity(a.e, b.e) * 1e6) AS BIGINT) >= 990000"""

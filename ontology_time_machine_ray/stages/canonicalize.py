@@ -206,18 +206,7 @@ def sameas_edges(triples_ds):
     return triples_ds.map_batches(pick, batch_format="pyarrow")
 
 
-#: per-worker-process cache of deserialized broadcast objects, so a
-#: task-based stage pays the ray.get deserialization once per worker, not
-#: once per batch (the task analog of actor-__init__ state).
-_BROADCAST_CACHE: dict[str, object] = {}
-
-
-def _cached_get(ref):
-    key = ref.hex()
-    if key not in _BROADCAST_CACHE:
-        _BROADCAST_CACHE.clear()  # hold at most one broadcast per worker
-        _BROADCAST_CACHE[key] = ray.get(ref)
-    return _BROADCAST_CACHE[key]
+from ontology_time_machine_ray.functions.broadcast import cached_get as _cached_get
 
 
 def make_rewriter(mapping_ref):

@@ -50,36 +50,39 @@ def _read_docs(sf_dir: str) -> rd.Dataset:
 # exact n-gram Jaccard                                                   #
 # --------------------------------------------------------------------- #
 def _shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
-    rows_doc, rows_sh = [], []
+    """(doc_id, shingle, size) rows; ``size`` is the doc's distinct-shingle
+    count, attached at emission so downstream pair rows carry both docs'
+    sizes through the shuffle -- no driver-side size lookup ever exists."""
+    rows_doc, rows_sh, rows_sz = [], [], []
     for did, text in zip(df["doc_id"], df["text"].fillna("")):
-        for sh in set(_shingles(text)):
+        sh_set = set(_shingles(text))
+        for sh in sh_set:
             rows_doc.append(did)
             rows_sh.append(sh)
-    return pd.DataFrame({"doc_id": rows_doc, "shingle": rows_sh})
+            rows_sz.append(len(sh_set))
+    return pd.DataFrame(
+        {"doc_id": rows_doc, "shingle": rows_sh,
+         "size": pd.Series(rows_sz, dtype="int64")}
+    )
 
 
-def jaccard_pairs(sf_dir: str, threshold: float = 0.8, docs_ds: rd.Dataset | None = None) -> pd.DataFrame:
-    """All document pairs with n-gram Jaccard >= threshold.
+def jaccard_pairs(sf_dir: str, threshold: float = 0.8, docs_ds: rd.Dataset | None = None) -> rd.Dataset:
+    """All document pairs with n-gram Jaccard >= threshold, as a Dataset of
+    (a, b, inter, union_size).
 
-    inter(a,b) via groupby(shingle) pair expansion (df-capped), sizes via a
-    broadcast of per-doc distinct-shingle counts; jaccard computed from
-    exact integers, thresholded as inter*100 >= ceil-free integer compare
-    to avoid float boundary flakiness: inter / (|a|+|b|-inter) >= t  <=>
-    inter * 100 >= t*100 * (|a|+|b|-inter) with t in hundredths.
+    inter(a,b) via groupby(shingle) pair expansion (df-capped, the skew
+    guard); per-doc sizes ride the shingle rows, so union_size is computed
+    inside the (a, b) aggregation with no driver-side state.  Jaccard is
+    thresholded on exact integers to avoid float boundary flakiness:
+    inter / (|a|+|b|-inter) >= t  <=>  inter * 100 >= t*100 *
+    (|a|+|b|-inter) with t in hundredths.
     """
     from ontology_time_machine_ray.stages.groupagg import grouped_aggregate, grouped_apply
 
     t100 = int(round(threshold * 100))
-    shingle_ds = (
-        (docs_ds or _read_docs(sf_dir))
-        .map_batches(_shingle_rows, batch_format="pandas")
-        .materialize()  # consumed twice: sizes + pair generation
+    shingle_ds = (docs_ds or _read_docs(sf_dir)).map_batches(
+        _shingle_rows, batch_format="pandas"
     )
-
-    sizes = grouped_aggregate(
-        shingle_ds, ["doc_id"], {"size": ("shingle", "size")}
-    ).to_pandas()
-    size_map = dict(zip(sizes["doc_id"], sizes["size"]))
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # keep only shingles with 2..MAX_SHINGLE_DF docs (df cap: skew
@@ -87,33 +90,44 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.8, docs_ds: rd.Dataset | Non
         df_counts = g["shingle"].value_counts()
         keep = df_counts[(df_counts >= 2) & (df_counts <= MAX_SHINGLE_DF)].index
         g = g[g["shingle"].isin(keep)]
-        out_a, out_b = [], []
+        out_a, out_b, out_sa, out_sb = [], [], [], []
         for _, grp in g.groupby("shingle", sort=False):
-            ids = np.sort(grp["doc_id"].to_numpy())
+            order = np.argsort(grp["doc_id"].to_numpy())
+            ids = grp["doc_id"].to_numpy()[order]
+            szs = grp["size"].to_numpy()[order]
             ii, jj = np.triu_indices(len(ids), k=1)
             out_a.append(ids[ii])
             out_b.append(ids[jj])
+            out_sa.append(szs[ii])
+            out_sb.append(szs[jj])
         if not out_a:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-        return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                 "size_a": pd.Series(dtype="int64"), "size_b": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b),
+             "size_a": np.concatenate(out_sa), "size_b": np.concatenate(out_sb)}
+        )
 
     pair_rows = grouped_apply(shingle_ds, ["shingle"], pairs_in_bucket)
-    inter = (
-        grouped_aggregate(pair_rows, ["a", "b"], {"inter": ("a", "size")})
-        .to_pandas()
+    inter = grouped_aggregate(
+        pair_rows,
+        ["a", "b"],
+        {"inter": ("a", "size"), "size_a": ("size_a", "first"), "size_b": ("size_b", "first")},
     )
-    if len(inter) == 0:
-        return pd.DataFrame(
-            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-             "inter": pd.Series(dtype="int64"), "union_size": pd.Series(dtype="int64")}
-        )
-    inter["union_size"] = (
-        inter["a"].map(size_map).astype("int64")
-        + inter["b"].map(size_map).astype("int64")
-        - inter["inter"]
-    )
-    keep = inter["inter"] * 100 >= t100 * inter["union_size"]
-    return inter[keep].reset_index(drop=True)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                 "inter": pd.Series(dtype="int64"), "union_size": pd.Series(dtype="int64")}
+            )
+        union_size = (df["size_a"] + df["size_b"] - df["inter"]).astype("int64")
+        out = df.assign(union_size=union_size)[["a", "b", "inter", "union_size"]]
+        return out[out["inter"] * 100 >= t100 * out["union_size"]]
+
+    return inter.map_batches(finish, batch_format="pandas")
 
 
 # --------------------------------------------------------------------- #
@@ -191,18 +205,36 @@ def _band_rows(df: pd.DataFrame, bands: int, rows_per_band: int) -> pd.DataFrame
     )
 
 
+#: per-process MinHasher cache for the task-based signature stage: the
+#: coefficients are deterministic in (num_perm, seed), so stateless tasks
+#: rebuild them once per worker, not once per batch, and the stage scales
+#: with the executor instead of a fixed actor-pool size.
+_HASHER_CACHE: dict[tuple[int, int], "MinHasher"] = {}
+
+
+def _minhash_batch(df: pd.DataFrame, num_perm: int, seed: int = 42) -> pd.DataFrame:
+    key = (num_perm, seed)
+    hasher = _HASHER_CACHE.get(key)
+    if hasher is None:
+        hasher = _HASHER_CACHE[key] = MinHasher(num_perm=num_perm, seed=seed)
+    return hasher(df)
+
+
 def minhash_clusters(
     sf_dir: str,
     threshold: float = 0.8,
     num_perm: int = 64,
     bands: int = 16,
     docs_ds: rd.Dataset | None = None,
-) -> pd.DataFrame:
+) -> rd.Dataset:
     """(doc_id, cluster) for every document; near-dups share a cluster.
 
     shingle -> minhash -> band -> bucket groupby -> verify (signature
     agreement >= threshold) -> connected components (alternating-star, the
-    same distributed union-find as KG canonicalization).
+    same distributed union-find as KG canonicalization).  Cluster labels
+    are applied with the broadcast-mapping rewrite (``ray.put`` once,
+    per-worker cached lookup inside ``map_batches``): the component
+    mapping covers only docs that HAVE a near-dup, never the corpus.
     """
     from ontology_time_machine_ray.stages.canonicalize import connected_components
 
@@ -213,8 +245,9 @@ def minhash_clusters(
     # verification downstream when required)
     verify_threshold = max(0.0, threshold - 2.0 / (num_perm ** 0.5))
     docs = docs_ds or _read_docs(sf_dir)
-    sigs = docs.map_batches(MinHasher, fn_constructor_kwargs={"num_perm": num_perm},
-                            batch_format="pandas", concurrency=2)
+    sigs = docs.map_batches(
+        lambda df: _minhash_batch(df, num_perm), batch_format="pandas"
+    )
     band_ds = sigs.map_batches(
         lambda df: _band_rows(df, bands, rows_per_band), batch_format="pandas"
     )
@@ -242,10 +275,23 @@ def minhash_clusters(
 
     pairs = grouped_apply(band_ds, ["band", "band_hash"], pairs_in_bucket)
     comp = connected_components(pairs).to_pandas()
-    mapping = dict(zip(comp["node"], comp["component"]))
-    all_ids = docs.select_columns(["doc_id"]).to_pandas()
-    all_ids["cluster"] = all_ids["doc_id"].map(lambda d: mapping.get(str(d), str(d)))
-    return all_ids
+    # near-dup-component mapping is the SMALL side (nodes with >=1 dup
+    # edge): broadcast it and label inside the stream, exactly like
+    # canonicalize.make_rewriter
+    import ray
+
+    from ontology_time_machine_ray.functions.broadcast import cached_get
+
+    mapping_ref = ray.put(dict(zip(comp["node"], comp["component"])))
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        m = cached_get(mapping_ref)
+        ids = df["doc_id"]
+        return pd.DataFrame(
+            {"doc_id": ids, "cluster": ids.map(lambda d: m.get(str(d), str(d)))}
+        )
+
+    return docs.select_columns(["doc_id"]).map_batches(label, batch_format="pandas")
 
 
 # --------------------------------------------------------------------- #
@@ -270,7 +316,7 @@ def _simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "simhash": np.array(out, dtype=np.uint64)})
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 3, docs_ds: rd.Dataset | None = None) -> pd.DataFrame:
+def simhash_pairs(sf_dir: str, max_hamming: int = 3, docs_ds: rd.Dataset | None = None) -> rd.Dataset:
     """Candidate near-dup pairs with hamming(simhash) <= max_hamming,
     found via 4-segment blocking (pigeonhole: <=3 differing bits must
     leave one 16-bit segment identical)."""
@@ -316,9 +362,10 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, docs_ds: rd.Dataset | None 
              "hamming": pd.Series(out_h, dtype="int64")}
         )
 
-    from ontology_time_machine_ray.stages.groupagg import grouped_apply
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply, grouped_head1
 
     pairs = grouped_apply(
         hashed.map_batches(seg_rows, batch_format="pandas"), ["seg", "seg_val"], pairs_in_bucket
-    ).to_pandas()
-    return pairs.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    # a pair can collide in several segments: distributed (a, b) dedup
+    return grouped_head1(pairs, keys=["a", "b"], order_by=["hamming"])

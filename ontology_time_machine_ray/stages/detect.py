@@ -89,6 +89,12 @@ class MentionDetector:
             self.index = load_index_map(index_path)
         self.iri_re = IRI_RE  # compiled once per process
         self._match_cache: dict[str, tuple] = {}
+        # host -> first index entry on that host (insertion order), so the
+        # host-only probe is O(1) instead of a scan of the whole index
+        self._host_first: dict[str, tuple[str, str]] = {}
+        for (h, _p), val in self.index.items():
+            if h not in self._host_first:
+                self._host_first[h] = val
 
     def match(self, iri: str) -> tuple[Optional[str], Optional[str], int]:
         """(ontology_id, canonical_iri, rank) for one surface IRI.
@@ -99,10 +105,11 @@ class MentionDetector:
         host, path = _split_fast(iri)
         if not path:
             # host-only request: any index entry on that host matches
-            # (proxy_logic.py:100-101)
-            for (h, p), (oid, ciri) in self.index.items():
-                if h == host:
-                    return oid, ciri, 0
+            # (proxy_logic.py:100-101); precomputed host map keeps this
+            # O(1) at million-entry index scale
+            hit = self._host_first.get(host)
+            if hit is not None:
+                return hit[0], hit[1], 0
             return None, None, -1
         for rank, cand in enumerate(truncation_candidates(path)):
             hit = self.index.get((host, cand))

@@ -227,7 +227,13 @@ class EntityLinker:
                         m for m, _ in parse_accept_header_with_priority(patched_accept or "")
                     ]
                     if ctype in requested:  # literal membership (J3)
-                        return self._serve_origin(ont)
+                        if st == 200:
+                            return self._serve_origin(ont)
+                        # the reference returns ANY passthrough-status
+                        # origin response (301/304/451...) with matching
+                        # mime as-is (proxy_logic.py:218-229); a non-200
+                        # has no body to extract triples from
+                        return Resolution(False, st, "origin-passthrough")
                 # dead / bad status / mime mismatch -> latest archived
             if ont is None:
                 return Resolution(False, 404, "not-in-archivo")

@@ -1,12 +1,28 @@
 """Similarity search over the embeddings table (``list<float>`` column).
 
 * ``ann_bruteforce`` -- exact top-k cosine: per-batch numpy matmul against
-  a BROADCAST query matrix (``ray.put`` once, fetched per actor), partial
-  top-k per batch, final k-way merge of the tiny partials on the driver.
-  The scalable baseline: one pass over the corpus, no shuffle.
-* ``ann_lsh`` -- random-hyperplane LSH: bucket by sign pattern, search
-  only the query's bucket(s).  Approximate; recall measured in pytest
-  against the brute-force baseline.
+  a BROADCAST query matrix (``ray.put`` once, fetched once per worker
+  process), partial top-k per batch, final k-way merge of the tiny
+  partials on the driver.  The scalable baseline: one pass over the
+  corpus, no shuffle, O(blocks x k x n_queries) rows ever leave workers.
+* ``ann_lsh`` -- random-hyperplane LSH: candidate filtering AND scoring
+  both happen inside ``map_batches`` (each batch scores only its rows in
+  a query's bucket and emits a partial top-k), so nothing corpus-scale
+  reaches the driver.  Approximate; recall measured in pytest against
+  the brute-force baseline.
+* ``embedding_dup_pairs`` -- embedding-cosine near-duplicate pairs via
+  banded random-hyperplane blocking: b bands of r planes each; two
+  vectors are compared exactly (within-bucket cosine) iff they share a
+  bucket in >=1 band.  The shuffle key is (band, bucket) -- never an
+  all-pairs or full-matrix broadcast.  With the default b=16, r=16 the
+  probability a pair at cosine >= 0.99 shares no bucket is ~1e-7 (angle
+  0.045 rad -> per-plane split prob p=theta/pi~0.0287; miss = (1 -
+  (1-p)^16)^16), so on the deterministic fixtures the result equals the
+  exact all-pairs answer (verified by the DuckDB oracle).
+
+All three stages are task-based ``map_batches`` with per-worker cached
+broadcast state (no actor-pool spin-up on the critical path; elastic
+concurrency).
 """
 
 from __future__ import annotations
@@ -18,64 +34,55 @@ import pandas as pd
 import ray
 import ray.data as rd
 
+from ontology_time_machine_ray.functions.broadcast import cached_get as _cached_get
 
-def _read_emb(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+
+def _read_emb(path_or_sf_dir: str) -> rd.Dataset:
+    path = path_or_sf_dir
+    if not path.endswith(".parquet"):
+        path = os.path.join(path, "embeddings.parquet")
+    return rd.read_parquet(path, columns=["vec_id", "embedding"])
 
 
 def default_queries(sf_dir: str, n: int = 3) -> pd.DataFrame:
-    """Deterministic query set: the first ``n`` vectors by vec_id."""
+    """Deterministic query set: the first ``n`` vectors by vec_id.
+
+    Driver-side and O(n): only the tiny query set is ever materialized."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
     return t.nsmallest(n, "vec_id").reset_index(drop=True)
 
 
-class _BruteForceScorer:
-    """Actor stage: normalized query matrix fetched once per actor."""
+def _emb_dim(path: str) -> int:
+    """Embedding dimensionality from the first row (constant-cost peek)."""
+    import pyarrow.parquet as pq
 
-    def __init__(self, queries_ref, k: int):
-        q = ray.get(queries_ref)
-        self.qids = q["vec_id"].to_numpy()
-        qm = np.stack(q["embedding"].to_numpy()).astype(np.float64)
-        self.qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-        self.k = k
-
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-        sims = mat @ self.qm.T  # (batch, n_queries)
-        ids = df["vec_id"].to_numpy()
-        out_q, out_v, out_s = [], [], []
-        k = min(self.k, len(ids))
-        for qi, qid in enumerate(self.qids):
-            col = sims[:, qi]
-            top = np.argpartition(-col, k - 1)[:k] if len(col) > k else np.arange(len(col))
-            for t in top:
-                out_q.append(qid)
-                out_v.append(ids[t])
-                out_s.append(col[t])
-        return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "sim": out_s})
+    f = pq.ParquetFile(path)
+    first = next(f.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(first.column("embedding")[0])
 
 
-def ann_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 3) -> pd.DataFrame:
-    """Exact top-k cosine neighbours per query: (query_id, vec_id) rows.
+def _normalized(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
 
-    Per-batch partial top-k bounds the driver-side merge to
-    (num_blocks x k x n_queries) rows regardless of corpus size.
-    """
-    queries_ref = ray.put(default_queries(sf_dir, n_queries))
-    partials = (
-        _read_emb(sf_dir)
-        .map_batches(
-            _BruteForceScorer,
-            fn_constructor_args=(queries_ref, k),
-            batch_format="pandas",
-            concurrency=2,
-        )
-        .to_pandas()
-    )
-    # final merge: exact top-k per query with (sim desc, vec_id asc) tie-break
+
+def _partial_topk(ids, sims, qids, k: int) -> pd.DataFrame:
+    """Per-batch partial top-k for each query column of ``sims``."""
+    out_q, out_v, out_s = [], [], []
+    n = len(ids)
+    kk = min(k, n)
+    for qi, qid in enumerate(qids):
+        col = sims[:, qi]
+        top = np.argpartition(-col, kk - 1)[:kk] if n > kk else np.arange(n)
+        out_q.extend([qid] * len(top))
+        out_v.extend(ids[top])
+        out_s.extend(col[top])
+    return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "sim": out_s})
+
+
+def _merge_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Exact final top-k per query with (sim desc, vec_id asc) tie-break."""
     partials = partials.sort_values(
         ["query_id", "sim", "vec_id"], ascending=[True, False, True], kind="stable"
     )
@@ -83,96 +90,159 @@ def ann_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 3) -> pd.DataFrame
     return top[["query_id", "vec_id"]].reset_index(drop=True)
 
 
-class _LshBucketer:
-    def __init__(self, planes_ref):
-        self.planes = ray.get(planes_ref)  # (n_planes, dim) float64
+def ann_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 3) -> pd.DataFrame:
+    """Exact top-k cosine neighbours per query: (query_id, vec_id) rows.
 
-    def bucket_of(self, mat: np.ndarray) -> np.ndarray:
-        signs = (mat @ self.planes.T) > 0
-        return (signs @ (1 << np.arange(signs.shape[1]))).astype(np.int64)
+    The query matrix is normalized once on the driver and broadcast; each
+    batch emits a partial top-k, so the driver-side merge is bounded by
+    (num_blocks x k x n_queries) rows regardless of corpus size.
+    """
+    q = default_queries(sf_dir, n_queries)
+    qids = q["vec_id"].to_numpy()
+    qm = _normalized(np.stack(q["embedding"].to_numpy()).astype(np.float64))
+    queries_ref = ray.put((qids, qm))
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        return pd.DataFrame(
-            {"vec_id": df["vec_id"].to_numpy(), "bucket": self.bucket_of(mat),
-             "embedding": df["embedding"].to_numpy()}
-        )
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        qids_, qm_ = _cached_get(queries_ref)
+        mat = _normalized(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        sims = mat @ qm_.T  # (batch, n_queries)
+        return _partial_topk(df["vec_id"].to_numpy(), sims, qids_, k)
+
+    partials = _read_emb(sf_dir).map_batches(score, batch_format="pandas").to_pandas()
+    return _merge_topk(partials, k)
 
 
-def ann_lsh(sf_dir: str, k: int = 10, n_queries: int = 3, n_planes: int = 6, seed: int = 7) -> pd.DataFrame:
-    """Approximate top-k: random-hyperplane buckets; each query searches
-    only its own bucket.  The scale path -- the exhaustive scan shrinks to
-    ~corpus/2^n_planes per query."""
+def ann_lsh(
+    sf_dir: str, k: int = 10, n_queries: int = 3, n_planes: int = 6, seed: int = 7
+) -> pd.DataFrame:
+    """Approximate top-k: random-hyperplane buckets; each query is scored
+    only against its own bucket's vectors.  Candidate selection AND
+    scoring run inside the same ``map_batches`` pass against the broadcast
+    query matrix -- each batch emits a partial top-k per query, so the
+    driver never sees the (corpus/2^n_planes-scale) candidate set."""
     rng = np.random.RandomState(seed)
-    # dim probed from the query set (cheap driver-side peek)
     q = default_queries(sf_dir, n_queries)
     dim = len(q["embedding"].iloc[0])
     planes = rng.normal(size=(n_planes, dim))
-    planes_ref = ray.put(planes)
+    qm_raw = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+    pow2 = 1 << np.arange(n_planes)
+    q_buckets = (((qm_raw @ planes.T) > 0) @ pow2).astype(np.int64)
+    qids = q["vec_id"].to_numpy()
+    qn = _normalized(qm_raw)
+    state_ref = ray.put((planes, qids, q_buckets, qn))
 
-    bucketed = _read_emb(sf_dir).map_batches(
-        _LshBucketer, fn_constructor_args=(planes_ref,), batch_format="pandas", concurrency=2
-    )
-    qm = np.stack(q["embedding"].to_numpy()).astype(np.float64)
-    q_buckets = ((qm @ planes.T) > 0) @ (1 << np.arange(n_planes))
-    wanted = set(int(b) for b in q_buckets)
-    in_buckets = bucketed.map_batches(
-        lambda df: df[df["bucket"].isin(wanted)], batch_format="pandas"
-    ).to_pandas()
-
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-    out = []
-    for qi, (qid, qb) in enumerate(zip(q["vec_id"], q_buckets)):
-        cand = in_buckets[in_buckets["bucket"] == int(qb)]
-        if len(cand) == 0:
-            continue
-        mat = np.stack(cand["embedding"].to_numpy()).astype(np.float64)
-        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-        sims = mat @ qn[qi]
-        order = np.lexsort((cand["vec_id"].to_numpy(), -sims))[:k]
-        for t in order:
-            out.append((qid, int(cand["vec_id"].iloc[t])))
-    return pd.DataFrame(out, columns=["query_id", "vec_id"])
-
-
-def embedding_dup_pairs(sf_dir: str, threshold_e6: int = 990_000) -> pd.DataFrame:
-    """Embedding-cosine near-dup pairs: all (a, b) with cosine >= theta.
-
-    Brute force within blocks against the broadcast full matrix (the
-    corpus is the query set).  Threshold in millionths compared on
-    integers after a fixed rounding, for cross-engine determinism.
-    """
-    full = default_queries(sf_dir, n=1 << 62)  # all vectors, sorted by vec_id
-    ids = full["vec_id"].to_numpy()
-    mat = np.stack(full["embedding"].to_numpy()).astype(np.float64)
-    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-    full_ref = ray.put((ids, mat))
-
-    class Scorer:
-        def __init__(self):
-            self.ids, self.mat = ray.get(full_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            bmat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-            bmat = bmat / np.maximum(np.linalg.norm(bmat, axis=1, keepdims=True), 1e-30)
-            bids = df["vec_id"].to_numpy()
-            sims = bmat @ self.mat.T
-            sims_e6 = np.round(sims * 1e6).astype(np.int64)
-            ai, bj = np.nonzero(sims_e6 >= threshold_e6)
-            keep = bids[ai] < self.ids[bj]  # each unordered pair once
-            return pd.DataFrame(
-                {"a": bids[ai][keep], "b": self.ids[bj][keep],
-                 "sim_e6": sims_e6[ai, bj][keep]}
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        planes_, qids_, q_buckets_, qn_ = _cached_get(state_ref)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        buckets = (((mat @ planes_.T) > 0) @ pow2).astype(np.int64)
+        ids = df["vec_id"].to_numpy()
+        matn = _normalized(mat)
+        frames = []
+        for qi, (qid, qb) in enumerate(zip(qids_, q_buckets_)):
+            in_bucket = np.nonzero(buckets == qb)[0]
+            if len(in_bucket) == 0:
+                continue
+            sims = matn[in_bucket] @ qn_[qi]
+            frames.append(
+                _partial_topk(ids[in_bucket], sims[:, None], [qid], k)
             )
+        if not frames:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"), "vec_id": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")}
+            )
+        return pd.concat(frames, ignore_index=True)
 
-    out = (
-        _read_emb(sf_dir)
-        .map_batches(Scorer, batch_format="pandas", concurrency=2)
-        .to_pandas()
-    )
-    if len(out) == 0:  # no near-dups: typed empty frame
+    partials = _read_emb(sf_dir).map_batches(score, batch_format="pandas").to_pandas()
+    if len(partials) == 0:
         return pd.DataFrame(
-            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-             "sim_e6": pd.Series(dtype="int64")}
+            {"query_id": pd.Series(dtype="int64"), "vec_id": pd.Series(dtype="int64")}
         )
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+    return _merge_topk(partials, k)
+
+
+#: within-bucket pair-expansion guard: a (band, bucket) group larger than
+#: this is a pathological hub (e.g. millions of byte-identical vectors);
+#: it is scored in sorted-id chunks rather than one giant matmul.
+MAX_BUCKET_CHUNK = 4096
+
+
+def embedding_dup_pairs(
+    sf_dir: str,
+    threshold_e6: int = 990_000,
+    bands: int = 16,
+    planes_per_band: int = 16,
+    seed: int = 11,
+    emb_path: str | None = None,
+) -> rd.Dataset:
+    """Embedding-cosine near-dup pairs: all (a, b), a < b, with
+    round(cosine * 1e6) >= threshold_e6.
+
+    Banded hyperplane blocking (see module docstring for the recall
+    bound), exact within-bucket cosine, cross-band pair dedup on a
+    bucketed (a, b) shuffle.  Runs over the fixture's augmented embedding
+    table (``embeddings_aug.parquet``: the driver corpus plus planted
+    near-duplicate vectors) so the oracle has a non-trivial answer.
+    Threshold compared on integers after fixed rounding for cross-engine
+    determinism.
+    """
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply, grouped_head1
+
+    if emb_path is None:
+        from ontology_time_machine_ray.fixtures import ensure_fixtures
+
+        emb_path = ensure_fixtures(sf_dir).embeddings_aug
+    dim = _emb_dim(emb_path)
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(bands * planes_per_band, dim))
+    planes_ref = ray.put(planes)
+    pow2 = 1 << np.arange(planes_per_band, dtype=np.int64)
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        planes_ = _cached_get(planes_ref)
+        mat = _normalized(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        signs = (mat @ planes_.T) > 0  # (n, bands * r)
+        n = len(df)
+        buckets = (signs.reshape(n, bands, planes_per_band) @ pow2).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(df["vec_id"].to_numpy(), bands),
+                "band": np.tile(np.arange(bands, dtype=np.int64), n),
+                "bucket": buckets.ravel(),
+                "emb": list(np.repeat(mat, bands, axis=0)),
+            }
+        )
+
+    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_s = [], [], []
+        collide = g[g.duplicated(["band", "bucket"], keep=False)]
+        for _, grp in collide.groupby(["band", "bucket"], sort=False):
+            grp = grp.sort_values("vec_id")
+            ids = grp["vec_id"].to_numpy()
+            mat = np.stack(grp["emb"].to_numpy())
+            # memory guard for hub buckets: tile the exact pairwise matmul
+            # so peak memory is O(chunk^2) while every chunk pair is still
+            # scored -- exactness within the bucket is preserved
+            for lo_i in range(0, len(ids), MAX_BUCKET_CHUNK):
+                imat = mat[lo_i : lo_i + MAX_BUCKET_CHUNK]
+                iids = ids[lo_i : lo_i + MAX_BUCKET_CHUNK]
+                for lo_j in range(lo_i, len(ids), MAX_BUCKET_CHUNK):
+                    jmat = mat[lo_j : lo_j + MAX_BUCKET_CHUNK]
+                    jids = ids[lo_j : lo_j + MAX_BUCKET_CHUNK]
+                    sims_e6 = np.round(imat @ jmat.T * 1e6).astype(np.int64)
+                    ai, bj = np.nonzero(sims_e6 >= threshold_e6)
+                    # ids are sorted, so i-chunk id < j-chunk id except on
+                    # the diagonal tile, where ai < bj enforces a < b
+                    keep = (iids[ai] < jids[bj])
+                    out_a.extend(iids[ai[keep]])
+                    out_b.extend(jids[bj[keep]])
+                    out_s.extend(sims_e6[ai[keep], bj[keep]])
+        return pd.DataFrame(
+            {"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64"),
+             "sim_e6": pd.Series(out_s, dtype="int64")}
+        )
+
+    banded = _read_emb(emb_path).map_batches(band_rows, batch_format="pandas")
+    pair_rows = grouped_apply(banded, ["band", "bucket"], pairs_in_group)
+    # a pair can surface in several bands: keep one row per (a, b)
+    return grouped_head1(pair_rows, keys=["a", "b"], order_by=["sim_e6"])

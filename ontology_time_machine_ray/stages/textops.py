@@ -53,8 +53,8 @@ def text_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def text_stats(sf_dir: str) -> pd.DataFrame:
-    return _read_docs(sf_dir).map_batches(text_stats_batch, batch_format="pandas").to_pandas()
+def text_stats(sf_dir: str) -> rd.Dataset:
+    return _read_docs(sf_dir).map_batches(text_stats_batch, batch_format="pandas")
 
 
 def quality_score_batch(df: pd.DataFrame) -> pd.DataFrame:
@@ -74,8 +74,8 @@ def quality_score_batch(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": df["doc_id"], "quality": score})
 
 
-def quality_score(sf_dir: str) -> pd.DataFrame:
-    return _read_docs(sf_dir).map_batches(quality_score_batch, batch_format="pandas").to_pandas()
+def quality_score(sf_dir: str) -> rd.Dataset:
+    return _read_docs(sf_dir).map_batches(quality_score_batch, batch_format="pandas")
 
 
 def lang_id_batch(df: pd.DataFrame) -> pd.DataFrame:
@@ -96,8 +96,8 @@ def lang_id_batch(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": pred})
 
 
-def lang_id(sf_dir: str) -> pd.DataFrame:
-    return _read_docs(sf_dir).map_batches(lang_id_batch, batch_format="pandas").to_pandas()
+def lang_id(sf_dir: str) -> rd.Dataset:
+    return _read_docs(sf_dir).map_batches(lang_id_batch, batch_format="pandas")
 
 
 def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
@@ -107,15 +107,15 @@ def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": content_md5_series(norm)})
 
 
-def fingerprints(sf_dir: str) -> pd.DataFrame:
-    return _read_docs(sf_dir).map_batches(fingerprint_batch, batch_format="pandas").to_pandas()
+def fingerprints(sf_dir: str) -> rd.Dataset:
+    return _read_docs(sf_dir).map_batches(fingerprint_batch, batch_format="pandas")
 
 
-def dedup_exact(sf_dir: str) -> pd.DataFrame:
+def dedup_exact(sf_dir: str) -> rd.Dataset:
     """Exact document dedup: hash-bucketed shuffle on the content
     fingerprint, min doc_id per fingerprint kept (deterministic winner),
     vectorized inside buckets (groupagg)."""
     from ontology_time_machine_ray.stages.groupagg import grouped_head1
 
     ds = _read_docs(sf_dir).map_batches(fingerprint_batch, batch_format="pandas")
-    return grouped_head1(ds, keys=["fingerprint"], order_by=["doc_id"]).to_pandas()
+    return grouped_head1(ds, keys=["fingerprint"], order_by=["doc_id"])

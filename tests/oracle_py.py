@@ -152,7 +152,11 @@ class Oracle:
             if ont is not None:
                 st, ct = self.origins[ont]
                 if st != 0 and st in PASSTHROUGH and ct in req_mimes:
-                    return origin()
+                    if st == 200:
+                        return origin()
+                    # non-200 passthrough (301/304/451...) with matching
+                    # mime is returned as-is (proxy_logic.py:218-229)
+                    return (False, st, "origin-passthrough", None, None)
             return archived(self.versions[ont][-1] if ont else None)
         if policy == "latestArchived":
             return archived(self.versions[ont][-1] if ont else None)

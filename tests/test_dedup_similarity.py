@@ -31,7 +31,7 @@ def test_jaccard_pairs_find_planted_dups(dup_corpus):
     from ontology_time_machine_ray.stages.dedup_docs import jaccard_pairs
 
     df, ds = dup_corpus
-    pairs = jaccard_pairs("unused", threshold=0.8, docs_ds=ds)
+    pairs = jaccard_pairs("unused", threshold=0.8, docs_ds=ds).to_pandas()
     got = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
     assert {(j, 100 + j) for j in range(5)} <= got
     # unrelated random docs never collide at 0.8
@@ -42,7 +42,7 @@ def test_minhash_clusters_match_planted_dups(dup_corpus):
     from ontology_time_machine_ray.stages.dedup_docs import minhash_clusters
 
     df, ds = dup_corpus
-    out = minhash_clusters("unused", threshold=0.8, docs_ds=ds)
+    out = minhash_clusters("unused", threshold=0.8, docs_ds=ds).to_pandas()
     by_doc = dict(zip(out["doc_id"], out["cluster"]))
     for j in range(5):
         assert by_doc[j] == by_doc[100 + j], f"near-dup pair {j} not clustered"
@@ -54,7 +54,7 @@ def test_simhash_pairs_on_planted_dups(dup_corpus):
     from ontology_time_machine_ray.stages.dedup_docs import simhash_pairs
 
     df, ds = dup_corpus
-    pairs = simhash_pairs("unused", max_hamming=3, docs_ds=ds)
+    pairs = simhash_pairs("unused", max_hamming=3, docs_ds=ds).to_pandas()
     got = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
     # every reported pair must truly be within the hamming bound
     from ontology_time_machine_ray.stages.dedup_docs import _simhash_batch
