@@ -185,6 +185,81 @@ def kg_intercept_archivo(sf_dir: str):
     return _pipe(sf_dir).mentions().map_batches(decide, batch_format="pyarrow")
 
 
+def kg_client_config(sf_dir: str):
+    """M10/M11: per-client configuration parsed out of the basic-auth
+    username (base64 decode -> ':' split -> www-form decode -> CLI parse;
+    proxy_wrapper.py:134-151, proxy_logic.py:65-86, config.py:141-337).
+    Errors are data: parse_ok=0 with NULL config columns."""
+    import ray.data as rd
+
+    from ontology_time_machine_ray.functions.authparse import parse_client_config
+
+    paths = ensure_fixtures(sf_dir)
+
+    def parse(df: pd.DataFrame) -> pd.DataFrame:
+        memo: dict = {}
+        rows = []
+        for h in df["auth_header"]:
+            key = None if pd.isna(h) else h
+            r = memo.get(key)
+            if r is None:
+                r = memo[key] = parse_client_config(key)
+            rows.append(r)
+        ok = pd.Series([r["parse_ok"] for r in rows], dtype="int64")
+
+        def col(name):
+            return pd.Series(
+                [r[name] if r["parse_ok"] else None for r in rows], dtype="object"
+            )
+
+        def flag(name):
+            return pd.Series(
+                [str(bool(r[name])).lower() if r["parse_ok"] else None for r in rows],
+                dtype="object",
+            )
+
+        return pd.DataFrame(
+            {
+                "client_id": df["client_id"],
+                "parse_ok": ok,
+                "onto_format": col("ontoFormat"),
+                "onto_precedence": col("ontoPrecedence"),
+                "onto_version": col("ontoVersion"),
+                "https_interception": col("httpsInterception"),
+                "patch_accept_upstream": flag("patchAcceptUpstream"),
+                "restricted_access": flag("restrictedAccess"),
+            }
+        )
+
+    return rd.read_parquet(paths.client_auth).map_batches(parse, batch_format="pandas")
+
+
+def kg_intercept_modes(sf_dir: str):
+    """The full do_intercept policy matrix (custom_proxy.py:133-174):
+    ALL -> always intercept, NONE -> never, BLOCK -> never reached (the
+    CONNECT is rejected upstream -> False), ARCHIVO -> index membership."""
+
+    def decide(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        in_archivo = df["ontology_id"].notna().astype("int64")
+        frames = []
+        for mode, val in (("all", 1), ("none", 0), ("block", 0), ("archivo", None)):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": df["doc_id"],
+                        "term_iri": df["term_iri"],
+                        "mode": [mode] * n,
+                        "intercept": in_archivo if val is None
+                        else pd.Series([val] * n, dtype="int64"),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return _pipe(sf_dir).mentions().map_batches(decide, batch_format="pandas")
+
+
 def kg_dependency_closure(sf_dir: str) -> pd.DataFrame:
     """J5: dependency-manifest transitive closure (the reference's dormant
     graph walk, proxy_logic.py:276-307) via distributed path doubling."""
@@ -247,6 +322,8 @@ QUERIES = {
     "kg_spans_passthrough": kg_spans_passthrough,
     "kg_dependency_closure": kg_dependency_closure,
     "kg_intercept_archivo": kg_intercept_archivo,
+    "kg_intercept_modes": kg_intercept_modes,
+    "kg_client_config": kg_client_config,
     "media_catalog": media_catalog,
     "media_frames": media_frames,
     # relational / events engine ops
@@ -290,6 +367,7 @@ _KG_ORACLE_NAMES = (
     "kg_spans_passthrough",
     "kg_dependency_closure",
     "kg_intercept_archivo",
+    "kg_intercept_modes",
     "media_catalog",
 )
 
@@ -301,4 +379,5 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out = {n: sql_oracles.kg_sql(n, paths.root, DEFAULT_CONFIG.timestamp) for n in _KG_ORACLE_NAMES}
     out.update(sql_oracles.TESTDATA_SQL)
     out["dedup_embed"] = sql_oracles.dedup_embed_sql(paths.root)
+    out["kg_client_config"] = sql_oracles.client_config_sql(paths.root)
     return out

@@ -292,6 +292,14 @@ FROM flat""",
         "kg_intercept_archivo": f"WITH {_MENTIONS_CTES}\n"
         "SELECT doc_id, term_iri, CAST(ontology_id IS NOT NULL AS BIGINT) AS intercept "
         "FROM mentions",
+        "kg_intercept_modes": f"WITH {_MENTIONS_CTES},\n"
+        "  modes(mode) AS (VALUES ('all'), ('none'), ('block'), ('archivo'))\n"
+        "SELECT m.doc_id, m.term_iri, mo.mode,\n"
+        "  CASE mo.mode WHEN 'all' THEN CAST(1 AS BIGINT)\n"
+        "       WHEN 'none' THEN CAST(0 AS BIGINT)\n"
+        "       WHEN 'block' THEN CAST(0 AS BIGINT)\n"
+        "       ELSE CAST(m.ontology_id IS NOT NULL AS BIGINT) END AS intercept\n"
+        "FROM mentions m CROSS JOIN modes mo",
         "kg_dependency_closure": """
 WITH RECURSIVE deps AS (
   SELECT * FROM read_parquet('__ROOT__/dependencies.parquet')
@@ -452,6 +460,94 @@ scored AS (
 SELECT query_id, vec_id FROM scored
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= 10""",
 }
+
+
+#: recognized CLI tokens for the auth-config parse (config.py:141-337).
+_AUTH_VALUE_OPTS = {
+    "ontoFormat": ("turtle", "ntriples", "rdfxml", "htmldocu"),
+    "ontoPrecedence": ("default", "enforcedPriority", "always"),
+    "ontoVersion": (
+        "original", "originalFailoverLiveLatest", "latestArchived", "timestampArchived",
+    ),
+    "httpsInterception": ("none", "all", "block", "archivo"),
+}
+_AUTH_DEFAULTS = {
+    "ontoFormat": "ntriples",
+    "ontoPrecedence": "enforcedPriority",
+    "ontoVersion": "latestArchived",
+    "httpsInterception": "all",
+}
+_AUTH_FLAGS = ("patchAcceptUpstream", "restrictedAccess", "disableRemovingRedirects")
+_AUTH_KNOWN = (
+    list(_AUTH_VALUE_OPTS)
+    + list(_AUTH_FLAGS)
+    + ["clientConfigViaProxyAuth", "logLevelTimeMachine", "logLevelBase", "host", "port"]
+)
+
+
+def client_config_sql(fixture_root: str) -> str:
+    """Independent SQL restatement of the per-client auth-config parse
+    (M10/M11): base64 decode, exactly-one-':' credential split, www-form
+    decode of the username, token-list validation (unknown args, stray
+    positionals, missing/invalid enum values), enum case-insensitive
+    canonicalization with reference defaults."""
+
+    def enum_case(name: str) -> str:
+        low = {v.lower(): v for v in _AUTH_VALUE_OPTS[name]}
+        whens = "\n         ".join(f"WHEN '{k}' THEN '{v}'" for k, v in low.items())
+        return (
+            f"CASE WHEN NOT list_contains(toks, '--{name}') THEN '{_AUTH_DEFAULTS[name]}'\n"
+            f"    ELSE (CASE lower(regexp_extract(dec, '--{name} ([^ ]+)', 1))\n"
+            f"         {whens} ELSE NULL END) END"
+        )
+
+    known_list = ", ".join(f"'--{n}'" for n in _AUTH_KNOWN)
+    # an option is "broken" if present but its next token is missing or
+    # itself a flag (regexp_extract then yields '' or '--...', which the
+    # enum CASE maps to NULL -> parse error)
+    enum_checks = " AND ".join(f"cfg_{n} IS NOT NULL" for n in _AUTH_VALUE_OPTS)
+    enum_cols = ",\n    ".join(f"{enum_case(n)} AS cfg_{n}" for n in _AUTH_VALUE_OPTS)
+    flag_cols = ",\n    ".join(
+        f"CAST(list_contains(toks, '--{n}') AS VARCHAR) AS cfg_{n}" for n in _AUTH_FLAGS
+    )
+    return f"""
+WITH a AS (
+  SELECT client_id, auth_header
+  FROM read_parquet('{fixture_root}/client_auth.parquet')),
+b AS (  -- "Basic <b64>" with a decodable payload; anything else -> NULL
+  SELECT *, CASE
+    WHEN auth_header IS NULL THEN NULL
+    WHEN NOT regexp_matches(auth_header, '^[Bb]asic [A-Za-z0-9+/]+=*$') THEN NULL
+    ELSE decode(from_base64(regexp_extract(auth_header, '^[Bb]asic (.*)$', 1)))
+  END AS creds FROM a),
+c AS (
+  SELECT *, CASE WHEN creds IS NULL OR len(string_split(creds, ':')) != 2 THEN NULL
+                 ELSE string_split(creds, ':')[1] END AS uenc FROM b),
+d AS (  -- www-form decode ('+' and '%20' are the fixture's only escapes)
+  SELECT *, replace(replace(uenc, '+', ' '), '%20', ' ') AS dec FROM c),
+e AS (SELECT *, string_split(dec, ' ') AS toks FROM d),
+f AS (
+  SELECT *,
+    {enum_cols},
+    {flag_cols},
+    (dec IS NOT NULL
+     AND dec LIKE '--%'  -- catches empty usernames and leading positionals
+     AND len(list_filter(toks, t -> t = '')) = 0  -- argparse('') errors
+     AND len(list_filter(toks, t -> t LIKE '--%'
+                                AND t NOT IN ({known_list}))) = 0
+    ) AS args_shape_ok
+  FROM e),
+g AS (
+  SELECT *, (args_shape_ok AND {enum_checks}) AS ok FROM f)
+SELECT client_id,
+  CAST(ok AS BIGINT) AS parse_ok,
+  CASE WHEN ok THEN cfg_ontoFormat END AS onto_format,
+  CASE WHEN ok THEN cfg_ontoPrecedence END AS onto_precedence,
+  CASE WHEN ok THEN cfg_ontoVersion END AS onto_version,
+  CASE WHEN ok THEN cfg_httpsInterception END AS https_interception,
+  CASE WHEN ok THEN cfg_patchAcceptUpstream END AS patch_accept_upstream,
+  CASE WHEN ok THEN cfg_restrictedAccess END AS restricted_access
+FROM g"""
 
 
 def dedup_embed_sql(fixture_root: str) -> str:
