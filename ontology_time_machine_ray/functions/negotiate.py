@@ -71,6 +71,13 @@ def parse_accept_header_with_priority(accept_header: str) -> list[tuple[str, flo
     """Parse an Accept header into ``[(mime, q)]`` ordered by q descending,
     stable within equal q (utils.py:124-133; ordering matches the werkzeug
     behaviour locked down by reference tests/test_utils.py:47-59)."""
+    import re
+
+    # werkzeug 3.x (the reference's parser, utils.py:1,127): a q that does
+    # not fullmatch this or falls outside [0, 1] DROPS the item entirely
+    # ("Items with invalid q values are skipped", RFC 9110 behaviour)
+    q_re = re.compile(r"-?\d+(\.\d+)?")
+
     items: list[tuple[str, float]] = []
     if not accept_header:
         return items
@@ -83,15 +90,24 @@ def parse_accept_header_with_priority(accept_header: str) -> list[tuple[str, flo
         if not mime:
             continue
         q = 1.0
+        valid = True
         for param in pieces[1:]:
             param = param.strip()
             if param.startswith("q="):
-                try:
-                    q = float(param[2:])
-                except ValueError:
-                    q = 1.0
+                q_str = param[2:].strip()
+                if q_str == "":
+                    # 'q=' with no value: the options parser drops the
+                    # empty param, so the item keeps its default q=1
+                    break
+                if q_re.fullmatch(q_str) is None:
+                    valid = False
+                    break
+                q = float(q_str)
+                if q < 0.0 or q > 1.0:
+                    valid = False
                 break
-        items.append((mime, q))
+        if valid:
+            items.append((mime, q))
     # stable sort by q descending preserves appearance order within a tie
     items.sort(key=lambda t: t[1], reverse=True)
     # normalize q=1.0 -> 1 to byte-match the reference expectations

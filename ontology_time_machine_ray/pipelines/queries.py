@@ -269,6 +269,21 @@ def kg_dependency_closure(sf_dir: str) -> pd.DataFrame:
     return dependency_closure(paths.dependencies)
 
 
+def kg_dependency_closure_ttl(sf_dir: str) -> pd.DataFrame:
+    """J5 via RDF-format ingestion: the dependency manifest parsed from
+    its Turtle form (the reference's tests/dependency.ttl shape) instead
+    of the parquet edge table; checked against the same recursive-CTE
+    oracle, proving parse + closure end to end."""
+    import ray.data as rd
+
+    from ontology_time_machine_ray.sources.readers import read_dependency_ttl
+    from ontology_time_machine_ray.stages.graph import dependency_closure
+
+    paths = ensure_fixtures(sf_dir)
+    edges = rd.from_arrow(read_dependency_ttl(paths.dependencies_ttl, paths.ontology_index))
+    return dependency_closure(paths.dependencies, edges_ds=edges)
+
+
 def media_catalog(sf_dir: str):
     paths = ensure_fixtures(sf_dir)
     return media.media_catalog(paths.documents)
@@ -321,6 +336,7 @@ QUERIES = {
     "kg_formats_complete": kg_formats_complete,
     "kg_spans_passthrough": kg_spans_passthrough,
     "kg_dependency_closure": kg_dependency_closure,
+    "kg_dependency_closure_ttl": kg_dependency_closure_ttl,
     "kg_intercept_archivo": kg_intercept_archivo,
     "kg_intercept_modes": kg_intercept_modes,
     "kg_client_config": kg_client_config,
@@ -366,6 +382,7 @@ _KG_ORACLE_NAMES = (
     "kg_formats_complete",
     "kg_spans_passthrough",
     "kg_dependency_closure",
+    "kg_dependency_closure_ttl",
     "kg_intercept_archivo",
     "kg_intercept_modes",
     "media_catalog",

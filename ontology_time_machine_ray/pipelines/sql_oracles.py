@@ -310,6 +310,18 @@ reach(a, b) AS (
   SELECT r.a, d.depends_on FROM reach r JOIN deps d ON d.ontology_id = r.b
 )
 SELECT a AS ontology_id, b AS dep_id FROM reach""",
+        # the Turtle manifest encodes the same edges as the parquet table,
+        # so the TTL-ingestion query shares the recursive-CTE oracle
+        "kg_dependency_closure_ttl": """
+WITH RECURSIVE deps AS (
+  SELECT * FROM read_parquet('__ROOT__/dependencies.parquet')
+),
+reach(a, b) AS (
+  SELECT ontology_id, depends_on FROM deps
+  UNION
+  SELECT r.a, d.depends_on FROM reach r JOIN deps d ON d.ontology_id = r.b
+)
+SELECT a AS ontology_id, b AS dep_id FROM reach""",
         "media_catalog": """
 WITH flat AS (
   SELECT doc_id, unnest(spans) AS span,

@@ -86,6 +86,56 @@ def build_index_parquet(iri_txt_path: str, out_parquet: str) -> str:
     return digest
 
 
+def read_dependency_ttl(ttl_path: str, index_path: str) -> pa.Table:
+    """RDF-format ingestion of the dependency manifest (the reference's
+    dormant graph is Turtle: ``tests/dependency.ttl``, walked by the
+    commented-out resolver at proxy_logic.py:276-307).
+
+    Parses the Turtle subset the manifest uses -- ``@prefix`` headers and
+    ``<subj> pred <o1>, <o2> ; pred2 <o3> .`` statements -- keeping
+    ``ex-version:dependency`` / ``owl:imports`` edges, then maps the IRIs
+    to ontology ids through the index table.  Returns an edge table with
+    the same schema as ``dependencies.parquet``."""
+    import re
+
+    text = open(ttl_path).read()
+    # drop prefix headers; statements end at '.' on a line end
+    body = "\n".join(
+        ln for ln in text.splitlines() if not ln.strip().startswith("@prefix")
+    )
+    iri_re = re.compile(r"<([^>]*)>")
+    src, dst = [], []
+    for stmt in re.split(r"\s\.\s|\s\.$", body):
+        stmt = stmt.strip()
+        if not stmt:
+            continue
+        m = iri_re.match(stmt)
+        if m is None:
+            continue
+        subject = m.group(1)
+        rest = stmt[m.end():]
+        for po in rest.split(";"):
+            po = po.strip()
+            if po.startswith(("ex-version:dependency", "owl:imports")):
+                for obj in iri_re.findall(po):
+                    src.append(subject)
+                    dst.append(obj)
+    idx = pq.read_table(index_path)
+    iri_to_id = dict(zip(idx["iri"].to_pylist(), idx["ontology_id"].to_pylist()))
+    pairs = [
+        (iri_to_id[s], iri_to_id[d])
+        for s, d in zip(src, dst)
+        if s in iri_to_id and d in iri_to_id
+    ]
+    return pa.table(
+        {
+            "ontology_id": [p[0] for p in pairs],
+            "depends_on": [p[1] for p in pairs],
+        },
+        schema=pa.schema([("ontology_id", pa.string()), ("depends_on", pa.string())]),
+    )
+
+
 def read_conformance_tsv(path: str) -> pa.Table:
     """S7: tab-separated conformance corpus with the reference's columns
     (enable_testcase, iri, error_dimension, expected_error, iri_type,

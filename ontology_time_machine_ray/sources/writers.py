@@ -43,7 +43,16 @@ def _manifest_path(out_dir: str, part: int) -> str:
     return os.path.join(out_dir, f"part={part:05d}", "_manifest.json")
 
 
-def completed_partitions(out_dir: str, config_hash: str) -> set[int]:
+def completed_partitions(
+    out_dir: str, config_hash: str, num_partitions: int | None = None,
+    key: str | None = None,
+) -> set[int]:
+    """DONE partitions whose manifest matches config hash AND layout.
+
+    A partition written under a different ``num_partitions`` or partition
+    ``key`` belongs to a DIFFERENT hash layout -- resuming over it would
+    silently mix layouts (duplicated/missing rows per partition), so a
+    layout mismatch is treated as not-DONE."""
     done: set[int] = set()
     if not os.path.isdir(out_dir):
         return done
@@ -56,8 +65,13 @@ def completed_partitions(out_dir: str, config_hash: str) -> set[int]:
                 m = json.load(open(mpath))
             except (json.JSONDecodeError, OSError):
                 continue
-            if m.get("status") == "DONE" and m.get("config_hash") == config_hash:
-                done.add(int(name.split("=")[1]))
+            if m.get("status") != "DONE" or m.get("config_hash") != config_hash:
+                continue
+            if num_partitions is not None and m.get("num_partitions") != num_partitions:
+                continue
+            if key is not None and m.get("partition_key") != key:
+                continue
+            done.add(int(name.split("=")[1]))
     return done
 
 
@@ -85,7 +99,7 @@ def write_partitioned(
     if dedup_keys is not None:
         assert key in dedup_keys, "fused dedup requires the partition key in dedup_keys"
     os.makedirs(out_dir, exist_ok=True)
-    done = completed_partitions(out_dir, config_hash)
+    done = completed_partitions(out_dir, config_hash, num_partitions, key)
 
     with_part = ds.map_batches(
         lambda df: add_partition_column(df, num_partitions, key),
@@ -120,6 +134,8 @@ def write_partitioned(
             "partition": part,
             "rows": int(len(g)),
             "config_hash": config_hash,
+            "num_partitions": num_partitions,
+            "partition_key": key,
         }
         with open(_manifest_path(out_dir, part), "w") as f:
             json.dump(manifest, f)

@@ -53,6 +53,7 @@ def _empty_edges() -> pd.DataFrame:
             "u": pd.Series(dtype="string"),
             "v": pd.Series(dtype="string"),
             "ekey": pd.Series(dtype="int64"),
+            "ekey2": pd.Series(dtype="int64"),
         }
     )
 
@@ -69,11 +70,13 @@ def _canonical_edges(df: pd.DataFrame) -> pd.DataFrame:
     out = out[out["u"] != out["v"]].drop_duplicates()
     if len(out) == 0:
         return _empty_edges()
-    # 31-bit folded key: its int64 sum is an overflow-safe convergence checksum
-    ekey = (stable_hash64_series(out["u"].str.cat(out["v"], sep="\x1f")) % (2**31)).astype(
-        "int64"
-    )
-    return out.assign(ekey=ekey)
+    # convergence checksum: two independent 31-bit folds of the edge hash
+    # whose int64 sums are overflow-safe; together with the edge count the
+    # equality proxy has ~2^-62 collision probability per round pair
+    h = stable_hash64_series(out["u"].str.cat(out["v"], sep="\x1f")).astype("uint64")
+    ekey = (h % np.uint64(2**31)).astype("int64")
+    ekey2 = ((h >> np.uint64(33)) % np.uint64(2**31)).astype("int64")
+    return out.assign(ekey=ekey, ekey2=ekey2)
 
 
 def _large_star_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -160,6 +163,7 @@ def connected_components(edges_ds, max_rounds: int = 12, salt_mod: int = 8,
     from ray.data.aggregate import Count, Sum
 
     prev_sig = None
+    converged = False
     for _ in range(max_rounds):
         large = grouped_apply(_sym(edges), ["center"], _large_star_bucket)
         renamed = large.map_batches(
@@ -168,11 +172,22 @@ def connected_components(edges_ds, max_rounds: int = 12, salt_mod: int = 8,
         )
         small = grouped_apply(renamed, ["center"], _small_star_bucket)
         edges = small.map_batches(_canonical_edges, batch_format="pandas").materialize()
-        stats = edges.aggregate(Sum("ekey", alias_name="s"), Count(alias_name="n"))
-        sig = (stats["s"], stats["n"])
+        stats = edges.aggregate(
+            Sum("ekey", alias_name="s"), Sum("ekey2", alias_name="s2"), Count(alias_name="n")
+        )
+        sig = (stats["s"], stats["s2"], stats["n"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # a partially-contracted mapping is silently WRONG -- refuse to
+        # emit it (ADVICE: raise rather than return garbage components)
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            "star rounds; raise max_rounds (graph diameter exceeds the "
+            "doubling budget)"
+        )
 
     # node -> component via salted two-phase min (hub-safe)
     def _partial_min(df: pd.DataFrame) -> pd.DataFrame:
@@ -232,12 +247,13 @@ def make_rewriter(mapping_ref):
 
 def component_mapping(triples_ds) -> dict[str, str]:
     """node -> component dict from the stream's sameAs edges (broadcast
-    side; size-guarded)."""
+    side; size-guarded -- above the limit use ``canonicalize_triples``,
+    which falls back to the partitioned-join rewrite)."""
     mapping_ds = connected_components(sameas_edges(triples_ds))
     n_nodes = mapping_ds.count()
     assert n_nodes <= MAX_BROADCAST_NODES, (
         f"equivalence graph too large to broadcast ({n_nodes} nodes); "
-        "switch the rewrite to a partitioned join"
+        "use canonicalize_triples (partitioned-join fallback)"
     )
     if n_nodes == 0:
         return {}
@@ -245,11 +261,62 @@ def component_mapping(triples_ds) -> dict[str, str]:
     return dict(zip(pdf["node"], pdf["component"]))
 
 
-def canonicalize_triples(triples_ds, concurrency: int | None = None):
+def _drop_degenerate(batch: pd.DataFrame) -> pd.DataFrame:
+    """Equivalence edges whose endpoints merged are now self-loops: drop."""
+    degenerate = batch["pred"].isin((OWL_SAME_AS, OWL_EQUIVALENT_CLASS)) & (
+        batch["subj"] == batch["obj"]
+    )
+    return batch[~degenerate]
+
+
+def _canonicalize_partitioned(triples_ds, mapping_ds):
+    """Rewrite via two bucketed hash joins (subj, then obj) for mappings
+    too large to broadcast: each join co-locates triples and mapping rows
+    on ``hash(key) % B`` and merges vectorized per bucket -- corpus and
+    mapping both stay distributed."""
+    from ontology_time_machine_ray.stages.groupagg import bucketed_join
+
+    def rename(col_key: str, col_val: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.rename(columns={"node": col_key, "component": col_val})
+
+        return fn
+
+    m_subj = mapping_ds.map_batches(rename("subj", "_c_subj"), batch_format="pandas")
+    j1 = bucketed_join(triples_ds, m_subj, on=["subj"], how="left")
+
+    def apply_subj(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(subj=df["_c_subj"].fillna(df["subj"]))
+        return df.drop(columns=["_c_subj"])
+
+    step1 = j1.map_batches(apply_subj, batch_format="pandas")
+    m_obj = mapping_ds.map_batches(rename("obj", "_c_obj"), batch_format="pandas")
+    j2 = bucketed_join(step1, m_obj, on=["obj"], how="left")
+
+    def apply_obj(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(obj=df["_c_obj"].fillna(df["obj"]))
+        return _drop_degenerate(df.drop(columns=["_c_obj"]))
+
+    return j2.map_batches(apply_obj, batch_format="pandas")
+
+
+def canonicalize_triples(triples_ds, concurrency: int | None = None,
+                         broadcast_limit: int | None = None):
     """Rewrite the triple stream through sameAs components; caller should
-    re-dedup afterwards (rewrites can merge rows)."""
-    mapping = component_mapping(triples_ds)
-    if not mapping:
+    re-dedup afterwards (rewrites can merge rows).
+
+    Mapping <= ``broadcast_limit`` nodes: broadcast lookup inside
+    ``map_batches`` (one corpus pass, no shuffle).  Above it: the
+    partitioned-join fallback (two bucketed joins) -- degrades instead of
+    dying when the equivalence graph outgrows a worker's heap."""
+    if broadcast_limit is None:
+        broadcast_limit = MAX_BROADCAST_NODES
+    mapping_ds = connected_components(sameas_edges(triples_ds)).materialize()
+    n_nodes = mapping_ds.count()
+    if n_nodes == 0:
         return triples_ds
-    mapping_ref = ray.put(mapping)
+    if n_nodes > broadcast_limit:
+        return _canonicalize_partitioned(triples_ds, mapping_ds)
+    pdf = mapping_ds.to_pandas()
+    mapping_ref = ray.put(dict(zip(pdf["node"], pdf["component"])))
     return triples_ds.map_batches(make_rewriter(mapping_ref), batch_format="pandas")

@@ -75,9 +75,14 @@ def transitive_closure(edges_ds, max_rounds: int = 16, small_edges_limit: int | 
     return reach
 
 
-def dependency_closure(dependencies_path: str) -> pd.DataFrame:
-    """(ontology_id, dep_id) transitive dependency pairs."""
-    edges = rd.read_parquet(dependencies_path).map_batches(
+def dependency_closure(dependencies_path: str, edges_ds=None) -> pd.DataFrame:
+    """(ontology_id, dep_id) transitive dependency pairs.
+
+    ``edges_ds`` overrides the parquet source with any Dataset of
+    (ontology_id, depends_on) rows -- e.g. the Turtle-manifest reader
+    (sources.readers.read_dependency_ttl)."""
+    src = edges_ds if edges_ds is not None else rd.read_parquet(dependencies_path)
+    edges = src.map_batches(
         lambda df: df.rename(columns={"ontology_id": "a", "depends_on": "b"}),
         batch_format="pandas",
     )

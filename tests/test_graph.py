@@ -42,3 +42,46 @@ def test_cli_smoke(ray_session, sf_dir, tmp_path):
     import os
 
     assert os.path.exists(os.path.join(out, "_lineage.json"))
+
+
+def test_dependency_ttl_roundtrip(ray_session, sf_dir):
+    """The Turtle manifest parses to exactly the parquet edge set."""
+    import pyarrow.parquet as pq
+
+    from ontology_time_machine_ray.fixtures import ensure_fixtures
+    from ontology_time_machine_ray.sources.readers import read_dependency_ttl
+
+    paths = ensure_fixtures(sf_dir)
+    ttl = read_dependency_ttl(paths.dependencies_ttl, paths.ontology_index)
+    want = pq.read_table(paths.dependencies)
+    got_pairs = set(zip(ttl["ontology_id"].to_pylist(), ttl["depends_on"].to_pylist()))
+    want_pairs = set(zip(want["ontology_id"].to_pylist(), want["depends_on"].to_pylist()))
+    assert got_pairs == want_pairs and len(ttl) == len(want)
+
+
+def test_dependency_ttl_reference_shape(tmp_path):
+    """Parser tolerates the reference manifest's multi-predicate ';' and
+    owl:imports statements (tests/dependency.ttl shape)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_time_machine_ray.sources.readers import read_dependency_ttl
+
+    idx = pa.table(
+        {"ontology_id": ["A", "B", "C"],
+         "iri": ["http://x.org/a", "http://x.org/b", "http://x.org/c"],
+         "host": ["x.org"] * 3, "path": ["/a", "/b", "/c"]}
+    )
+    ipath = str(tmp_path / "idx.parquet")
+    pq.write_table(idx, ipath)
+    ttl = tmp_path / "m.ttl"
+    ttl.write_text(
+        "@prefix ex-version: <https://example.org/versioning/> .\n"
+        "<http://x.org/a> owl:imports <http://x.org/b>, <http://x.org/c> ;\n"
+        "    ex-version:snapshot <http://irrelevant.example/s> ;\n"
+        "    ex-version:dependency <http://x.org/c> .\n"
+        "<http://x.org/b> ex-version:snapshot <http://irrelevant.example/t> .\n"
+    )
+    out = read_dependency_ttl(str(ttl), ipath)
+    pairs = set(zip(out["ontology_id"].to_pylist(), out["depends_on"].to_pylist()))
+    assert pairs == {("A", "B"), ("A", "C")}

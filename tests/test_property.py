@@ -40,7 +40,15 @@ def accept_headers(draw):
     parts = []
     for _ in range(n):
         mime = draw(MIMES)
-        q = draw(st.sampled_from([None, 1.0, 0.9, 0.8, 0.5, 0.3, 0.0]))
+        # includes out-of-range (2, -0.5, 1.5, 100) and malformed (abc,
+        # 1e-1, empty) q values: werkzeug 3 DROPS those items, and the
+        # engine's parser must agree (ADVICE round 1)
+        q = draw(
+            st.sampled_from(
+                [None, 1.0, 0.9, 0.8, 0.5, 0.3, 0.0,
+                 2.0, -0.5, 1.5, 100, "abc", "1e-1", ""]
+            )
+        )
         parts.append(mime if q is None else f"{mime};q={q}")
     return ",".join(parts)
 

@@ -62,9 +62,30 @@ def test_write_partitioned_and_resume(ray_session, tmp_path):
     summary3 = write_partitioned(ds3, out, num_partitions=8, config_hash="cfg2")
     assert sum(summary3["partitions"].values()) == 100
     assert summary3["skipped"] == []
-    # manifests record the new config
+    # manifests record the new config AND the hash layout
     m = json.load(open(os.path.join(out, "part=00000", "_manifest.json")))
     assert m["config_hash"] == "cfg2" and m["status"] == "DONE"
+    assert m["num_partitions"] == 8 and m["partition_key"] == "subj"
+
+
+def test_resume_with_different_layout_rewrites(ray_session, tmp_path):
+    """A store written with another output_partitions (or key) is a
+    DIFFERENT hash layout: resuming over it must not skip anything
+    (ADVICE round 1: silently mixing layouts duplicates/loses rows)."""
+    from ontology_time_machine_ray.sources.writers import write_partitioned
+
+    out = str(tmp_path / "store")
+    ds, _ = _toy_ds()
+    write_partitioned(ds, out, num_partitions=4, config_hash="cfg1")
+
+    ds2, _ = _toy_ds()
+    summary = write_partitioned(ds2, out, num_partitions=8, config_hash="cfg1")
+    assert summary["skipped"] == []  # nothing from the 4-way layout reused
+    assert sum(summary["partitions"].values()) == 100
+    # key change is likewise a new layout
+    ds3, _ = _toy_ds()
+    summary3 = write_partitioned(ds3, out, num_partitions=8, config_hash="cfg1", key="obj")
+    assert summary3["skipped"] == []
 
 
 def test_kg_materialize_smoke(ray_session, sf_dir, tmp_path):
