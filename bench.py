@@ -82,8 +82,14 @@ def run_bench() -> dict:
     extras: dict[str, float] = {}
 
     def timed(name, fn):
+        import ray.data as rd
+
         t0 = time.time()
         result = fn()
+        if isinstance(result, rd.Dataset):
+            # queries are lazy Datasets: force full execution so the
+            # timing covers the pipeline, not the plan construction
+            result = result.materialize()
         queries[name] = round(time.time() - t0, 3)
         return result
 
@@ -105,12 +111,14 @@ def run_bench() -> dict:
     extras["triples_out"] = n_triples
     extras["n_docs"] = n_docs
 
-    if not ONLY_KG:
-        # raw link throughput (no shuffle): mentions+triples emission only
-        raw_triples = timed("kg_link_raw", lambda: pipe.triples_raw().count())
-        extras["raw_triples"] = raw_triples
-        extras["raw_triples_per_sec"] = round(raw_triples / queries["kg_link_raw"], 1)
+    # raw link throughput (no shuffle): mentions+triples emission only --
+    # timed in scaling mode too, so the per-stage 8-vs-32 efficiencies
+    # separate compute scaling from shuffle scaling
+    raw_triples = timed("kg_link_raw", lambda: pipe.triples_raw().count())
+    extras["raw_triples"] = raw_triples
+    extras["raw_triples_per_sec"] = round(raw_triples / queries["kg_link_raw"], 1)
 
+    if not ONLY_KG:
         timed("rel_q1_lineitem", lambda: relational.q1_lineitem(SF_DIR))
         timed("events_hourly", lambda: relational.events_hourly(SF_DIR))
         timed("dedup_minhash", lambda: minhash_clusters(SF_DIR))
@@ -154,6 +162,11 @@ def run_scaling() -> dict:
         results[ncpu] = json.loads(out.strip().splitlines()[-1])
     t_lo, t_hi = results[lo]["value"], results[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    # per-stage efficiency of the shuffle-free scan+link stage: if THIS
+    # flattens too, the ceiling is the box's memory bandwidth, not the
+    # engine's shuffle (a real 4N-node cluster scales DRAM with nodes)
+    raw_lo = results[lo]["queries"]["kg_link_raw"]
+    raw_hi = results[hi]["queries"]["kg_link_raw"]
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -163,6 +176,9 @@ def run_scaling() -> dict:
         f"sec_{hi}cpu": t_hi,
         f"docs_per_sec_{lo}cpu": results[lo]["docs_per_sec"],
         f"docs_per_sec_{hi}cpu": results[hi]["docs_per_sec"],
+        "link_raw_efficiency": round((raw_lo / raw_hi) / (hi / lo), 3),
+        f"link_raw_sec_{lo}cpu": raw_lo,
+        f"link_raw_sec_{hi}cpu": raw_hi,
         "n_docs": results[hi]["n_docs"],
         "sf": SF_DIR,
         "repeat": SCALING_REPEAT,

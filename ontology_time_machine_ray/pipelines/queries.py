@@ -324,6 +324,14 @@ def ann_lsh(sf_dir: str) -> pd.DataFrame:
     return similarity.ann_lsh(sf_dir)
 
 
+def ann_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF ANN: k-means inverted lists materialized as one parquet
+    directory per list; the query reads ONLY the probed lists (prune at
+    the read).  Approximate at the default probe budget -> rows-only
+    oracle; pytest pins exactness at n_probe == n_lists."""
+    return similarity.ann_ivf(sf_dir)
+
+
 QUERIES = {
     # KG pipeline (SURVEY.md §2 operator chain)
     "kg_mentions": kg_mentions,
@@ -368,6 +376,7 @@ QUERIES = {
     # similarity search
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,                  # approximate: rows-only oracle
+    "ann_ivf": ann_ivf,                  # approximate: rows-only oracle
 }
 
 #: KG queries whose oracle reads the fixture parquet.

@@ -161,6 +161,161 @@ def ann_lsh(
     return _merge_topk(partials, k)
 
 
+# --------------------------------------------------------------------- #
+# IVF (inverted-file) ANN: the prune-at-the-read scale path              #
+# --------------------------------------------------------------------- #
+def _kmeans_centroids(sf_dir: str, n_lists: int, iters: int, emb_path: str) -> np.ndarray:
+    """Deterministic distributed Lloyd iterations: assignment + partial
+    per-centroid sums inside ``map_batches`` (broadcast centroids), tiny
+    (n_lists x dim) driver reduce per round.  Init = the n_lists corpus
+    vectors with the lowest vec_ids (deterministic, no RNG over data)."""
+    init = default_queries(sf_dir, n_lists) if emb_path.endswith("embeddings.parquet") else None
+    if init is None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(emb_path).to_pandas().nsmallest(n_lists, "vec_id")
+        init = t.reset_index(drop=True)
+    centroids = _normalized(np.stack(init["embedding"].to_numpy()).astype(np.float64))
+
+    for _ in range(iters):
+        c_ref = ray.put(centroids)
+
+        def partial_sums(df: pd.DataFrame) -> pd.DataFrame:
+            c = _cached_get(c_ref)
+            mat = _normalized(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+            assign = np.argmax(mat @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, mat)
+            counts = np.bincount(assign, minlength=len(c))
+            return pd.DataFrame(
+                {"list_id": np.arange(len(c), dtype=np.int64),
+                 "vec_sum": list(sums), "n": counts.astype(np.int64)}
+            )
+
+        agg = _read_emb(emb_path).map_batches(partial_sums, batch_format="pandas").to_pandas()
+        g = agg.groupby("list_id", sort=True)
+        sums = np.stack(g["vec_sum"].apply(lambda rows: np.sum(np.stack(rows), axis=0)))
+        counts = g["n"].sum().to_numpy()
+        nonempty = counts > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = _normalized(sums[nonempty] / counts[nonempty, None])
+    return centroids
+
+
+def build_ivf_index(
+    sf_dir: str, n_lists: int = 16, iters: int = 3, emb_path: str | None = None
+) -> tuple[str, np.ndarray]:
+    """Materialize the IVF index: vectors bucketed into one parquet
+    directory PER inverted list (hash-free list partitioning), centroids
+    alongside.  Cached in /tmp keyed by corpus + params; at real scale
+    this is the partitioned store the query phase prunes against."""
+    import pyarrow.parquet as pq
+
+    if emb_path is None:
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    # tag includes the corpus file identity (path hash + size + mtime) so a
+    # regenerated fixture can never serve a stale cached index
+    st = os.stat(emb_path)
+    import hashlib
+
+    ident = hashlib.sha1(
+        f"{os.path.abspath(emb_path)}:{st.st_size}:{int(st.st_mtime)}".encode()
+    ).hexdigest()[:12]
+    tag = f"{ident}_k{n_lists}_i{iters}"
+    out_dir = os.path.join("/tmp/otm_ivf", tag)
+    cpath = os.path.join(out_dir, "centroids.npy")
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return out_dir, np.load(cpath)
+
+    centroids = _kmeans_centroids(sf_dir, n_lists, iters, emb_path)
+    os.makedirs(out_dir, exist_ok=True)
+    c_ref = ray.put(centroids)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = _cached_get(c_ref)
+        mat = _normalized(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        return df.assign(list_id=np.argmax(mat @ c.T, axis=1).astype("int64"))
+
+    assigned = _read_emb(emb_path).map_batches(assign, batch_format="pandas")
+    # one directory per inverted list -> the query phase reads ONLY the
+    # probed lists (prune at the read, not a post-read filter)
+    def write_list(g: pd.DataFrame) -> pd.DataFrame:
+        lid = int(g["list_id"].iloc[0])
+        ldir = os.path.join(out_dir, f"list={lid:04d}")
+        os.makedirs(ldir, exist_ok=True)
+        g.drop(columns=["list_id"]).to_parquet(os.path.join(ldir, "data.parquet"), index=False)
+        return pd.DataFrame({"list_id": [lid], "rows": [len(g)]})
+
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply
+
+    grouped_apply(assigned, ["list_id"], write_list).materialize()
+    np.save(cpath, centroids)
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write(tag)
+    return out_dir, centroids
+
+
+def ann_ivf(
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 8,
+) -> pd.DataFrame:
+    """IVF approximate top-k: score only the ``n_probe`` inverted lists
+    nearest each query.  With ``n_probe == n_lists`` the result equals
+    brute force exactly (pytest pins this), which bounds the approximation
+    to the probe budget -- the standard IVF contract.
+
+    Scale shape: the read is pruned to the probed list directories
+    (corpus * n_probe / n_lists bytes ever leave storage); scoring is the
+    same broadcast-queries partial-top-k pass as ``ann_bruteforce``."""
+    index_dir, centroids = build_ivf_index(sf_dir, n_lists)
+    q = default_queries(sf_dir, n_queries)
+    qids = q["vec_id"].to_numpy()
+    qm = _normalized(np.stack(q["embedding"].to_numpy()).astype(np.float64))
+    # probe lists per query; union across queries = the read set
+    order = np.argsort(-(qm @ centroids.T), axis=1)[:, :n_probe]
+    probe_sets = [set(row) for row in order]
+    union_lists = sorted(set().union(*probe_sets))
+    paths = [
+        os.path.join(index_dir, f"list={lid:04d}", "data.parquet")
+        for lid in union_lists
+        if os.path.exists(os.path.join(index_dir, f"list={lid:04d}", "data.parquet"))
+    ]
+    if not paths:
+        return pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"), "vec_id": pd.Series(dtype="int64")}
+        )
+    state_ref = ray.put((centroids, qids, probe_sets, qm))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        c, qids_, probes_, qn_ = _cached_get(state_ref)
+        mat = _normalized(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        lids = np.argmax(mat @ c.T, axis=1)
+        ids = df["vec_id"].to_numpy()
+        frames = []
+        for qi, qid in enumerate(qids_):
+            mask = np.isin(lids, list(probes_[qi]))
+            if not mask.any():
+                continue
+            sims = mat[mask] @ qn_[qi]
+            frames.append(_partial_topk(ids[mask], sims[:, None], [qid], k))
+        if not frames:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"), "vec_id": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    partials = rd.read_parquet(paths).map_batches(score, batch_format="pandas").to_pandas()
+    if len(partials) == 0:
+        return pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"), "vec_id": pd.Series(dtype="int64")}
+        )
+    return _merge_topk(partials, k)
+
+
 #: within-bucket pair-expansion guard: a (band, bucket) group larger than
 #: this is a pathological hub (e.g. millions of byte-identical vectors);
 #: it is scored in sorted-id chunks rather than one giant matmul.

@@ -95,6 +95,58 @@ def test_ann_bruteforce_matches_numpy(ray_session, sf_dir):
         assert have == want
 
 
+def test_ann_ivf_full_probe_equals_bruteforce(ray_session, sf_dir):
+    """With n_probe == n_lists every list is scored, so IVF must equal the
+    exact brute-force result -- pins assignment + pruning + merge."""
+    from ontology_time_machine_ray.stages.similarity import ann_bruteforce, ann_ivf
+
+    exact = ann_bruteforce(sf_dir, k=10, n_queries=3)
+    full = ann_ivf(sf_dir, k=10, n_queries=3, n_lists=16, n_probe=16)
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        f = set(full[full["query_id"] == qid]["vec_id"])
+        assert f == e
+
+
+def test_ann_ivf_default_probe_recall(ray_session, sf_dir):
+    """At the default probe budget (8/16 lists) the query's own list is
+    always probed (its centroid is the argmax), so recall >= 1/k and the
+    query id itself is returned."""
+    from ontology_time_machine_ray.stages.similarity import ann_bruteforce, ann_ivf
+
+    exact = ann_bruteforce(sf_dir, k=10, n_queries=3)
+    approx = ann_ivf(sf_dir, k=10, n_queries=3)
+    total = hit = 0
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        assert qid in a
+        hit += len(a & e)
+        total += len(e)
+    assert hit / total >= 0.5, f"IVF recall {hit}/{total} below 0.5"
+
+
+def test_ann_ivf_prunes_read(ray_session, sf_dir):
+    """The index layout is one directory per inverted list and a probe of
+    p lists reads exactly the p list files (prune at the read)."""
+    import os
+
+    from ontology_time_machine_ray.stages.similarity import build_ivf_index
+
+    index_dir, centroids = build_ivf_index(sf_dir, n_lists=16)
+    assert centroids.shape == (16, 64)
+    lists = [d for d in os.listdir(index_dir) if d.startswith("list=")]
+    assert len(lists) >= 2  # corpus actually split across lists
+    # every vector lands in exactly one list: total rows == corpus rows
+    import pyarrow.parquet as pq
+
+    total = sum(
+        pq.read_table(os.path.join(index_dir, d, "data.parquet")).num_rows
+        for d in lists
+    )
+    assert total == pq.read_table(f"{sf_dir}/embeddings.parquet").num_rows
+
+
 def test_ann_lsh_recall(ray_session, sf_dir):
     from ontology_time_machine_ray.stages.similarity import ann_bruteforce, ann_lsh
 
