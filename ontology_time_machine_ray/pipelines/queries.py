@@ -118,12 +118,24 @@ def events_topk_users(sf_dir: str) -> pd.DataFrame:
 
     from ontology_time_machine_ray.stages.groupagg import grouped_aggregate
 
-    agg = grouped_aggregate(
+    agg_ds = grouped_aggregate(
         ds.map_batches(partial, batch_format="pandas"),
         ["user_id"],
         {"n_events": ("n", "sum"), "value_c": ("value_c", "sum")},
-    ).to_pandas()
-    agg = agg.sort_values(["value_c", "user_id"], ascending=[False, True]).head(10)
+    )
+
+    # each user appears in exactly one aggregate block, so a per-block
+    # partial top-10 is exact; the driver merges (num_blocks x 10) rows,
+    # never the full per-user aggregate
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["value_c", "user_id"], ascending=[False, True], kind="stable"
+        ).head(10)
+
+    agg = agg_ds.map_batches(block_topk, batch_format="pandas").to_pandas()
+    agg = agg.sort_values(
+        ["value_c", "user_id"], ascending=[False, True], kind="stable"
+    ).head(10)
     agg["total_value"] = agg.pop("value_c") / 100.0
     return agg.reset_index(drop=True)
 
