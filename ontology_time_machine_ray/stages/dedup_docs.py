@@ -298,22 +298,46 @@ def minhash_clusters(
 # SimHash                                                                #
 # --------------------------------------------------------------------- #
 def _simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
-    out = []
-    for text in df["text"].fillna(""):
-        toks = list(set(text.lower().split()))
-        if not toks:
-            out.append(0)
-            continue
-        h = stable_hash64_series(pd.Series(toks)).astype(np.uint64)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-            np.int64
-        )
-        vote = (2 * bits - 1).sum(axis=0)
-        sim = np.uint64(0)
-        for i in np.nonzero(vote > 0)[0]:
-            sim |= np.uint64(1) << np.uint64(i)
-        out.append(int(sim))
-    return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "simhash": np.array(out, dtype=np.uint64)})
+    """64-bit SimHash per document, vectorized across the whole batch:
+    one explode to (doc, token) rows, one bulk token hash, one bit unpack,
+    and a single ``np.add.at`` scatter for the per-document bit votes --
+    no per-document Python loop."""
+    n_docs = len(df)
+    sims = np.zeros(n_docs, dtype=np.uint64)
+    if n_docs == 0:
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "simhash": sims})
+
+    toks = df["text"].fillna("").str.lower().str.split().reset_index(drop=True)
+    ex = toks.explode().dropna()
+    if len(ex):
+        # unique tokens per doc (the set() in the scalar formulation);
+        # explode preserves doc order, so d stays sorted after the dedup
+        pairs = pd.DataFrame({"d": ex.index.to_numpy(), "t": ex.to_numpy()})
+        pairs = pairs.drop_duplicates(["d", "t"])
+        d = pairs["d"].to_numpy()
+        h = stable_hash64_series(pairs["t"]).astype(np.uint64)
+        # (n_tokens, 64) bit matrix; little-endian byte+bit order makes
+        # column i exactly bit i of the hash
+        bits = np.unpackbits(h[:, None].view(np.uint8), axis=1, bitorder="little")
+        # votes[d,i] = sum(2*bit - 1) > 0  <=>  2 * bitsum[d,i] > n_tokens[d]
+        # d is sorted+contiguous, so per-doc sums are cumsum diffs at the
+        # group boundaries (one C-speed pass; no reduceat/scatter)
+        uniq, starts, counts = np.unique(d, return_index=True, return_counts=True)
+        cs = np.cumsum(bits, axis=0, dtype=np.int32)
+        ends = starts + counts
+        top = cs[ends - 1]
+        prev = np.zeros_like(top)
+        prev[1:] = cs[starts[1:] - 1]
+        bitsum = top - prev
+        bitset = (2 * bitsum > counts[:, None]).astype(np.uint8)
+        sims[uniq] = np.packbits(bitset, axis=1, bitorder="little").view(np.uint64).ravel()
+        # all-zero-token docs keep simhash 0 (no votes -> no positive bits)
+    return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "simhash": sims})
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (bit-unpack + row sum)."""
+    return np.unpackbits(x.astype(np.uint64)[:, None].view(np.uint8), axis=1).sum(axis=1)
 
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3, docs_ds: rd.Dataset | None = None) -> rd.Dataset:
@@ -352,7 +376,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, docs_ds: rd.Dataset | None 
             sims = grp["simhash"].to_numpy(dtype=np.uint64)
             for i in range(len(ids)):
                 x = sims[i + 1 :] ^ sims[i]
-                ham = np.array([bin(v).count("1") for v in x])
+                ham = _popcount64(x)
                 for j in np.nonzero(ham <= max_hamming)[0]:
                     out_a.append(int(ids[i]))
                     out_b.append(int(ids[i + 1 + j]))
