@@ -372,6 +372,7 @@ QUERIES = {
     "sample_docs_hash": relational.sample_docs_hash,
     "events_hourly": relational.events_hourly,
     "events_sessions": relational.events_sessions,
+    "events_asof_join": relational.events_asof_join,
     "events_sliding": relational.events_sliding,
     "events_topk_users": events_topk_users,
     # text analysis

@@ -323,6 +323,70 @@ def events_sliding(sf_dir: str) -> rd.Dataset:
     )
 
 
+def events_asof_join(sf_dir: str, events_ds: rd.Dataset | None = None) -> rd.Dataset:
+    """Distributed AS-OF join between two event streams: for each
+    ``purchase`` event, the same user's most recent ``click`` at or before
+    it (inner: purchases with no prior click are dropped).
+
+    The custom-operator pattern Ray Data lacks natively: co-partition both
+    streams on the join key with ONE hash-bucket shuffle (``grouped_apply``
+    on user_id), then run the vectorized backward-search
+    (``pd.merge_asof(by=key, direction='backward')``) inside each bucket.
+    Partitioning assumption: all rows of a key land in one bucket -- the
+    same invariant every ``grouped_*`` stage documents.  Tie-break at equal
+    timestamps: the click with the highest event_id wins (right side sorted
+    by (ts, event_id); merge_asof keeps the last matching row)."""
+    ev = events_ds or _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(t["event_type"], value_set=pa.array(["purchase", "click"]))
+        )
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"][["event_id", "user_id", "ts"]].sort_values(
+            ["ts", "event_id"], kind="stable"
+        )
+        c = (
+            g[g["event_type"] == "click"][["event_id", "user_id", "ts"]]
+            .rename(columns={"event_id": "click_event_id"})
+            .sort_values(["ts", "click_event_id"], kind="stable")
+        )
+        c = c.assign(click_ts=c["ts"])
+        if len(p) == 0 or len(c) == 0:
+            return pd.DataFrame(
+                {
+                    "purchase_event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "purchase_ts": pd.Series(dtype="datetime64[us]"),
+                    "click_event_id": pd.Series(dtype="int64"),
+                    "click_ts": pd.Series(dtype="datetime64[us]"),
+                }
+            )
+        out = pd.merge_asof(
+            p,
+            c[["user_id", "ts", "click_event_id", "click_ts"]],
+            on="ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        out = out[out["click_event_id"].notna()]
+        return pd.DataFrame(
+            {
+                "purchase_event_id": out["event_id"].astype("int64"),
+                "user_id": out["user_id"].astype("int64"),
+                "purchase_ts": out["ts"].astype("datetime64[us]"),
+                "click_event_id": out["click_event_id"].astype("int64"),
+                "click_ts": out["click_ts"].astype("datetime64[us]"),
+            }
+        )
+
+    return grouped_apply(
+        ev.map_batches(keep, batch_format="pyarrow"), ["user_id"], asof_bucket
+    )
+
+
 def events_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     """Session windows (gap > 30 min starts a new session) per user.
 

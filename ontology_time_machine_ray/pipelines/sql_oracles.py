@@ -382,6 +382,24 @@ SELECT user_id, date_trunc('hour', ts) AS hour,
   CAST(SUM(CAST(coalesce(regexp_extract(props, '"k":\\s*(\\d+)', 1), '0') AS BIGINT)) AS BIGINT) AS sum_k,
   SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM events GROUP BY 1, 2""",
+    "events_asof_join": """
+WITH ev AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+  FROM events WHERE event_type IN ('purchase', 'click')
+), marked AS (
+  SELECT *,
+    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_event_id,
+    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+  FROM ev)
+SELECT event_id AS purchase_event_id, user_id, ts AS purchase_ts,
+       click_event_id, click_ts
+FROM marked
+WHERE event_type = 'purchase' AND click_event_id IS NOT NULL""",
     "events_sessions": """
 WITH x AS (
   SELECT user_id, ts,
