@@ -373,6 +373,7 @@ QUERIES = {
     "events_hourly": relational.events_hourly,
     "events_sessions": relational.events_sessions,
     "events_asof_join": relational.events_asof_join,
+    "events_range_join": relational.events_range_join,
     "events_sliding": relational.events_sliding,
     "events_topk_users": events_topk_users,
     # text analysis

@@ -387,6 +387,109 @@ def events_asof_join(sf_dir: str, events_ds: rd.Dataset | None = None) -> rd.Dat
     )
 
 
+def events_range_join(sf_dir: str, events_ds: rd.Dataset | None = None) -> rd.Dataset:
+    """Distributed RANGE join (interval containment) between two large
+    streams: for each ``error`` event, the count of the same user's
+    ``click`` events in the half-open window (error_ts - 5 min, error_ts].
+
+    The canonical scale pattern for a non-equi time join: quantize time
+    into grains equal to the window length, emit each probe interval to
+    the (exactly two) grains it can overlap and each build row to its one
+    grain, equi-join on (user_id, grain) through the bucketed hash join,
+    then apply the EXACT window predicate per matched pair.  Every
+    (error, click) pair meets in exactly one grain -- the click's own --
+    so no match is double-counted and no pair dedup is needed.  Expansion
+    is bounded at 2x the probe side; no all-to-all beyond the single
+    bucketed shuffle both sides share."""
+    G_US = 5 * 60 * 1_000_000  # grain == window length, microseconds
+    ev = events_ds or _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["error", "click"])]
+        us = df["ts"].astype("int64")
+        g = us // G_US
+        err = df["event_type"].to_numpy() == "error"
+        # errors probe their own grain and the previous one (the window
+        # spans exactly those two); clicks build into their own grain
+        e = pd.DataFrame(
+            {
+                "user_id": np.repeat(df["user_id"].to_numpy()[err], 2),
+                "grain": np.stack(
+                    [g.to_numpy()[err] - 1, g.to_numpy()[err]], axis=1
+                ).ravel(),
+                "error_event_id": np.repeat(df["event_id"].to_numpy()[err], 2),
+                "error_us": np.repeat(us.to_numpy()[err], 2),
+            }
+        )
+        c = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy()[~err],
+                "grain": g.to_numpy()[~err],
+                "click_us": us.to_numpy()[~err],
+            }
+        )
+        return e, c
+
+    def expand_errors(df: pd.DataFrame) -> pd.DataFrame:
+        return expand(df)[0]
+
+    def expand_clicks(df: pd.DataFrame) -> pd.DataFrame:
+        return expand(df)[1]
+
+    from ontology_time_machine_ray.stages.groupagg import bucketed_join
+
+    probe = ev.map_batches(expand_errors, batch_format="pandas")
+    build = ev.map_batches(expand_clicks, batch_format="pandas")
+    joined = bucketed_join(probe, build, on=["user_id", "grain"], how="inner")
+
+    def count_matches(df: pd.DataFrame) -> pd.DataFrame:
+        hit = (df["click_us"] > df["error_us"] - G_US) & (df["click_us"] <= df["error_us"])
+        df = df[hit]
+        # the union inside the bucketed join NaN-fills the other side's
+        # columns, floating these ints; restore int64 so the downstream
+        # bucket hash (string of the key) agrees with the zero-row stream
+        df = df.assign(
+            error_event_id=df["error_event_id"].astype("int64"),
+            user_id=df["user_id"].astype("int64"),
+            error_us=df["error_us"].astype("int64"),
+        )
+        return df.groupby(
+            ["error_event_id", "user_id", "error_us"], as_index=False
+        ).agg(n=("click_us", "size"))
+
+    # LEFT semantics: every error contributes a zero base row, so errors
+    # with no nearby clicks still appear (n_recent_clicks = 0)
+    def zero_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] == "error"]
+        return pd.DataFrame(
+            {
+                "error_event_id": df["event_id"].to_numpy(),
+                "user_id": df["user_id"].to_numpy(),
+                "error_us": df["ts"].astype("int64").to_numpy(),
+                "n": np.zeros(len(df), dtype=np.int64),
+            }
+        )
+
+    counts = joined.map_batches(count_matches, batch_format="pandas").union(
+        ev.map_batches(zero_rows, batch_format="pandas")
+    )
+    agg = grouped_aggregate(
+        counts, ["error_event_id", "user_id", "error_us"], {"n_recent_clicks": ("n", "sum")}
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "error_event_id": df["error_event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "error_ts": df["error_us"].astype("int64").astype("datetime64[us]"),
+                "n_recent_clicks": df["n_recent_clicks"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def events_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     """Session windows (gap > 30 min starts a new session) per user.
 

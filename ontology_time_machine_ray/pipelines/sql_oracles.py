@@ -400,6 +400,14 @@ SELECT event_id AS purchase_event_id, user_id, ts AS purchase_ts,
        click_event_id, click_ts
 FROM marked
 WHERE event_type = 'purchase' AND click_event_id IS NOT NULL""",
+    "events_range_join": """
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT e.event_id AS error_event_id, e.user_id, e.ts AS error_ts,
+       CAST(count(c.ts) AS BIGINT) AS n_recent_clicks
+FROM e LEFT JOIN c ON c.user_id = e.user_id
+  AND c.ts > e.ts - INTERVAL 5 MINUTE AND c.ts <= e.ts
+GROUP BY 1, 2, 3""",
     "events_sessions": """
 WITH x AS (
   SELECT user_id, ts,

@@ -21,6 +21,42 @@ def _brute_asof(df: pd.DataFrame) -> set[tuple]:
     return out
 
 
+def test_events_range_join_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from ontology_time_machine_ray.pipelines.relational import events_range_join
+
+    rng = np.random.RandomState(5)
+    n = 800
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 10, n).astype(np.int64),
+            # dense seconds around grain boundaries: many events share the
+            # 5-min grain edge, exercising the two-grain probe + the exact
+            # half-open (ts-5m, ts] predicate incl. boundary equality
+            "ts": base + pd.to_timedelta(rng.randint(0, 1200, n), unit="s"),
+            "event_type": rng.choice(["error", "click", "view"], n),
+        }
+    )
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    got = events_range_join("unused", events_ds=rd.from_pandas(df)).to_pandas()
+
+    errs = df[df["event_type"] == "error"]
+    clicks = df[df["event_type"] == "click"]
+    want = {}
+    for _, e in errs.iterrows():
+        m = clicks[
+            (clicks["user_id"] == e["user_id"])
+            & (clicks["ts"] > e["ts"] - pd.Timedelta(minutes=5))
+            & (clicks["ts"] <= e["ts"])
+        ]
+        want[int(e["event_id"])] = len(m)
+    have = dict(zip(got["error_event_id"].astype(int), got["n_recent_clicks"].astype(int)))
+    assert have == want
+
+
 def test_events_asof_join_matches_bruteforce(ray_session):
     import ray.data as rd
 
