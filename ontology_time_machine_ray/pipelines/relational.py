@@ -445,14 +445,6 @@ def events_range_join(sf_dir: str, events_ds: rd.Dataset | None = None) -> rd.Da
     def count_matches(df: pd.DataFrame) -> pd.DataFrame:
         hit = (df["click_us"] > df["error_us"] - G_US) & (df["click_us"] <= df["error_us"])
         df = df[hit]
-        # the union inside the bucketed join NaN-fills the other side's
-        # columns, floating these ints; restore int64 so the downstream
-        # bucket hash (string of the key) agrees with the zero-row stream
-        df = df.assign(
-            error_event_id=df["error_event_id"].astype("int64"),
-            user_id=df["user_id"].astype("int64"),
-            error_us=df["error_us"].astype("int64"),
-        )
         return df.groupby(
             ["error_event_id", "user_id", "error_us"], as_index=False
         ).agg(n=("click_us", "size"))

@@ -106,10 +106,31 @@ def bucketed_join(
     keys upstream if a single key exceeds a bucket.
     """
     on = list(on)
-    lcols = [c for c in left.schema().names if c not in on]
-    rcols = [c for c in right.schema().names if c not in on]
+    lschema, rschema = left.schema(), right.schema()
+    lcols = [c for c in lschema.names if c not in on]
+    rcols = [c for c in rschema.names if c not in on]
     assert not (set(lcols) & set(rcols)), "non-key columns must not collide"
     all_cols = on + lcols + rcols
+
+    # the union NaN-fills each side's missing columns, which silently
+    # floats integer columns; remember the declared dtypes so each side is
+    # restored before the merge (an int64 key that became 3128.0 would
+    # stringify differently downstream)
+    import pyarrow as pa
+
+    def _np_dtypes(schema) -> dict:
+        out = {}
+        for name, typ in zip(schema.names, schema.types):
+            if not isinstance(typ, pa.DataType):
+                continue  # from_pandas schemas may carry plain Python types
+            try:
+                out[name] = typ.to_pandas_dtype()
+            except (NotImplementedError, pa.ArrowNotImplementedError):
+                pass  # nested/extension types: leave as-is
+        return out
+
+    ldtypes = _np_dtypes(lschema)
+    rdtypes = _np_dtypes(rschema)
 
     def tag(side: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -123,8 +144,12 @@ def bucketed_join(
     )
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["_side"] == "l"][on + lcols]
-        r = g[g["_side"] == "r"][on + rcols]
+        l = g[g["_side"] == "l"][on + lcols].astype(
+            {c: d for c, d in ldtypes.items() if c in on or c in lcols}
+        )
+        r = g[g["_side"] == "r"][on + rcols].astype(
+            {c: d for c, d in rdtypes.items() if c in on or c in rcols}
+        )
         return l.merge(r, on=on, how=how)
 
     return grouped_apply(both, on, merge_bucket, num_buckets)
