@@ -336,6 +336,16 @@ def ann_lsh(sf_dir: str) -> pd.DataFrame:
     return similarity.ann_lsh(sf_dir)
 
 
+def _distinct_sketch(sf_dir: str) -> pd.DataFrame:
+    """KMV cardinality sketch (see stages/sketch.py): exact below
+    saturation -> checkable against count(DISTINCT) at test scale; the
+    same shuffle-free operator degrades to a bounded-error estimate at
+    corpus scale."""
+    from ontology_time_machine_ray.stages.sketch import distinct_customers_sketch
+
+    return distinct_customers_sketch(sf_dir)
+
+
 def ann_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF ANN: k-means inverted lists materialized as one parquet
     directory per list; the query reads ONLY the probed lists (prune at
@@ -369,6 +379,7 @@ QUERIES = {
     "rel_order_lineitem_join": relational.order_lineitem_join,
     "rel_price_quantiles": relational.price_quantiles,
     "rel_distinct_customers": relational.distinct_customers,
+    "rel_distinct_sketch": _distinct_sketch,
     "sample_docs_hash": relational.sample_docs_hash,
     "events_hourly": relational.events_hourly,
     "events_sessions": relational.events_sessions,

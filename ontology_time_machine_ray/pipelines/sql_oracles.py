@@ -373,6 +373,8 @@ UNION ALL SELECT 0.90, quantile_disc(p, 0.90) FROM c""",
     "rel_distinct_customers": """
 SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers
 FROM orders GROUP BY 1""",
+    "rel_distinct_sketch": """
+SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct FROM orders""",
     "sample_docs_hash": """
 SELECT doc_id FROM documents
 WHERE substr(md5(coalesce(text, '')), 1, 1) IN ('0', '1')""",

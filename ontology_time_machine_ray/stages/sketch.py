@@ -1,0 +1,91 @@
+"""Mergeable cardinality sketch (KMV / bottom-k) as a distributed operator.
+
+K-Minimum-Values estimates |distinct| from the k smallest values of a
+uniform 64-bit hash of the column: each block emits its k smallest unique
+hashes (a partial sketch, <= k * 8 bytes regardless of block size), the
+driver unions the tiny partials and keeps the global k smallest.  If the
+union holds fewer than k distinct hashes the sketch is *saturation-free*
+and the count is EXACT -- which is what makes the operator DuckDB
+oracle-checkable at test scale (`count(DISTINCT ...)`) while degrading to
+a (k-1) * 2^64 / h_(k) estimate with ~1/sqrt(k-2) relative error on
+corpora with billions of distinct keys.
+
+Scale shape: one streaming pass, no shuffle at all (the partials are the
+only thing that ever leaves a worker), driver merge is O(blocks * k).
+This is the pattern the exact `distinct_customers` operator cannot
+follow -- its bucketed shuffle moves every distinct key once -- so the
+sketch is the 100-TB path and the exact operator the small-side path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ontology_time_machine_ray.functions.hashing import stable_hash64_series
+
+
+def kmv_partial(values: pd.Series, k: int) -> np.ndarray:
+    """The k smallest unique hash values of ``values`` (sorted uint64)."""
+    h = np.unique(stable_hash64_series(values).astype(np.uint64))
+    if len(h) > k:
+        h = np.partition(h, k - 1)[:k]
+        h.sort()
+    return h
+
+
+def kmv_merge(partials: list[np.ndarray], k: int) -> np.ndarray:
+    """Union partial sketches and keep the global k smallest (the sketch
+    is a bounded-size commutative monoid: merge order never matters)."""
+    if not partials:
+        return np.array([], dtype=np.uint64)
+    return kmv_partial_from_hashes(np.concatenate(partials), k)
+
+
+def kmv_partial_from_hashes(h: np.ndarray, k: int) -> np.ndarray:
+    h = np.unique(h.astype(np.uint64))
+    if len(h) > k:
+        h = np.partition(h, k - 1)[:k]
+        h.sort()
+    return h
+
+
+def kmv_estimate(sketch: np.ndarray, k: int) -> int:
+    """Distinct-count estimate: exact when unsaturated (< k hashes seen),
+    else the classic KMV estimator (k-1) / F(h_(k)) with F the fraction
+    of the hash space below the k-th minimum."""
+    if len(sketch) < k:
+        return int(len(sketch))
+    kth = float(sketch[k - 1]) + 1.0  # h_(k), half-open hash space
+    return int(round((k - 1) * (2.0 ** 64) / kth))
+
+
+def distinct_count_sketch(ds: rd.Dataset, column: str, k: int = 8192) -> int:
+    """Streaming distinct-count of ``ds[column]`` via KMV."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sk = kmv_partial(df[column], k)
+        return pd.DataFrame({"h": sk})
+
+    partials = (
+        ds.select_columns([column])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()["h"]
+        .to_numpy()
+    )
+    return kmv_estimate(kmv_partial_from_hashes(partials, k), k)
+
+
+def distinct_customers_sketch(sf_dir: str, k: int = 8192) -> pd.DataFrame:
+    """Query entry: distinct order customers via the sketch.  At sf<=0.1
+    the sketch is unsaturated, so the result equals the exact
+    ``count(DISTINCT o_custkey)`` oracle; at corpus scale the same code
+    returns the bounded-error estimate without ever shuffling."""
+    import os
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    )
+    n = distinct_count_sketch(ds, "o_custkey", k)
+    return pd.DataFrame({"n_distinct": pd.Series([n], dtype="int64")})
