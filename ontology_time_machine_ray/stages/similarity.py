@@ -47,10 +47,15 @@ def _read_emb(path_or_sf_dir: str) -> rd.Dataset:
 def default_queries(sf_dir: str, n: int = 3) -> pd.DataFrame:
     """Deterministic query set: the first ``n`` vectors by vec_id.
 
-    Driver-side and O(n): only the tiny query set is ever materialized."""
+    Two pruned reads, never the full table on the driver: an id-column-only
+    scan picks the n smallest vec_ids (8 bytes/row), then a predicate-
+    pushdown read fetches just those n embedding rows."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ids = pq.read_table(path, columns=["vec_id"]).to_pandas().nsmallest(n, "vec_id")
+    want = ids["vec_id"].to_numpy()
+    t = pq.read_table(path, filters=[("vec_id", "in", want.tolist())]).to_pandas()
     return t.nsmallest(n, "vec_id").reset_index(drop=True)
 
 
@@ -169,12 +174,12 @@ def _kmeans_centroids(sf_dir: str, n_lists: int, iters: int, emb_path: str) -> n
     per-centroid sums inside ``map_batches`` (broadcast centroids), tiny
     (n_lists x dim) driver reduce per round.  Init = the n_lists corpus
     vectors with the lowest vec_ids (deterministic, no RNG over data)."""
-    init = default_queries(sf_dir, n_lists) if emb_path.endswith("embeddings.parquet") else None
-    if init is None:
-        import pyarrow.parquet as pq
+    import pyarrow.parquet as pq
 
-        t = pq.read_table(emb_path).to_pandas().nsmallest(n_lists, "vec_id")
-        init = t.reset_index(drop=True)
+    ids = pq.read_table(emb_path, columns=["vec_id"]).to_pandas().nsmallest(n_lists, "vec_id")
+    init = pq.read_table(
+        emb_path, filters=[("vec_id", "in", ids["vec_id"].tolist())]
+    ).to_pandas().nsmallest(n_lists, "vec_id").reset_index(drop=True)
     centroids = _normalized(np.stack(init["embedding"].to_numpy()).astype(np.float64))
 
     for _ in range(iters):
