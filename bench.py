@@ -121,6 +121,8 @@ def run_bench() -> dict:
     if not ONLY_KG:
         timed("rel_q1_lineitem", lambda: relational.q1_lineitem(SF_DIR))
         timed("events_hourly", lambda: relational.events_hourly(SF_DIR))
+        timed("events_asof_join", lambda: relational.events_asof_join(SF_DIR))
+        timed("events_range_join", lambda: relational.events_range_join(SF_DIR))
         timed("dedup_minhash", lambda: minhash_clusters(SF_DIR))
         timed("ann_bruteforce", lambda: similarity.ann_bruteforce(SF_DIR))
 
