@@ -440,33 +440,25 @@ def events_range_join(sf_dir: str, events_ds: rd.Dataset | None = None) -> rd.Da
 
     probe = ev.map_batches(expand_errors, batch_format="pandas")
     build = ev.map_batches(expand_clicks, batch_format="pandas")
-    joined = bucketed_join(probe, build, on=["user_id", "grain"], how="inner")
+    # LEFT join keeps a (NaN-click) row for probe grains with no build
+    # rows, so zero-match errors survive to the final count without a
+    # separate zero-row pass over the input
+    joined = bucketed_join(probe, build, on=["user_id", "grain"], how="left")
 
     def count_matches(df: pd.DataFrame) -> pd.DataFrame:
-        hit = (df["click_us"] > df["error_us"] - G_US) & (df["click_us"] <= df["error_us"])
-        df = df[hit]
+        hit = (
+            (df["click_us"] > df["error_us"] - G_US)
+            & (df["click_us"] <= df["error_us"])
+        ).fillna(False)
+        df = df.assign(n=hit.to_numpy().astype(np.int64))
         return df.groupby(
             ["error_event_id", "user_id", "error_us"], as_index=False
-        ).agg(n=("click_us", "size"))
+        ).agg(n=("n", "sum"))
 
-    # LEFT semantics: every error contributes a zero base row, so errors
-    # with no nearby clicks still appear (n_recent_clicks = 0)
-    def zero_rows(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["event_type"] == "error"]
-        return pd.DataFrame(
-            {
-                "error_event_id": df["event_id"].to_numpy(),
-                "user_id": df["user_id"].to_numpy(),
-                "error_us": df["ts"].astype("int64").to_numpy(),
-                "n": np.zeros(len(df), dtype=np.int64),
-            }
-        )
-
-    counts = joined.map_batches(count_matches, batch_format="pandas").union(
-        ev.map_batches(zero_rows, batch_format="pandas")
-    )
     agg = grouped_aggregate(
-        counts, ["error_event_id", "user_id", "error_us"], {"n_recent_clicks": ("n", "sum")}
+        joined.map_batches(count_matches, batch_format="pandas"),
+        ["error_event_id", "user_id", "error_us"],
+        {"n_recent_clicks": ("n", "sum")},
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
