@@ -392,86 +392,89 @@ def events_range_join(sf_dir: str, events_ds: rd.Dataset | None = None) -> rd.Da
     streams: for each ``error`` event, the count of the same user's
     ``click`` events in the half-open window (error_ts - 5 min, error_ts].
 
-    The canonical scale pattern for a non-equi time join: quantize time
-    into grains equal to the window length, emit each probe interval to
-    the (exactly two) grains it can overlap and each build row to its one
-    grain, equi-join on (user_id, grain) through the bucketed hash join,
-    then apply the EXACT window predicate per matched pair.  Every
-    (error, click) pair meets in exactly one grain -- the click's own --
-    so no match is double-counted and no pair dedup is needed.  Expansion
-    is bounded at 2x the probe side; no all-to-all beyond the single
-    bucketed shuffle both sides share."""
-    G_US = 5 * 60 * 1_000_000  # grain == window length, microseconds
+    ONE scan + ONE hash-bucket shuffle on user_id (the asof-join's
+    partitioning invariant: all rows of a key land in one bucket), then a
+    vectorized prefix-count inside each bucket: clicks get a per-user
+    cumulative rank in ts order, and two backward ``merge_asof`` probes at
+    ``error_ts`` and ``error_ts - window`` turn the window count into a
+    rank difference -- N(click <= hi) - N(click <= lo).  No row expansion,
+    no pair materialization, no second aggregate.  If a single user ever
+    outweighed a bucket, the fallback is window-grain quantization (emit
+    probes to the two grains they overlap, equi-join on (user, grain));
+    at the bucket sizes here the prefix-count path strictly dominates."""
+    G_US = 5 * 60 * 1_000_000  # window length, microseconds
     ev = events_ds or _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
-    def expand(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["event_type"].isin(["error", "click"])]
-        us = df["ts"].astype("int64")
-        g = us // G_US
-        err = df["event_type"].to_numpy() == "error"
-        # errors probe their own grain and the previous one (the window
-        # spans exactly those two); clicks build into their own grain
-        e = pd.DataFrame(
-            {
-                "user_id": np.repeat(df["user_id"].to_numpy()[err], 2),
-                "grain": np.stack(
-                    [g.to_numpy()[err] - 1, g.to_numpy()[err]], axis=1
-                ).ravel(),
-                "error_event_id": np.repeat(df["event_id"].to_numpy()[err], 2),
-                "error_us": np.repeat(us.to_numpy()[err], 2),
-            }
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(t["event_type"], value_set=pa.array(["error", "click"]))
         )
-        c = pd.DataFrame(
-            {
-                "user_id": df["user_id"].to_numpy()[~err],
-                "grain": g.to_numpy()[~err],
-                "click_us": us.to_numpy()[~err],
-            }
-        )
-        return e, c
 
-    def expand_errors(df: pd.DataFrame) -> pd.DataFrame:
-        return expand(df)[0]
-
-    def expand_clicks(df: pd.DataFrame) -> pd.DataFrame:
-        return expand(df)[1]
-
-    from ontology_time_machine_ray.stages.groupagg import bucketed_join
-
-    probe = ev.map_batches(expand_errors, batch_format="pandas")
-    build = ev.map_batches(expand_clicks, batch_format="pandas")
-    # LEFT join keeps a (NaN-click) row for probe grains with no build
-    # rows, so zero-match errors survive to the final count without a
-    # separate zero-row pass over the input
-    joined = bucketed_join(probe, build, on=["user_id", "grain"], how="left")
-
-    def count_matches(df: pd.DataFrame) -> pd.DataFrame:
-        hit = (
-            (df["click_us"] > df["error_us"] - G_US)
-            & (df["click_us"] <= df["error_us"])
-        ).fillna(False)
-        df = df.assign(n=hit.to_numpy().astype(np.int64))
-        return df.groupby(
-            ["error_event_id", "user_id", "error_us"], as_index=False
-        ).agg(n=("n", "sum"))
-
-    agg = grouped_aggregate(
-        joined.map_batches(count_matches, batch_format="pandas"),
-        ["error_event_id", "user_id", "error_us"],
-        {"n_recent_clicks": ("n", "sum")},
+    empty = pd.DataFrame(
+        {
+            "error_event_id": pd.Series(dtype="int64"),
+            "user_id": pd.Series(dtype="int64"),
+            "error_ts": pd.Series(dtype="datetime64[us]"),
+            "n_recent_clicks": pd.Series(dtype="int64"),
+        }
     )
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        is_err = g["event_type"].to_numpy() == "error"
+        err = g[is_err]
+        if len(err) == 0:
+            return empty
+        e = pd.DataFrame(
+            {
+                "error_event_id": err["event_id"].to_numpy(),
+                "user_id": err["user_id"].to_numpy(),
+                "error_us": err["ts"].astype("int64").to_numpy(),
+            }
+        ).sort_values("error_us", kind="stable")
+        clk = g[~is_err]
+        if len(clk) == 0:
+            n = np.zeros(len(e), dtype=np.int64)
+        else:
+            c = (
+                pd.DataFrame(
+                    {
+                        "user_id": clk["user_id"].to_numpy(),
+                        "us": clk["ts"].astype("int64").to_numpy(),
+                    }
+                )
+                .sort_values(["user_id", "us"], kind="stable")
+                .reset_index(drop=True)
+            )
+            c["rank"] = c.groupby("user_id", sort=False).cumcount() + 1
+            # merge_asof wants the on-key globally sorted; a stable re-sort
+            # keeps tied (user, us) rows in increasing-rank order, so the
+            # backward probe's "last match" is the max rank at that ts
+            c = c.sort_values("us", kind="stable")
+            hi = pd.merge_asof(
+                e, c, left_on="error_us", right_on="us", by="user_id",
+                direction="backward", allow_exact_matches=True,
+            )["rank"].fillna(0).to_numpy()
+            # constant shift preserves sort order, so the lo probe aligns
+            # row-for-row with the hi probe; exact match at lo is SUBTRACTED
+            # (click_us == error_us - G is outside the half-open window)
+            e_lo = e.assign(lo_us=e["error_us"] - G_US)
+            lo = pd.merge_asof(
+                e_lo, c, left_on="lo_us", right_on="us", by="user_id",
+                direction="backward", allow_exact_matches=True,
+            )["rank"].fillna(0).to_numpy()
+            n = (hi - lo).astype(np.int64)
         return pd.DataFrame(
             {
-                "error_event_id": df["error_event_id"].astype("int64"),
-                "user_id": df["user_id"].astype("int64"),
-                "error_ts": df["error_us"].astype("int64").astype("datetime64[us]"),
-                "n_recent_clicks": df["n_recent_clicks"].astype("int64"),
+                "error_event_id": e["error_event_id"].astype("int64").to_numpy(),
+                "user_id": e["user_id"].astype("int64").to_numpy(),
+                "error_ts": e["error_us"].to_numpy().astype("datetime64[us]"),
+                "n_recent_clicks": n,
             }
         )
 
-    return agg.map_batches(finish, batch_format="pandas")
+    return grouped_apply(
+        ev.map_batches(keep, batch_format="pyarrow"), ["user_id"], count_bucket
+    )
 
 
 def events_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
