@@ -375,9 +375,14 @@ QUERIES = {
     # relational / events engine ops
     "rel_q1_lineitem": relational.q1_lineitem,
     "rel_topk_orders": relational.topk_orders,
+    "rel_rank_parts_by_brand": relational.rank_parts_by_brand,
     "rel_orders_by_nation": relational.orders_by_nation,
     "rel_order_lineitem_join": relational.order_lineitem_join,
+    "rel_brand_revenue": relational.brand_revenue,
+    "rel_customers_no_urgent": relational.customers_no_urgent_orders,
+    "rel_suppliers_with_returns": relational.suppliers_with_returns,
     "rel_price_quantiles": relational.price_quantiles,
+    "rel_segment_quantiles": relational.segment_quantiles,
     "rel_distinct_customers": relational.distinct_customers,
     "rel_distinct_sketch": _distinct_sketch,
     "sample_docs_hash": relational.sample_docs_hash,
@@ -389,6 +394,7 @@ QUERIES = {
     "events_topk_users": events_topk_users,
     # text analysis
     "text_stats": textops.text_stats,
+    "text_top_terms": textops.top_terms,
     "text_quality": textops.quality_score,
     "text_fingerprint": textops.fingerprints,
     "lang_id": textops.lang_id,

@@ -501,3 +501,169 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
         ["user_id"],
         sessions_in_bucket,
     )
+
+
+# --------------------------------------------------------------------- #
+# windowed ranking / semi-anti joins / aggregate-before-join             #
+# --------------------------------------------------------------------- #
+def rank_parts_by_brand(sf_dir: str, n: int = 3) -> rd.Dataset:
+    """Per-group top-n with rank (row_number() OVER (PARTITION BY brand
+    ORDER BY price DESC, partkey)): the grouped-window counterpart to the
+    global ``topk_orders``.
+
+    Scale shape: a per-batch top-n combiner first (each batch keeps at
+    most n rows per brand it has seen, so the shuffle carries
+    <= n * brands * blocks rows, not the fact table), then one
+    brand-bucketed pass assigns the final ranks vectorized."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(
+                ["p_brand", "p_retailprice", "p_partkey"],
+                ascending=[True, False, True],
+                kind="stable",
+            )
+            .groupby("p_brand", sort=False)
+            .head(n)
+        )
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["p_brand", "p_retailprice", "p_partkey"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        g = g.assign(rnk=g.groupby("p_brand", sort=False).cumcount() + 1)
+        return g[g["rnk"] <= n][["p_brand", "rnk", "p_partkey", "p_retailprice"]]
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    return grouped_apply(ds, ["p_brand"], rank_bucket)
+
+
+def customers_no_urgent_orders(sf_dir: str) -> rd.Dataset:
+    """Distributed ANTI join: customers that never placed a 1-URGENT
+    order (every customer in the fixture has SOME order, so the urgent
+    predicate keeps the result non-trivial in both directions).
+
+    The right side is filtered at the read and combined to batch-local
+    distinct keys before the shuffle (a semi/anti join only needs key
+    MEMBERSHIP, never payload), then ``bucketed_join(how='anti')``
+    co-locates both sides with one hash shuffle and filters vectorized
+    per bucket."""
+    from ontology_time_machine_ray.stages.groupagg import bucketed_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t.filter(
+                    pc.equal(t["o_orderpriority"], "1-URGENT")
+                )["o_custkey"].unique()
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return bucketed_join(cust, orders, on=["c_custkey"], how="anti")
+
+
+def suppliers_with_returns(sf_dir: str) -> rd.Dataset:
+    """Distributed SEMI join: suppliers that shipped at least one returned
+    line item (l_returnflag = 'R').  Same membership-only pattern as the
+    anti join, filtered at the read so only matching keys shuffle."""
+    from ontology_time_machine_ray.stages.groupagg import bucketed_join
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    returned = _read(sf_dir, "lineitem", ["l_suppkey", "l_returnflag"]).map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": t.filter(pc.equal(t["l_returnflag"], "R"))[
+                    "l_suppkey"
+                ].unique()
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return bucketed_join(supp, returned, on=["s_suppkey"], how="semi")
+
+
+def brand_revenue(sf_dir: str) -> pd.DataFrame:
+    """Revenue per part brand: the AGGREGATE-BEFORE-JOIN optimization.
+
+    lineitem is first reduced to (partkey -> n_items, rev) -- part-key
+    cardinality, orders of magnitude below the fact table -- and only that
+    aggregate goes through the bucketed join with ``part``.  The final
+    brand rollup is a 25-key aggregate of the joined (partkey-level)
+    rows."""
+    from ontology_time_machine_ray.stages.groupagg import bucketed_join
+
+    items = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"]).map_batches(
+        lambda t: pa.table(
+            {
+                "p_partkey": t["l_partkey"],
+                "rev_e4": pc.multiply(
+                    pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()),
+                    pc.subtract(
+                        100, pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+                    ),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    per_part = grouped_aggregate(
+        items.map_batches(
+            lambda df: df.groupby("p_partkey", as_index=False).agg(
+                n_items=("rev_e4", "size"), rev_e4=("rev_e4", "sum")
+            ),
+            batch_format="pandas",
+        ),
+        ["p_partkey"],
+        {"n_items": ("n_items", "sum"), "rev_e4": ("rev_e4", "sum")},
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    joined = bucketed_join(per_part, part, on=["p_partkey"], how="inner")
+    agg = grouped_aggregate(
+        joined,
+        ["p_brand"],
+        {"n_items": ("n_items", "sum"), "rev_e4": ("rev_e4", "sum")},
+    ).to_pandas()
+    agg["revenue"] = agg.pop("rev_e4") / 10000.0
+    return agg
+
+
+def segment_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact PER-GROUP discrete quantiles (p50/p95 of account balance per
+    market segment) via the grouped value-histogram: the shuffle moves one
+    row per distinct (segment, cent-value) pair, then a driver-side
+    cumulative walk over the small histogram picks quantile_disc values
+    per segment.  The grouped counterpart to ``price_quantiles``."""
+    import math
+
+    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"]).map_batches(
+        lambda df: df.assign(bal_c=(df["c_acctbal"] * 100).round().astype("int64"))
+        .groupby(["c_mktsegment", "bal_c"], as_index=False)
+        .agg(n=("bal_c", "size")),
+        batch_format="pandas",
+    )
+    hist = (
+        grouped_aggregate(ds, ["c_mktsegment", "bal_c"], {"n": ("n", "sum")})
+        .to_pandas()
+        .sort_values(["c_mktsegment", "bal_c"], kind="stable")
+    )
+    rows = []
+    for seg, g in hist.groupby("c_mktsegment", sort=True):
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        vals = g["bal_c"].to_numpy()
+        for q in (0.50, 0.95):
+            target = max(1, math.ceil(q * total))
+            rows.append(
+                {
+                    "c_mktsegment": seg,
+                    "q": q,
+                    "acctbal": vals[int(np.argmax(cum >= target))] / 100.0,
+                }
+            )
+    return pd.DataFrame(rows)

@@ -499,6 +499,42 @@ scored AS (
   FROM embeddings e CROSS JOIN q)
 SELECT query_id, vec_id FROM scored
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= 10""",
+    "rel_rank_parts_by_brand": """
+SELECT p_brand, CAST(rnk AS BIGINT) AS rnk, p_partkey, p_retailprice FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+    row_number() OVER (PARTITION BY p_brand
+                       ORDER BY p_retailprice DESC, p_partkey) AS rnk
+  FROM part)
+WHERE rnk <= 3""",
+    "rel_customers_no_urgent": """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')""",
+    "rel_suppliers_with_returns": """
+SELECT s_suppkey, s_name FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R')""",
+    "rel_brand_revenue": """
+SELECT p.p_brand, count(*) AS n_items,
+  SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY 1""",
+    "rel_segment_quantiles": """
+WITH c AS (
+  SELECT c_mktsegment, round(c_acctbal * 100) / 100.0 AS bal FROM customer)
+SELECT c_mktsegment, 0.50 AS q, quantile_disc(bal, 0.50) AS acctbal
+FROM c GROUP BY 1
+UNION ALL
+SELECT c_mktsegment, 0.95, quantile_disc(bal, 0.95) FROM c GROUP BY 1""",
+    "text_top_terms": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+  FROM documents)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM toks GROUP BY term
+ORDER BY n_docs DESC, term LIMIT 20""",
 }
 
 

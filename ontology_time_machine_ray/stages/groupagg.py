@@ -104,6 +104,12 @@ def bucketed_join(
     streams, shuffle once on ``hash(key) % B``, and run ``pandas.merge``
     per bucket.  Key skew is bounded by bucket size (rows/B); salt hot
     keys upstream if a single key exceeds a bucket.
+
+    ``how`` additionally accepts ``"semi"`` / ``"anti"``: left rows kept /
+    dropped by key membership on the right.  The right side is reduced to
+    its distinct keys inside each bucket, so duplicate right keys never
+    multiply left rows and the right's payload columns are not shipped
+    into the output (pre-project them away upstream for less shuffle).
     """
     on = list(on)
     lschema, rschema = left.schema(), right.schema()
@@ -150,6 +156,10 @@ def bucketed_join(
         r = g[g["_side"] == "r"][on + rcols].astype(
             {c: d for c, d in rdtypes.items() if c in on or c in rcols}
         )
+        if how in ("semi", "anti"):
+            keys = r[on].drop_duplicates()
+            hit = l.merge(keys, on=on, how="left", indicator=True)["_merge"] == "both"
+            return l[hit.to_numpy() if how == "semi" else (~hit).to_numpy()]
         return l.merge(r, on=on, how=how)
 
     return grouped_apply(both, on, merge_bucket, num_buckets)

@@ -119,3 +119,48 @@ def dedup_exact(sf_dir: str) -> rd.Dataset:
 
     ds = _read_docs(sf_dir).map_batches(fingerprint_batch, batch_format="pandas")
     return grouped_head1(ds, keys=["fingerprint"], order_by=["doc_id"])
+
+
+def top_terms(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Corpus document-frequency heavy hitters: the top-k terms by the
+    number of documents containing them.
+
+    Scale shape: tokenize + per-document DISTINCT terms inside the batch
+    (each document lives in exactly one batch, so batch-local distinct is
+    globally exact), partial per-batch term counts as the combiner, one
+    term-bucketed aggregate, then per-bucket top-k (a term lives in one
+    bucket) merged on the driver -- the classic heavy-hitter pipeline with
+    no corpus-scale materialization."""
+    import numpy as np
+
+    from ontology_time_machine_ray.stages.groupagg import grouped_aggregate
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(r"\S+")
+        f = pd.DataFrame(
+            {
+                "doc_id": np.repeat(
+                    df["doc_id"].to_numpy(), toks.str.len().to_numpy()
+                ),
+                "term": toks.explode().dropna().to_numpy(),
+            }
+        ).drop_duplicates()
+        return f.groupby("term", as_index=False).agg(n_docs=("term", "size"))
+
+    agg = grouped_aggregate(
+        _read_docs(sf_dir).map_batches(partial, batch_format="pandas"),
+        ["term"],
+        {"n_docs": ("n_docs", "sum")},
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n_docs", "term"], ascending=[False, True], kind="stable"
+        ).head(k)
+
+    out = agg.map_batches(block_topk, batch_format="pandas").to_pandas()
+    return (
+        out.sort_values(["n_docs", "term"], ascending=[False, True], kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -36,3 +36,94 @@ def test_bucketed_join_matches_pandas_and_keeps_dtypes(ray_session):
     want = left.merge(right, on="k", how="inner")
     key = lambda df: sorted(map(tuple, df[["k", "lv", "rv", "rs"]].itertuples(index=False)))
     assert key(got) == key(want)
+
+
+def test_bucketed_join_semi_anti(ray_session):
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.groupagg import bucketed_join
+
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame(
+        {
+            "k": np.arange(100, dtype=np.int64),
+            "lv": rng.randint(0, 9, 100).astype(np.int64),
+        }
+    )
+    # duplicate right keys must not multiply semi-join output rows
+    right_keys = np.repeat(rng.choice(100, 40, replace=False).astype(np.int64), 3)
+    right = pd.DataFrame({"k": right_keys, "junk": np.arange(len(right_keys))})
+
+    semi = bucketed_join(
+        rd.from_pandas(left), rd.from_pandas(right), on=["k"], how="semi"
+    ).to_pandas()
+    anti = bucketed_join(
+        rd.from_pandas(left), rd.from_pandas(right), on=["k"], how="anti"
+    ).to_pandas()
+
+    member = set(right_keys.tolist())
+    assert sorted(semi["k"]) == sorted(k for k in left["k"] if k in member)
+    assert sorted(anti["k"]) == sorted(k for k in left["k"] if k not in member)
+    assert len(semi) + len(anti) == len(left)
+    # right payload columns never reach the output
+    assert set(semi.columns) == {"k", "lv"}
+    assert semi["lv"].dtype == np.int64
+
+
+def test_rank_and_quantile_operators_vs_pandas(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from ontology_time_machine_ray.pipelines.relational import (
+        rank_parts_by_brand,
+        segment_quantiles,
+    )
+
+    rng = np.random.RandomState(3)
+    part = pd.DataFrame(
+        {
+            "p_partkey": np.arange(200, dtype=np.int64),
+            "p_brand": [f"B{i % 7}" for i in range(200)],
+            "p_retailprice": np.round(rng.uniform(10, 500, 200), 2),
+        }
+    )
+    cust = pd.DataFrame(
+        {
+            "c_mktsegment": [f"S{i % 3}" for i in range(300)],
+            "c_acctbal": np.round(rng.uniform(-999, 9999, 300), 2),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(part), str(tmp_path / "part.parquet"))
+    pq.write_table(pa.Table.from_pandas(cust), str(tmp_path / "customer.parquet"))
+
+    got = (
+        rank_parts_by_brand(str(tmp_path))
+        .to_pandas()
+        .sort_values(["p_brand", "rnk"])
+        .reset_index(drop=True)
+    )
+    want = part.sort_values(
+        ["p_brand", "p_retailprice", "p_partkey"], ascending=[True, False, True]
+    )
+    want = want.assign(rnk=want.groupby("p_brand").cumcount() + 1)
+    want = (
+        want[want["rnk"] <= 3][["p_brand", "rnk", "p_partkey", "p_retailprice"]]
+        .sort_values(["p_brand", "rnk"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"rnk": "int64"}), want.astype({"rnk": "int64"})
+    )
+
+    q = segment_quantiles(str(tmp_path)).sort_values(["c_mktsegment", "q"]).reset_index(drop=True)
+    for _, row in q.iterrows():
+        vals = np.sort(
+            (cust[cust["c_mktsegment"] == row["c_mktsegment"]]["c_acctbal"] * 100)
+            .round()
+            .astype("int64")
+            .to_numpy()
+        )
+        import math
+
+        target = max(1, math.ceil(row["q"] * len(vals)))
+        assert row["acctbal"] == vals[target - 1] / 100.0
