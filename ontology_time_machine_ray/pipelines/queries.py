@@ -321,6 +321,20 @@ def dedup_jaccard(sf_dir: str):
     return dedup_docs.jaccard_pairs(sf_dir)
 
 
+def dedup_embed_keep(sf_dir: str):
+    """End-to-end embedding dedup: surviving ids after near-dup components
+    are collapsed (pairs -> union-find -> anti join); see
+    similarity.embedding_dedup_keep."""
+    return similarity.embedding_dedup_keep(sf_dir)
+
+
+def embed_kmeans(sf_dir: str):
+    """Distributed k-means assignments over the embedding column
+    (deterministic Lloyd; rows-only oracle -- iterative, not
+    SQL-expressible)."""
+    return similarity.embed_kmeans(sf_dir)
+
+
 def dedup_embed(sf_dir: str):
     """Embedding-cosine near-dup pairs over the augmented embeddings table
     (planted near-duplicates; see fixtures.build_embeddings_aug) via
@@ -404,6 +418,8 @@ QUERIES = {
     "dedup_minhash": dedup_minhash,      # approximate: rows-only oracle
     "dedup_simhash": dedup_simhash,      # approximate: rows-only oracle
     "dedup_embed": dedup_embed,
+    "dedup_embed_keep": dedup_embed_keep,
+    "embed_kmeans": embed_kmeans,        # iterative: rows-only oracle
     # similarity search
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,                  # approximate: rows-only oracle
@@ -436,5 +452,6 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out = {n: sql_oracles.kg_sql(n, paths.root, DEFAULT_CONFIG.timestamp) for n in _KG_ORACLE_NAMES}
     out.update(sql_oracles.TESTDATA_SQL)
     out["dedup_embed"] = sql_oracles.dedup_embed_sql(paths.root)
+    out["dedup_embed_keep"] = sql_oracles.embed_dedup_keep_sql(paths.root)
     out["kg_client_config"] = sql_oracles.client_config_sql(paths.root)
     return out

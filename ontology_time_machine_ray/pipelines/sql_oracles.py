@@ -637,3 +637,28 @@ WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
 SELECT a.vec_id AS a, b.vec_id AS b
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE CAST(round(list_cosine_similarity(a.e, b.e) * 1e6) AS BIGINT) >= 990000"""
+
+
+def embed_dedup_keep_sql(fixture_root: str) -> str:
+    """Recursive-CTE restatement of ``embedding_dedup_keep``: exact
+    all-pairs near-dup edges -> connected components (VARCHAR min root,
+    matching the engine's string representative) -> ids minus non-root
+    members."""
+    return f"""
+WITH RECURSIVE n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM read_parquet('{fixture_root}/embeddings_aug.parquet')),
+p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE CAST(round(list_cosine_similarity(a.e, b.e) * 1e6) AS BIGINT) >= 990000),
+edges AS (SELECT CAST(a AS VARCHAR) AS u, CAST(b AS VARCHAR) AS v FROM p),
+nodes AS (SELECT u AS nn FROM edges UNION SELECT v FROM edges),
+sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+reach(x, y) AS (
+  SELECT nn, nn FROM nodes
+  UNION
+  SELECT r.x, s.v FROM reach r JOIN sym s ON s.u = r.y),
+comp AS (SELECT x AS node, min(y) AS root FROM reach GROUP BY x)
+SELECT vec_id FROM n
+WHERE CAST(vec_id AS VARCHAR) NOT IN (SELECT node FROM comp WHERE root <> node)"""

@@ -406,3 +406,60 @@ def embedding_dup_pairs(
     pair_rows = grouped_apply(banded, ["band", "bucket"], pairs_in_group)
     # a pair can surface in several bands: keep one row per (a, b)
     return grouped_head1(pair_rows, keys=["a", "b"], order_by=["sim_e6"])
+
+
+def embed_kmeans(sf_dir: str, n_clusters: int = 16, iters: int = 3) -> rd.Dataset:
+    """Distributed k-means cluster assignment over the embedding column:
+    the IVF routine's Lloyd iterations (broadcast centroids, per-batch
+    partial sums, tiny driver reduce) exposed as a first-class operator.
+    Deterministic: init = lowest-vec_id corpus vectors, argmax ties keep
+    the first centroid.  Not SQL-expressible (iterative) -> rows-only
+    driver check + pytest against a single-process numpy reference."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    centroids = _kmeans_centroids(sf_dir, n_clusters, iters, emb_path)
+    c_ref = ray.put(centroids)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = _cached_get(c_ref)
+        mat = _normalized(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].astype("int64"),
+                "cluster": np.argmax(mat @ c.T, axis=1).astype("int64"),
+            }
+        )
+
+    return _read_emb(emb_path).map_batches(assign, batch_format="pandas")
+
+
+def embedding_dedup_keep(sf_dir: str) -> rd.Dataset:
+    """End-to-end embedding near-dup DEDUP: the surviving vector set after
+    collapsing each near-duplicate component (cosine >= 0.99 pairs ->
+    connected components -> keep one representative per component).
+
+    Fully distributed composition: banded-LSH pair generation, the
+    engine's union-find, and the new ANTI join (corpus ids minus non-root
+    members) -- no corpus-scale driver state.  The representative is the
+    component's lexicographic-min id, matching the SQL oracle's VARCHAR
+    min."""
+    from ontology_time_machine_ray.fixtures import ensure_fixtures
+    from ontology_time_machine_ray.stages.canonicalize import connected_components
+    from ontology_time_machine_ray.stages.groupagg import bucketed_join
+
+    emb_path = ensure_fixtures(sf_dir).embeddings_aug
+    pairs = embedding_dup_pairs(sf_dir, emb_path=emb_path)
+    edges = pairs.map_batches(
+        lambda df: pd.DataFrame(
+            {"u": df["a"].astype("string"), "v": df["b"].astype("string")}
+        ),
+        batch_format="pandas",
+    )
+    # non-root members of each component are the rows to drop
+    dropped = connected_components(edges).map_batches(
+        lambda df: pd.DataFrame({"vec_id": df["node"].astype("int64")}),
+        batch_format="pandas",
+    )
+    ids = _read_emb(emb_path).map_batches(
+        lambda t: t.select(["vec_id"]), batch_format="pyarrow"
+    )
+    return bucketed_join(ids, dropped, on=["vec_id"], how="anti")

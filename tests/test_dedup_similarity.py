@@ -159,3 +159,87 @@ def test_ann_lsh_recall(ray_session, sf_dir):
         a = set(approx[approx["query_id"] == qid]["vec_id"])
         assert qid in a
         assert len(a & e) >= 1
+
+
+def test_embed_kmeans_matches_numpy_lloyd(ray_session, sf_dir):
+    """Distributed Lloyd must equal a single-process reference run with
+    the same deterministic init (lowest-vec_id vectors)."""
+    import pyarrow.parquet as pq
+
+    from ontology_time_machine_ray.stages.similarity import embed_kmeans
+
+    n_clusters, iters = 8, 3
+    got = (
+        embed_kmeans(sf_dir, n_clusters=n_clusters, iters=iters)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas().sort_values("vec_id")
+    mat = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    c = mat[:n_clusters].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ c.T, axis=1)
+        for j in range(n_clusters):
+            member = mat[assign == j]
+            if len(member):
+                m = member.sum(axis=0) / len(member)
+                c[j] = m / np.linalg.norm(m)
+    want = np.argmax(mat @ c.T, axis=1)
+    assert got["vec_id"].tolist() == t["vec_id"].tolist()
+    assert (got["cluster"].to_numpy() == want).all()
+
+
+def test_embedding_dedup_keep_collapses_components(ray_session):
+    """Planted chain a~b~c plus singletons: exactly the two non-min chain
+    members are dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os, tempfile
+
+    from ontology_time_machine_ray.stages import similarity
+
+    rng = np.random.RandomState(5)
+    dim = 16
+    base = rng.normal(size=(6, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # ids 0,1,2 nearly identical (chain), 3..5 well separated
+    vecs = [base[0], base[0] + 1e-4 * base[1], base[0] + 2e-4 * base[2],
+            base[3], base[4], base[5]]
+    vecs = [np.asarray(v / np.linalg.norm(v), dtype=np.float32) for v in vecs]
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "embeddings_aug.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(6), pa.int64()),
+                    "embedding": pa.array(
+                        [v.tolist() for v in vecs], pa.list_(pa.float32(), dim)
+                    ),
+                }
+            ),
+            path,
+        )
+        from ontology_time_machine_ray.stages.canonicalize import connected_components
+        from ontology_time_machine_ray.stages.groupagg import bucketed_join
+        import ray.data as rd
+        import pandas as pd_
+
+        pairs = similarity.embedding_dup_pairs("unused", emb_path=path)
+        edges = pairs.map_batches(
+            lambda df: pd_.DataFrame(
+                {"u": df["a"].astype("string"), "v": df["b"].astype("string")}
+            ),
+            batch_format="pandas",
+        )
+        dropped = connected_components(edges).map_batches(
+            lambda df: pd_.DataFrame({"vec_id": df["node"].astype("int64")}),
+            batch_format="pandas",
+        )
+        ids = similarity._read_emb(path).map_batches(
+            lambda tt: tt.select(["vec_id"]), batch_format="pyarrow"
+        )
+        keep = bucketed_join(ids, dropped, on=["vec_id"], how="anti").to_pandas()
+        assert sorted(keep["vec_id"]) == [0, 3, 4, 5]
