@@ -272,6 +272,55 @@ def kg_intercept_modes(sf_dir: str):
     return _pipe(sf_dir).mentions().map_batches(decide, batch_format="pandas")
 
 
+def kg_client_intercept(sf_dir: str):
+    """The parsed per-client config APPLIED: for every successfully parsed
+    client and every distinct corpus host, the CONNECT-time interception
+    decision under that client's ``httpsInterception`` mode
+    (custom_proxy.py:133-174 via proxy_wrapper.py:134-151's per-request
+    config).  Host-level index membership (a CONNECT carries only the
+    host), config plane broadcast once."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from ontology_time_machine_ray.functions.broadcast import cached_get
+    from ontology_time_machine_ray.functions.urls import split_iri
+    from ontology_time_machine_ray.stages.groupagg import grouped_head1
+
+    paths = ensure_fixtures(sf_dir)
+    idx_hosts = sorted(
+        set(pq.read_table(paths.ontology_index, columns=["host"])["host"].to_pylist())
+    )
+    clients = kg_client_config(sf_dir).to_pandas()  # config plane: small
+    clients = clients[clients["parse_ok"] == 1][["client_id", "https_interception"]]
+    bref = ray.put((idx_hosts, clients))
+
+    def hostify(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"host": df["term_iri"].map(lambda i: split_iri(i)[1]).drop_duplicates()}
+        )
+
+    hosts = grouped_head1(
+        _pipe(sf_dir).mentions().map_batches(hostify, batch_format="pandas"),
+        keys=["host"],
+        order_by=["host"],
+    )
+
+    def cross(df: pd.DataFrame) -> pd.DataFrame:
+        host_list, cl = cached_get(bref)
+        member = df["host"].isin(frozenset(host_list)).to_numpy().astype("int64")
+        out = df.assign(in_archivo=member).merge(cl, how="cross")
+        mode = out["https_interception"]
+        out["intercept"] = np.select(
+            [mode == "all", mode == "archivo"],
+            [np.ones(len(out), dtype=np.int64), out["in_archivo"].to_numpy()],
+            default=0,
+        ).astype("int64")
+        return out[["client_id", "host", "intercept"]]
+
+    return hosts.map_batches(cross, batch_format="pandas")
+
+
 def kg_dependency_closure(sf_dir: str) -> pd.DataFrame:
     """J5: dependency-manifest transitive closure (the reference's dormant
     graph walk, proxy_logic.py:276-307) via distributed path doubling."""
@@ -384,6 +433,7 @@ QUERIES = {
     "kg_intercept_archivo": kg_intercept_archivo,
     "kg_intercept_modes": kg_intercept_modes,
     "kg_client_config": kg_client_config,
+    "kg_client_intercept": kg_client_intercept,
     "media_catalog": media_catalog,
     "media_frames": media_frames,
     # relational / events engine ops
@@ -454,4 +504,5 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["dedup_embed"] = sql_oracles.dedup_embed_sql(paths.root)
     out["dedup_embed_keep"] = sql_oracles.embed_dedup_keep_sql(paths.root)
     out["kg_client_config"] = sql_oracles.client_config_sql(paths.root)
+    out["kg_client_intercept"] = sql_oracles.client_intercept_sql(paths.root)
     return out

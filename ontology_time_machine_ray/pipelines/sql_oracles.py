@@ -662,3 +662,21 @@ reach(x, y) AS (
 comp AS (SELECT x AS node, min(y) AS root FROM reach GROUP BY x)
 SELECT vec_id FROM n
 WHERE CAST(vec_id AS VARCHAR) NOT IN (SELECT node FROM comp WHERE root <> node)"""
+
+
+def client_intercept_sql(fixture_root: str) -> str:
+    """Composition oracle: the parsed per-client config (client_config_sql)
+    cross-joined with the corpus's distinct hosts, interception decided by
+    host-level index membership per the client's httpsInterception mode."""
+    body = f"""WITH {_MENTIONS_CTES},
+  hosts AS (SELECT DISTINCT host FROM hp),
+  clients AS ({client_config_sql(fixture_root)})
+SELECT c.client_id, h.host,
+  CAST(CASE WHEN c.https_interception = 'all' THEN 1
+            WHEN c.https_interception = 'archivo' THEN
+              CASE WHEN EXISTS (SELECT 1 FROM idx i WHERE i.host = h.host)
+                   THEN 1 ELSE 0 END
+            ELSE 0 END AS BIGINT) AS intercept
+FROM clients c CROSS JOIN hosts h
+WHERE c.parse_ok = 1"""
+    return body.replace("__ROOT__", fixture_root)
