@@ -459,6 +459,8 @@ QUERIES = {
     # text analysis
     "text_stats": textops.text_stats,
     "text_top_terms": textops.top_terms,
+    "text_tokens_bpe": textops.tokens_bpe,
+    "text_winnow": textops.winnow_fingerprints,
     "text_quality": textops.quality_score,
     "text_fingerprint": textops.fingerprints,
     "lang_id": textops.lang_id,

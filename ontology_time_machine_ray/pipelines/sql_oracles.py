@@ -528,6 +528,29 @@ SELECT c_mktsegment, 0.50 AS q, quantile_disc(bal, 0.50) AS acctbal
 FROM c GROUP BY 1
 UNION ALL
 SELECT c_mktsegment, 0.95, quantile_disc(bal, 0.95) FROM c GROUP BY 1""",
+    "text_tokens_bpe": """
+SELECT doc_id,
+  len(regexp_extract_all(text,
+    '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+'
+  )) AS n_bpe_tokens
+FROM documents""",
+    "text_winnow": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents),
+sh AS (  -- 3-token shingles, position-ordered
+  SELECT doc_id, i,
+    CAST(concat('0x', substr(md5(array_to_string(list_slice(t, i, i + 2), ' ')), 1, 13))
+         AS BIGINT) AS h
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 3)),
+wins AS (
+  SELECT doc_id,
+    min(h) OVER win AS fp,
+    count(*) OVER win AS cnt
+  FROM sh
+  WINDOW win AS (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+SELECT DISTINCT doc_id, fp FROM wins WHERE cnt = 4""",
     "text_top_terms": """
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term

@@ -164,3 +164,92 @@ def top_terms(sf_dir: str, k: int = 20) -> pd.DataFrame:
         .head(k)
         .reset_index(drop=True)
     )
+
+
+#: BPE-ish tokenizer regex (GPT-2 style contractions + letter/digit/punct
+#: runs with optional leading space), RE2-compatible -- no lookahead -- so
+#: Python ``re`` and DuckDB's regexp engine count identically.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def tokens_bpe_batch(df: pd.DataFrame) -> pd.DataFrame:
+    texts = df["text"].fillna("")
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_bpe_tokens": texts.str.count(BPE_TOKEN_RE).astype("int64"),
+        }
+    )
+
+
+def tokens_bpe(sf_dir: str) -> rd.Dataset:
+    """Token counting with a BPE-ish regex (subword-boundary-aware token
+    budget estimation for training-data curation), alongside the
+    whitespace count in ``text_stats``."""
+    return _read_docs(sf_dir).map_batches(tokens_bpe_batch, batch_format="pandas")
+
+
+def winnow_fingerprints(sf_dir: str, k: int = 3, w: int = 4) -> rd.Dataset:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 -- the MOSS rolling-hash scheme): hash every k-token
+    shingle, slide a window of ``w`` consecutive shingle hashes, keep the
+    window MINIMUM, output the distinct (doc_id, fp) selections.
+
+    Guarantees: any shared run of w + k - 1 tokens between two documents
+    yields at least one common fingerprint, while only ~2/(w+1) of
+    positions are kept.  All vectorized: shifted-series shingle
+    construction, one md5 pass, a C-level rolling-min; windows never cross
+    documents (validity mask on the doc index).  Docs with fewer than
+    k + w - 1 tokens emit nothing (only FULL windows select, matching the
+    SQL frame-count filter)."""
+    import numpy as np
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series(dtype="string"), "fp": pd.Series(dtype="int64")}
+        )
+        toks = df["text"].fillna("").str.lower().str.findall(r"\S+")
+        lengths = toks.str.len().to_numpy()
+        total = int(lengths.sum())
+        if total < k:
+            return empty
+        doc_idx = np.repeat(np.arange(len(df)), lengths)
+        flat = pd.Series(toks.explode().dropna().to_numpy(), dtype="string")
+        # aligned shifted views: shingle_i spans tokens [i, i+k)
+        n_sh = total - k + 1
+        shingle = flat.iloc[:n_sh].reset_index(drop=True)
+        for j in range(1, k):
+            shingle = shingle.str.cat(
+                flat.iloc[j : n_sh + j].reset_index(drop=True), sep=" "
+            )
+        ok_sh = doc_idx[:n_sh] == doc_idx[k - 1 :]
+        # 13 hex chars = 52 bits: exactly representable in the float64 the
+        # C rolling-min goes through, so no precision loss
+        h = (
+            content_md5_series(shingle)
+            .map(lambda x: int(x[:13], 16))
+            .astype("int64")
+            .to_numpy()
+        )
+        # windows of w shingle hashes; valid iff entirely inside one doc
+        if n_sh < w:
+            return empty
+        n_win = n_sh - w + 1
+        roll = pd.Series(np.where(ok_sh, h, np.iinfo(np.int64).max)).rolling(w).min()
+        mins = roll.to_numpy()[w - 1 :]
+        ok_win = (doc_idx[:n_win] == doc_idx[w + k - 2 :]) & ~np.isnan(mins)
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy()[doc_idx[:n_win][ok_win]],
+                "fp": mins[ok_win].astype("int64"),
+            }
+        )
+        return out.drop_duplicates()
+
+    ds = _read_docs(sf_dir).map_batches(per_batch, batch_format="pandas")
+    # batch-local drop_duplicates is already global (a doc lives in one
+    # batch), but route through a bucketed head-1 so the contract holds
+    # even if an upstream repartition ever splits a document's rows
+    from ontology_time_machine_ray.stages.groupagg import grouped_head1
+
+    return grouped_head1(ds, keys=["doc_id", "fp"], order_by=["fp"])

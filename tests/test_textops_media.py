@@ -105,3 +105,54 @@ def test_media_resizer_bounds():
     out = MediaResizer(max_side=96)(df)
     assert out["resized_w"].tolist() == [96, 50]
     assert out["resized_h"].tolist() == [48, 80]
+
+
+def test_winnow_shared_run_guarantee(ray_session, tmp_path):
+    """Winnowing property: two docs sharing a run of >= w + k - 1 tokens
+    must share at least one fingerprint; disjoint docs share none."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_time_machine_ray.stages.textops import winnow_fingerprints
+
+    k, w = 3, 4
+    shared = " ".join(f"run{i}" for i in range(k + w - 1))
+    docs = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c"],
+            "text": [
+                "alpha beta gamma " + shared + " delta epsilon zeta",
+                "one two three four " + shared + " five six",
+                "totally different words only here never shared at all",
+            ],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+    got = winnow_fingerprints(str(tmp_path), k=k, w=w).to_pandas()
+    fps = {d: set(g["fp"]) for d, g in got.groupby("doc_id")}
+    assert fps["a"] & fps["b"], "shared run must yield a common fingerprint"
+    assert not (fps["a"] & fps.get("c", set()))
+    assert not (fps["b"] & fps.get("c", set()))
+    # density: ~2/(w+1) of positions selected -> far fewer fps than shingles
+    n_shingles_a = len(docs.loc[0, "text"].split()) - k + 1
+    assert len(fps["a"]) < n_shingles_a
+
+
+def test_tokens_bpe_counts(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_time_machine_ray.stages.textops import tokens_bpe
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c"],
+            "text": ["don't stop", "x2  y!!", None],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+    got = tokens_bpe(str(tmp_path)).to_pandas().set_index("doc_id")["n_bpe_tokens"]
+    # don | 't | <sp>stop ; x | 2 | "  " (ws run) | y | !! ; None -> 0
+    assert got["a"] == 3
+    assert got["b"] == 5
+    assert got["c"] == 0
