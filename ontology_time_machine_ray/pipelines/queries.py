@@ -321,6 +321,16 @@ def kg_client_intercept(sf_dir: str):
     return hosts.map_batches(cross, batch_format="pandas")
 
 
+def kg_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Distributed PageRank over the dependency manifest (iterative:
+    bucketed join + aggregate per round; rows-only oracle -- float
+    iteration is not SQL-expressible; pytest pins it against numpy)."""
+    from ontology_time_machine_ray.stages.graph import dependency_pagerank
+
+    paths = ensure_fixtures(sf_dir)
+    return dependency_pagerank(paths.dependencies)
+
+
 def kg_dependency_closure(sf_dir: str) -> pd.DataFrame:
     """J5: dependency-manifest transitive closure (the reference's dormant
     graph walk, proxy_logic.py:276-307) via distributed path doubling."""
@@ -429,6 +439,7 @@ QUERIES = {
     "kg_formats_complete": kg_formats_complete,
     "kg_spans_passthrough": kg_spans_passthrough,
     "kg_dependency_closure": kg_dependency_closure,
+    "kg_pagerank": kg_pagerank,          # iterative: rows-only oracle
     "kg_dependency_closure_ttl": kg_dependency_closure_ttl,
     "kg_intercept_archivo": kg_intercept_archivo,
     "kg_intercept_modes": kg_intercept_modes,
@@ -450,6 +461,7 @@ QUERIES = {
     "rel_distinct_customers": relational.distinct_customers,
     "rel_distinct_sketch": _distinct_sketch,
     "sample_docs_hash": relational.sample_docs_hash,
+    "sample_stratified": textops.sample_stratified,
     "events_hourly": relational.events_hourly,
     "events_sessions": relational.events_sessions,
     "events_asof_join": relational.events_asof_join,

@@ -528,6 +528,27 @@ SELECT c_mktsegment, 0.50 AS q, quantile_disc(bal, 0.50) AS acctbal
 FROM c GROUP BY 1
 UNION ALL
 SELECT c_mktsegment, 0.95, quantile_disc(bal, 0.95) FROM c GROUP BY 1""",
+    "sample_stratified": """
+WITH s AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '\\b(the|and|of)\\b'))  AS s_en,
+    len(regexp_extract_all(lower(text), '\\b(der|und|die)\\b')) AS s_de,
+    len(regexp_extract_all(lower(text), '\\b(le|et|les)\\b'))   AS s_fr,
+    len(regexp_extract_all(lower(text), '\\b(el|y|los)\\b'))    AS s_es
+  FROM documents),
+g AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS mx FROM s),
+pred AS (
+  SELECT doc_id,
+    CASE WHEN mx <= 0 THEN 'unknown'
+         WHEN CAST(s_en = mx AS INT) + CAST(s_de = mx AS INT)
+              + CAST(s_fr = mx AS INT) + CAST(s_es = mx AS INT) > 1 THEN 'unknown'
+         WHEN s_en = mx THEN 'en' WHEN s_de = mx THEN 'de'
+         WHEN s_fr = mx THEN 'fr' ELSE 'es' END AS lang_pred
+  FROM g)
+SELECT d.doc_id, p.lang_pred
+FROM documents d JOIN pred p USING (doc_id)
+WHERE CAST(concat('0x', substr(md5(coalesce(d.text, '')), 1, 1)) AS BIGINT)
+      < CASE p.lang_pred WHEN 'en' THEN 1 ELSE 4 END""",
     "text_tokens_bpe": """
 SELECT doc_id,
   len(regexp_extract_all(text,

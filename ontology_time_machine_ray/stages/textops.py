@@ -253,3 +253,35 @@ def winnow_fingerprints(sf_dir: str, k: int = 3, w: int = 4) -> rd.Dataset:
     from ontology_time_machine_ray.stages.groupagg import grouped_head1
 
     return grouped_head1(ds, keys=["doc_id", "fp"], order_by=["fp"])
+
+
+#: per-language sampling rate expressed as the number of leading md5 hex
+#: chars in the keep set out of 16 (en is downsampled 4x vs the rest --
+#: the classic rebalancing move for an English-heavy crawl).
+STRATA_KEEP = {"en": 1, "de": 4, "fr": 4, "es": 4, "unknown": 4}
+
+
+def sample_stratified(sf_dir: str) -> rd.Dataset:
+    """Deterministic STRATIFIED document sample: per-language rates keyed
+    on the content hash, so the sample is reproducible across engines,
+    partitionings and reruns (no seeded RNG, whose draw order depends on
+    block layout).  Stratum = the lang-ID operator's prediction; keep a
+    doc iff the first md5 hex char falls below the stratum's cutoff.
+    One fused pass: lang scoring and hash both vectorized per batch, no
+    shuffle at all."""
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        lang = lang_id_batch(df)["lang_pred"]
+        cut = lang.map(STRATA_KEEP).astype("int64")
+        bucket = (
+            content_md5_series(df["text"].fillna(""))
+            .str[0]
+            .map(lambda c: int(c, 16))
+            .astype("int64")
+        )
+        keep = bucket < cut
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"][keep], "lang_pred": lang[keep]}
+        )
+
+    return _read_docs(sf_dir).map_batches(pick, batch_format="pandas")

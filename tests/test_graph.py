@@ -85,3 +85,44 @@ def test_dependency_ttl_reference_shape(tmp_path):
     out = read_dependency_ttl(str(ttl), ipath)
     pairs = set(zip(out["ontology_id"].to_pylist(), out["depends_on"].to_pylist()))
     assert pairs == {("A", "B"), ("A", "C")}
+
+
+def test_pagerank_matches_numpy_reference(ray_session, monkeypatch):
+    import numpy as np
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages import graph
+    from ontology_time_machine_ray.stages.graph import pagerank
+
+    # force the fully-distributed branch (driver fast path covers <= limit)
+    monkeypatch.setattr(graph, "SMALL_EDGES_LIMIT", 0)
+
+    rng = np.random.RandomState(13)
+    n = 40
+    src, dst = [], []
+    for _ in range(160):
+        a, b = rng.randint(0, n), rng.randint(0, n)
+        if a != b:
+            src.append(f"n{a}")
+            dst.append(f"n{b}")
+    edges = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+    got = (
+        pagerank(rd.from_pandas(edges), iters=5)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+    names = sorted(set(edges["src"]) | set(edges["dst"]))
+    pos = {v: i for i, v in enumerate(names)}
+    m = len(names)
+    adj = np.zeros((m, m))
+    for a, b in zip(edges["src"], edges["dst"]):
+        adj[pos[a], pos[b]] = 1
+    deg = adj.sum(axis=1)
+    r = np.ones(m)
+    for _ in range(5):
+        share = np.where(deg > 0, r / np.maximum(deg, 1), 0.0)
+        r = 0.15 + 0.85 * (adj.T @ share)
+    assert got["node"].tolist() == names
+    np.testing.assert_allclose(got["rank"].to_numpy(), r, rtol=1e-9, atol=1e-9)
