@@ -667,3 +667,37 @@ def segment_quantiles(sf_dir: str) -> pd.DataFrame:
                 }
             )
     return pd.DataFrame(rows)
+
+
+def pivot_orders(sf_dir: str) -> pd.DataFrame:
+    """PIVOT: order counts as a wide (priority x status) table.  The
+    distributed shape is just the grouped aggregate with one count column
+    per pivoted value (statuses are a small, known domain) -- the
+    combiner makes each batch contribute one row per priority, and the
+    final reshape is O(groups)."""
+    statuses = ("O", "F", "P")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("o_orderpriority", as_index=False).agg(
+            **{
+                f"n_{s.lower()}": pd.NamedAgg(
+                    "o_orderstatus", lambda v, s=s: int((v == s).sum())
+                )
+                for s in statuses
+            }
+        )
+        return out
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    return (
+        grouped_aggregate(
+            ds,
+            ["o_orderpriority"],
+            {f"n_{s.lower()}": (f"n_{s.lower()}", "sum") for s in statuses},
+        )
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )

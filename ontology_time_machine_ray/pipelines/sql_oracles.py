@@ -528,6 +528,12 @@ SELECT c_mktsegment, 0.50 AS q, quantile_disc(bal, 0.50) AS acctbal
 FROM c GROUP BY 1
 UNION ALL
 SELECT c_mktsegment, 0.95, quantile_disc(bal, 0.95) FROM c GROUP BY 1""",
+    "rel_pivot_orders": """
+SELECT o_orderpriority,
+  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY 1""",
     "sample_stratified": """
 WITH s AS (
   SELECT doc_id,
