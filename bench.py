@@ -125,6 +125,10 @@ def run_bench() -> dict:
         timed("events_range_join", lambda: relational.events_range_join(SF_DIR))
         timed("dedup_minhash", lambda: minhash_clusters(SF_DIR))
         timed("ann_bruteforce", lambda: similarity.ann_bruteforce(SF_DIR))
+        from ontology_time_machine_ray.stages.textops import top_terms
+
+        timed("text_top_terms", lambda: top_terms(SF_DIR))
+        timed("rel_brand_revenue", lambda: relational.brand_revenue(SF_DIR))
 
     ray.shutdown()
     return {
