@@ -321,6 +321,54 @@ def kg_client_intercept(sf_dir: str):
     return hosts.map_batches(cross, batch_format="pandas")
 
 
+def kg_doc_stats(sf_dir: str):
+    """Per-document KG enrichment: mention count, index-match count, and
+    emitted-triple count -- the three partials co-located by ONE doc_id
+    bucket shuffle (mention rows side-tagged with triple rows), merged and
+    finished vectorized per bucket."""
+    import numpy as np
+
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply
+
+    p = _pipe(sf_dir)
+    cols = ["doc_id", "n_mentions", "n_matched", "n_triples", "_side"]
+
+    m_part = p.mentions().map_batches(
+        lambda df: df.assign(_hit=df["ontology_id"].notna().astype("int64"))
+        .groupby("doc_id", as_index=False)
+        .agg(n_mentions=("_hit", "size"), n_matched=("_hit", "sum"))
+        .assign(_side="m")
+        .reindex(columns=cols),
+        batch_format="pandas",
+    )
+    t_part = p.triples().map_batches(
+        lambda df: df.groupby("doc_id", as_index=False)
+        .agg(n_triples=("doc_id", "size"))
+        .assign(_side="t")
+        .reindex(columns=cols),
+        batch_format="pandas",
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            g[g["_side"] == "m"][["doc_id", "n_mentions", "n_matched"]]
+            .astype({"n_mentions": "int64", "n_matched": "int64"})
+            .groupby("doc_id", as_index=False)
+            .agg(n_mentions=("n_mentions", "sum"), n_matched=("n_matched", "sum"))
+        )
+        t = (
+            g[g["_side"] == "t"][["doc_id", "n_triples"]]
+            .astype({"n_triples": "int64"})
+            .groupby("doc_id", as_index=False)
+            .agg(n_triples=("n_triples", "sum"))
+        )
+        out = m.merge(t, on="doc_id", how="left")
+        out["n_triples"] = out["n_triples"].fillna(0).astype("int64")
+        return out
+
+    return grouped_apply(m_part.union(t_part), ["doc_id"], finish)
+
+
 def kg_pagerank(sf_dir: str) -> pd.DataFrame:
     """Distributed PageRank over the dependency manifest (iterative:
     bucketed join + aggregate per round; rows-only oracle -- float
@@ -445,6 +493,7 @@ QUERIES = {
     "kg_intercept_modes": kg_intercept_modes,
     "kg_client_config": kg_client_config,
     "kg_client_intercept": kg_client_intercept,
+    "kg_doc_stats": kg_doc_stats,
     "media_catalog": media_catalog,
     "media_frames": media_frames,
     # relational / events engine ops
@@ -474,6 +523,7 @@ QUERIES = {
     "text_top_terms": textops.top_terms,
     "text_tokens_bpe": textops.tokens_bpe,
     "text_winnow": textops.winnow_fingerprints,
+    "text_lm_coverage": textops.lm_coverage,
     "text_quality": textops.quality_score,
     "text_fingerprint": textops.fingerprints,
     "lang_id": textops.lang_id,
@@ -506,6 +556,7 @@ _KG_ORACLE_NAMES = (
     "kg_dependency_closure_ttl",
     "kg_intercept_archivo",
     "kg_intercept_modes",
+    "kg_doc_stats",
     "media_catalog",
 )
 

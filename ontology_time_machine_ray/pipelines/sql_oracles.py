@@ -265,6 +265,13 @@ def kg_sql(name: str, fixture_root: str, timestamp: str = "2021-06-01") -> str:
 SELECT * FROM no_loops
 QUALIFY row_number() OVER (
   PARTITION BY subj, pred, obj ORDER BY doc_id, ontology_version, format) = 1""",
+        "kg_doc_stats": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
+        """  ms AS (SELECT doc_id, count(*) AS n_mentions,
+               count(ontology_id) AS n_matched FROM mentions GROUP BY 1),
+  ts AS (SELECT doc_id, count(*) AS n_triples FROM dedup GROUP BY 1)
+SELECT m.doc_id, m.n_mentions, m.n_matched,
+       coalesce(t.n_triples, 0) AS n_triples
+FROM ms m LEFT JOIN ts t USING (doc_id)""",
         "kg_restricted_denied": f"WITH {_MENTIONS_CTES}\n"
         "SELECT doc_id, term_iri, CAST(403 AS INTEGER) AS status FROM mentions "
         "WHERE ontology_id IS NULL",
@@ -578,6 +585,25 @@ wins AS (
   WINDOW win AS (PARTITION BY doc_id ORDER BY i
                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
 SELECT DISTINCT doc_id, fp FROM wins WHERE cnt = 4""",
+    "text_lm_coverage": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents),
+big AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS bg
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        FROM toks WHERE len(t) >= 2)),
+top AS (
+  SELECT bg FROM (
+    SELECT bg, count(*) AS n FROM big GROUP BY 1
+    ORDER BY n DESC, bg LIMIT 1000)),
+scored AS (
+  SELECT b.doc_id,
+    count(*) AS n_bigrams,
+    count(*) FILTER (WHERE EXISTS (SELECT 1 FROM top tp WHERE tp.bg = b.bg))
+      AS n_in_top
+  FROM big b GROUP BY 1)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(n_in_top AS BIGINT) AS n_in_top FROM scored""",
     "text_top_terms": """
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term

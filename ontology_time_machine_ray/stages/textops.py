@@ -285,3 +285,79 @@ def sample_stratified(sf_dir: str) -> rd.Dataset:
         )
 
     return _read_docs(sf_dir).map_batches(pick, batch_format="pandas")
+
+
+def lm_coverage(sf_dir: str, top_k: int = 1000) -> rd.Dataset:
+    """Count-based bigram language-model coverage (the integer core of a
+    CCNet-style LM quality filter): per document, how many of its bigram
+    occurrences fall inside the corpus's top-``top_k`` bigram vocabulary.
+
+    Two passes: (1) heavy-hitter bigram counts -- batch-local combiner,
+    one bigram-bucketed aggregate, exact per-bucket top-k, deterministic
+    (count desc, bigram asc) cut; (2) the top set broadcast once, per-doc
+    membership counts vectorized.  Integer outputs keep it bit-identical
+    to the SQL restatement (no cross-engine float log-prob drift)."""
+    import numpy as np
+    import ray
+
+    from ontology_time_machine_ray.functions.broadcast import cached_get
+    from ontology_time_machine_ray.stages.groupagg import grouped_aggregate
+
+    def bigrams_of(df: pd.DataFrame):
+        toks = df["text"].fillna("").str.lower().str.findall(r"\S+")
+        lengths = toks.str.len().to_numpy()
+        total = int(lengths.sum())
+        doc_idx = np.repeat(np.arange(len(df)), lengths)
+        flat = pd.Series(toks.explode().dropna().to_numpy(), dtype="string")
+        if total < 2:
+            return doc_idx[:0], pd.Series([], dtype="string")
+        bg = flat.iloc[:-1].reset_index(drop=True).str.cat(
+            flat.iloc[1:].reset_index(drop=True), sep=" "
+        )
+        ok = doc_idx[:-1] == doc_idx[1:]
+        return doc_idx[:-1][ok], bg[ok]
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        _, bg = bigrams_of(df)
+        vc = bg.value_counts()
+        return pd.DataFrame({"bg": vc.index, "n": vc.to_numpy().astype("int64")})
+
+    agg = grouped_aggregate(
+        _read_docs(sf_dir).map_batches(partial_counts, batch_format="pandas"),
+        ["bg"],
+        {"n": ("n", "sum")},
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "bg"], ascending=[False, True], kind="stable").head(top_k)
+
+    merged = agg.map_batches(block_topk, batch_format="pandas").to_pandas()
+    top = (
+        merged.sort_values(["n", "bg"], ascending=[False, True], kind="stable")
+        .head(top_k)["bg"]
+        .tolist()
+    )
+    top_ref = ray.put(frozenset(top))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        vocab = cached_get(top_ref)
+        doc_i, bg = bigrams_of(df)
+        if len(bg) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="string"),
+                 "n_bigrams": pd.Series(dtype="int64"),
+                 "n_in_top": pd.Series(dtype="int64")}
+            )
+        hit = bg.isin(vocab).to_numpy().astype("int64")
+        out = pd.DataFrame({"i": doc_i, "hit": hit}).groupby("i").agg(
+            n_bigrams=("hit", "size"), n_in_top=("hit", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy()[out.index.to_numpy()],
+                "n_bigrams": out["n_bigrams"].astype("int64").to_numpy(),
+                "n_in_top": out["n_in_top"].astype("int64").to_numpy(),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(score, batch_format="pandas")
