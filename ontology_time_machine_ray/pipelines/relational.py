@@ -719,3 +719,41 @@ def pivot_orders(sf_dir: str) -> pd.DataFrame:
         .sort_values("o_orderpriority")
         .reset_index(drop=True)
     )
+
+
+def rollup_lineitem(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP (grouping sets): quantity totals by (returnflag, linestatus),
+    by returnflag, and grand total, NULL-marked like SQL ROLLUP.
+
+    Scale shape: only the FINEST grouping runs distributed (combiner +
+    groupby); the coarser levels are derived from that small base on the
+    driver -- subtotals never rescan the fact table."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+            }
+        )
+        return (
+            tt.group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("qty", "sum")])
+            .rename_columns(["l_returnflag", "l_linestatus", "qty"])
+        )
+
+    base = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("qty", alias_name="sum_qty"))
+        .to_pandas()
+    )
+    lvl1 = base.groupby("l_returnflag", as_index=False).agg(sum_qty=("sum_qty", "sum"))
+    lvl1["l_linestatus"] = None
+    total = pd.DataFrame(
+        {"l_returnflag": [None], "l_linestatus": [None], "sum_qty": [base["sum_qty"].sum()]}
+    )
+    out = pd.concat([base, lvl1, total], ignore_index=True)
+    return out[["l_returnflag", "l_linestatus", "sum_qty"]].astype({"sum_qty": "int64"})

@@ -535,6 +535,10 @@ SELECT c_mktsegment, 0.50 AS q, quantile_disc(bal, 0.50) AS acctbal
 FROM c GROUP BY 1
 UNION ALL
 SELECT c_mktsegment, 0.95, quantile_disc(bal, 0.95) FROM c GROUP BY 1""",
+    "rel_rollup_lineitem": """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "rel_pivot_orders": """
 SELECT o_orderpriority,
   count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
