@@ -326,8 +326,6 @@ def kg_doc_stats(sf_dir: str):
     emitted-triple count -- the three partials co-located by ONE doc_id
     bucket shuffle (mention rows side-tagged with triple rows), merged and
     finished vectorized per bucket."""
-    import numpy as np
-
     from ontology_time_machine_ray.stages.groupagg import grouped_apply
 
     p = _pipe(sf_dir)

@@ -157,8 +157,12 @@ def bucketed_join(
             {c: d for c, d in rdtypes.items() if c in on or c in rcols}
         )
         if how in ("semi", "anti"):
-            keys = r[on].drop_duplicates()
+            keys = r[on].dropna().drop_duplicates()
             hit = l.merge(keys, on=on, how="left", indicator=True)["_merge"] == "both"
+            # SQL EXISTS semantics: a NULL key never matches (pandas merge
+            # would treat NaN == NaN), so null-keyed left rows are always
+            # unmatched -- dropped by semi, kept by anti
+            hit &= l[on].notna().all(axis=1).to_numpy()
             return l[hit.to_numpy() if how == "semi" else (~hit).to_numpy()]
         return l.merge(r, on=on, how=how)
 

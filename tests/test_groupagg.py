@@ -70,6 +70,27 @@ def test_bucketed_join_semi_anti(ray_session):
     assert semi["lv"].dtype == np.int64
 
 
+def test_bucketed_join_semi_anti_null_keys(ray_session):
+    """SQL EXISTS semantics: a NULL key never matches, even against a NULL
+    key on the right -- semi drops null-keyed left rows, anti keeps them."""
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.groupagg import bucketed_join
+
+    left = pd.DataFrame(
+        {"k": pd.array([1, 2, None, None], dtype="Int64"), "lv": [10, 20, 30, 40]}
+    )
+    right = pd.DataFrame({"k": pd.array([2, None], dtype="Int64")})
+    semi = bucketed_join(
+        rd.from_pandas(left), rd.from_pandas(right), on=["k"], how="semi"
+    ).to_pandas()
+    anti = bucketed_join(
+        rd.from_pandas(left), rd.from_pandas(right), on=["k"], how="anti"
+    ).to_pandas()
+    assert sorted(semi["lv"]) == [20]
+    assert sorted(anti["lv"]) == [10, 30, 40]
+
+
 def test_rank_and_quantile_operators_vs_pandas(ray_session, tmp_path):
     import pyarrow.parquet as pq
     import pyarrow as pa
