@@ -95,6 +95,7 @@ def bucketed_join(
     on: Sequence[str],
     how: str = "inner",
     num_buckets: int = DEFAULT_BUCKETS,
+    salt: int = 1,
 ):
     """Large x large hash join: both sides bucketed on the key, co-located
     by ONE shuffle on the union, merged vectorized inside each bucket.
@@ -102,21 +103,29 @@ def bucketed_join(
     The portable partitioned-hash-join pattern from the Ray guide: when
     neither side fits a broadcast, tag rows with their side, union the
     streams, shuffle once on ``hash(key) % B``, and run ``pandas.merge``
-    per bucket.  Key skew is bounded by bucket size (rows/B); salt hot
-    keys upstream if a single key exceeds a bucket.
+    per bucket.  Key skew is bounded by bucket size (rows/B).
+
+    ``salt > 1`` handles the hot-key case where a SINGLE key outweighs a
+    bucket: left rows are spread across ``salt`` sub-keys (round-robin --
+    any assignment is correct, only the spread matters) and every right
+    row is replicated to all ``salt`` sub-keys, so the hot key's work
+    lands on ``salt`` buckets at the cost of a ``salt``x copy of the
+    (small or pre-distinct'd) right side.  Results are identical for any
+    ``salt``; semi/anti membership is unchanged because each left row
+    still meets the full right key set at its own sub-key.
 
     ``how`` additionally accepts ``"semi"`` / ``"anti"``: left rows kept /
-    dropped by key membership on the right.  The right side is reduced to
-    its distinct keys inside each bucket, so duplicate right keys never
-    multiply left rows and the right's payload columns are not shipped
-    into the output (pre-project them away upstream for less shuffle).
+    dropped by key membership on the right (SQL EXISTS semantics: NULL
+    keys never match).  The right side is reduced to its distinct keys
+    inside each bucket, so duplicate right keys never multiply left rows
+    and the right's payload columns are not shipped into the output
+    (pre-project them away upstream for less shuffle).
     """
     on = list(on)
     lschema, rschema = left.schema(), right.schema()
     lcols = [c for c in lschema.names if c not in on]
     rcols = [c for c in rschema.names if c not in on]
     assert not (set(lcols) & set(rcols)), "non-key columns must not collide"
-    all_cols = on + lcols + rcols
 
     # the union NaN-fills each side's missing columns, which silently
     # floats integer columns; remember the declared dtypes so each side is
@@ -140,33 +149,52 @@ def bucketed_join(
 
     def tag(side: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
             df = df.assign(_side=side)
+            if salt > 1:
+                if side == "l":
+                    df = df.assign(_salt=(np.arange(len(df)) % salt).astype("int64"))
+                else:
+                    df = pd.concat(
+                        [df.assign(_salt=s) for s in range(salt)], ignore_index=True
+                    )
             return df.reindex(columns=all_cols + ["_side"])
 
         return fn
+
+    join_cols = (on + ["_salt"]) if salt > 1 else on
+    all_cols = join_cols + lcols + rcols
 
     both = left.map_batches(tag("l"), batch_format="pandas").union(
         right.map_batches(tag("r"), batch_format="pandas")
     )
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["_side"] == "l"][on + lcols].astype(
+        # merge on join_cols (key + salt): each salted left row meets
+        # exactly ONE replica of a matching right row, so no duplicates
+        l = g[g["_side"] == "l"][join_cols + lcols].astype(
             {c: d for c, d in ldtypes.items() if c in on or c in lcols}
         )
-        r = g[g["_side"] == "r"][on + rcols].astype(
+        r = g[g["_side"] == "r"][join_cols + rcols].astype(
             {c: d for c, d in rdtypes.items() if c in on or c in rcols}
         )
         if how in ("semi", "anti"):
-            keys = r[on].dropna().drop_duplicates()
-            hit = l.merge(keys, on=on, how="left", indicator=True)["_merge"] == "both"
+            keys = r[join_cols].dropna().drop_duplicates()
+            hit = (
+                l.merge(keys, on=join_cols, how="left", indicator=True)["_merge"]
+                == "both"
+            )
             # SQL EXISTS semantics: a NULL key never matches (pandas merge
             # would treat NaN == NaN), so null-keyed left rows are always
             # unmatched -- dropped by semi, kept by anti
             hit &= l[on].notna().all(axis=1).to_numpy()
-            return l[hit.to_numpy() if how == "semi" else (~hit).to_numpy()]
-        return l.merge(r, on=on, how=how)
+            out = l[hit.to_numpy() if how == "semi" else (~hit).to_numpy()]
+        else:
+            out = l.merge(r, on=join_cols, how=how)
+        return out.drop(columns=["_salt"]) if salt > 1 else out
 
-    return grouped_apply(both, on, merge_bucket, num_buckets)
+    return grouped_apply(both, join_cols, merge_bucket, num_buckets)
 
 
 def grouped_head1(

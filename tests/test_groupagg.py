@@ -148,3 +148,39 @@ def test_rank_and_quantile_operators_vs_pandas(ray_session, tmp_path):
 
         target = max(1, math.ceil(row["q"] * len(vals)))
         assert row["acctbal"] == vals[target - 1] / 100.0
+
+
+def test_bucketed_join_salted_hot_key(ray_session):
+    """A pathological hot key (half of all left rows) joined with salt=8
+    must give results identical to the unsalted join and to pandas, for
+    inner, left, semi and anti."""
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.groupagg import bucketed_join
+
+    rng = np.random.RandomState(17)
+    hot = np.zeros(500, dtype=np.int64)  # key 0 is hot
+    cold = rng.randint(1, 40, 500).astype(np.int64)
+    left = pd.DataFrame(
+        {"k": np.concatenate([hot, cold]), "lv": np.arange(1000, dtype=np.int64)}
+    )
+    right = pd.DataFrame(
+        {"k": np.arange(0, 30, dtype=np.int64), "rv": np.arange(30, dtype=np.int64) * 7}
+    )
+    for how in ("inner", "left", "semi", "anti"):
+        got = bucketed_join(
+            rd.from_pandas(left), rd.from_pandas(right), on=["k"], how=how, salt=8
+        ).to_pandas()
+        if how in ("semi", "anti"):
+            member = set(right["k"])
+            keep = left["k"].isin(member)
+            want = left[keep if how == "semi" else ~keep]
+            assert sorted(got["lv"]) == sorted(want["lv"])
+            assert set(got.columns) == {"k", "lv"}
+        else:
+            want = left.merge(right, on="k", how=how)
+            key = lambda df: sorted(
+                map(tuple, df[["k", "lv", "rv"]].fillna(-1).itertuples(index=False))
+            )
+            assert key(got) == key(want)
+        assert "_salt" not in got.columns
