@@ -455,6 +455,16 @@ def ann_lsh(sf_dir: str) -> pd.DataFrame:
     return similarity.ann_lsh(sf_dir)
 
 
+def _top_terms_sketch(sf_dir: str) -> pd.DataFrame:
+    """Misra-Gries heavy-hitter sketch (see stages/sketch.py): top terms by
+    occurrence with NO shuffle -- exact below counter saturation, so
+    checkable against the exact SQL at test scale; bounded-undercount
+    estimate at corpus scale."""
+    from ontology_time_machine_ray.stages.sketch import top_terms_sketch
+
+    return top_terms_sketch(sf_dir)
+
+
 def _distinct_sketch(sf_dir: str) -> pd.DataFrame:
     """KMV cardinality sketch (see stages/sketch.py): exact below
     saturation -> checkable against count(DISTINCT) at test scale; the
@@ -523,6 +533,7 @@ QUERIES = {
     "text_tokens_bpe": textops.tokens_bpe,
     "text_winnow": textops.winnow_fingerprints,
     "text_lm_coverage": textops.lm_coverage,
+    "text_top_terms_sketch": _top_terms_sketch,
     "text_quality": textops.quality_score,
     "text_fingerprint": textops.fingerprints,
     "lang_id": textops.lang_id,

@@ -608,6 +608,12 @@ scored AS (
   FROM big b GROUP BY 1)
 SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
        CAST(n_in_top AS BIGINT) AS n_in_top FROM scored""",
+    "text_top_terms_sketch": """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS term FROM documents)
+SELECT term, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM toks GROUP BY term
+ORDER BY n_occurrences DESC, term LIMIT 20""",
     "text_top_terms": """
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term

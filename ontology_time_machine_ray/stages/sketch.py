@@ -91,3 +91,74 @@ def distinct_customers_sketch(sf_dir: str, k: int = 32768) -> pd.DataFrame:
     )
     n = distinct_count_sketch(ds, "o_custkey", k)
     return pd.DataFrame({"n_distinct": pd.Series([n], dtype="int64")})
+
+
+# --------------------------------------------------------------------- #
+# Misra-Gries heavy-hitter summary (mergeable frequency sketch)          #
+# --------------------------------------------------------------------- #
+def mg_partial(counts: pd.Series, k: int) -> pd.Series:
+    """Compress exact value->count pairs to a Misra-Gries summary of at
+    most ``k`` counters: keep the k largest, decrement all by the
+    (k+1)-th largest (the classic reduction).  Any item's stored count
+    undercounts its true count by at most (stream length)/(k+1)."""
+    if len(counts) <= k:
+        return counts
+    top = counts.sort_values(ascending=False, kind="stable")
+    dec = int(top.iloc[k])
+    out = top.iloc[:k] - dec
+    return out[out > 0]
+
+def mg_merge(partials: list[pd.Series], k: int) -> pd.Series:
+    """Merge MG summaries: sum counters, re-compress to k (Agarwal et al.
+    2013 -- mergeable summaries; errors add, staying <= n_total/(k+1))."""
+    if not partials:
+        return pd.Series(dtype="int64")
+    total = pd.concat(partials).groupby(level=0).sum()
+    return mg_partial(total, k)
+
+def heavy_hitters_sketch(
+    ds: rd.Dataset, column: str, k_counters: int = 4096, top: int = 20
+) -> pd.DataFrame:
+    """Top-``top`` most frequent values of ``ds[column]`` by Misra-Gries:
+    one pass, no shuffle -- each block ships <= k_counters counters to the
+    driver (the frequency analog of the KMV distinct sketch).  EXACT when
+    the global distinct count is <= k_counters (no decrement ever fires),
+    which is the oracle-checkable regime at test scale; at corpus scale
+    the same code returns every value with true count > n/(k_counters+1)
+    with bounded undercount.  Deterministic (count desc, value asc) cut."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[column].value_counts()  # exact within the block
+        s = mg_partial(vc, k_counters)
+        return pd.DataFrame({"v": s.index, "n": s.to_numpy().astype("int64")})
+
+    parts = (
+        ds.select_columns([column])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    merged = mg_merge([parts.set_index("v")["n"]], k_counters)
+    out = merged.rename_axis("v").reset_index(name="n")
+    return (
+        out.sort_values(["n", "v"], ascending=[False, True], kind="stable")
+        .head(top)
+        .reset_index(drop=True)
+    )
+
+def top_terms_sketch(sf_dir: str, k_counters: int = 4096, top: int = 20) -> pd.DataFrame:
+    """Query entry: top terms by total OCCURRENCE count via the MG sketch
+    (vs ``textops.top_terms``'s exact shuffle path, which ranks by
+    document frequency).  Unsaturated at test scale (tiny vocabulary) ->
+    equals the exact SQL answer; the same operator degrades gracefully at
+    corpus scale instead of shuffling the full term table."""
+    import os
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+
+    def explode_terms(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(r"\S+")
+        return pd.DataFrame({"term": toks.explode().dropna().to_numpy()})
+
+    terms = docs.map_batches(explode_terms, batch_format="pandas")
+    out = heavy_hitters_sketch(terms, "term", k_counters, top)
+    return out.rename(columns={"v": "term", "n": "n_occurrences"})

@@ -49,3 +49,39 @@ def test_distinct_count_sketch_distributed(ray_session):
     df = pd.DataFrame({"v": rng.randint(0, 3000, 50_000).astype(np.int64)})
     got = distinct_count_sketch(rd.from_pandas(df).repartition(8), "v", k=8192)
     assert got == df["v"].nunique()
+
+
+def test_mg_error_bound_and_exactness():
+    """Misra-Gries guarantees: exact when distinct <= k; undercount bounded
+    by n/(k+1) under saturation; merge of partials respects the bound."""
+    import numpy as np
+    import pandas as pd
+
+    from ontology_time_machine_ray.stages.sketch import mg_merge, mg_partial
+
+    rng = np.random.RandomState(3)
+    # skewed stream: value v has frequency ~ 1/(v+1)
+    stream = np.concatenate([np.full(2000 // (v + 1), v) for v in range(100)])
+    rng.shuffle(stream)
+    true = pd.Series(stream).value_counts()
+
+    # unsaturated: k >= distinct -> exact
+    exact = mg_partial(true, k=200)
+    pd.testing.assert_series_equal(
+        exact.sort_index(), true.sort_index(), check_names=False
+    )
+
+    # saturated, merged from block partials: undercount <= n / (k+1)
+    k = 8
+    blocks = np.array_split(stream, 7)
+    partials = [mg_partial(pd.Series(b).value_counts(), k) for b in blocks]
+    merged = mg_merge(partials, k)
+    n = len(stream)
+    for v, est in merged.items():
+        t = true[v]
+        assert est <= t, "MG never overcounts"
+        assert t - est <= n // (k + 1) + 1
+    # every truly heavy item (count > n/(k+1)) must survive the merge
+    for v, t in true.items():
+        if t > n / (k + 1):
+            assert v in merged.index
