@@ -320,15 +320,11 @@ def _simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
         # column i exactly bit i of the hash
         bits = np.unpackbits(h[:, None].view(np.uint8), axis=1, bitorder="little")
         # votes[d,i] = sum(2*bit - 1) > 0  <=>  2 * bitsum[d,i] > n_tokens[d]
-        # d is sorted+contiguous, so per-doc sums are cumsum diffs at the
-        # group boundaries (one C-speed pass; no reduceat/scatter)
+        # d is sorted+contiguous, so per-doc sums come from one reduceat
+        # over the group starts -- output-sized memory, unlike a full
+        # (n_tokens x 64) cumsum matrix (4x int32 peak blowup)
         uniq, starts, counts = np.unique(d, return_index=True, return_counts=True)
-        cs = np.cumsum(bits, axis=0, dtype=np.int32)
-        ends = starts + counts
-        top = cs[ends - 1]
-        prev = np.zeros_like(top)
-        prev[1:] = cs[starts[1:] - 1]
-        bitsum = top - prev
+        bitsum = np.add.reduceat(bits, starts, axis=0, dtype=np.int32)
         bitset = (2 * bitsum > counts[:, None]).astype(np.uint8)
         sims[uniq] = np.packbits(bitset, axis=1, bitorder="little").view(np.uint64).ravel()
         # all-zero-token docs keep simhash 0 (no votes -> no positive bits)

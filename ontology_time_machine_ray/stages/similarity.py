@@ -224,7 +224,7 @@ def build_ivf_index(
     import hashlib
 
     ident = hashlib.sha1(
-        f"{os.path.abspath(emb_path)}:{st.st_size}:{int(st.st_mtime)}".encode()
+        f"{os.path.abspath(emb_path)}:{st.st_size}:{st.st_mtime_ns}".encode()
     ).hexdigest()[:12]
     tag = f"{ident}_k{n_lists}_i{iters}"
     out_dir = os.path.join("/tmp/otm_ivf", tag)
@@ -245,11 +245,19 @@ def build_ivf_index(
     # one directory per inverted list -> the query phase reads ONLY the
     # probed lists (prune at the read, not a post-read filter)
     def write_list(g: pd.DataFrame) -> pd.DataFrame:
-        lid = int(g["list_id"].iloc[0])
-        ldir = os.path.join(out_dir, f"list={lid:04d}")
-        os.makedirs(ldir, exist_ok=True)
-        g.drop(columns=["list_id"]).to_parquet(os.path.join(ldir, "data.parquet"), index=False)
-        return pd.DataFrame({"list_id": [lid], "rows": [len(g)]})
+        # a hash bucket can hold SEVERAL list_ids (grouped_apply contract:
+        # the callback must itself respect the key grouping) -- write one
+        # directory per list_id inside the bucket
+        out = []
+        for lid, sub in g.groupby("list_id", sort=True):
+            lid = int(lid)
+            ldir = os.path.join(out_dir, f"list={lid:04d}")
+            os.makedirs(ldir, exist_ok=True)
+            sub.drop(columns=["list_id"]).to_parquet(
+                os.path.join(ldir, "data.parquet"), index=False
+            )
+            out.append({"list_id": lid, "rows": len(sub)})
+        return pd.DataFrame(out)
 
     from ontology_time_machine_ray.stages.groupagg import grouped_apply
 

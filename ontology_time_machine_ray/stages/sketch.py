@@ -28,11 +28,7 @@ from ontology_time_machine_ray.functions.hashing import stable_hash64_series
 
 def kmv_partial(values: pd.Series, k: int) -> np.ndarray:
     """The k smallest unique hash values of ``values`` (sorted uint64)."""
-    h = np.unique(stable_hash64_series(values).astype(np.uint64))
-    if len(h) > k:
-        h = np.partition(h, k - 1)[:k]
-        h.sort()
-    return h
+    return kmv_partial_from_hashes(stable_hash64_series(values), k)
 
 
 def kmv_merge(partials: list[np.ndarray], k: int) -> np.ndarray:

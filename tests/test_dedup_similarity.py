@@ -243,3 +243,37 @@ def test_embedding_dedup_keep_collapses_components(ray_session):
         )
         keep = bucketed_join(ids, dropped, on=["vec_id"], how="anti").to_pandas()
         assert sorted(keep["vec_id"]) == [0, 3, 4, 5]
+
+
+def test_ivf_writes_every_list_directory(ray_session, sf_dir):
+    """Every list_id with members gets its OWN directory (a hash bucket in
+    the write stage can hold several list_ids -- regression test for the
+    bucket-collision write bug) and the union of list files is exactly the
+    corpus."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ontology_time_machine_ray.stages.similarity import build_ivf_index, _cached_get
+    import numpy as np_
+    import shutil
+
+    shutil.rmtree("/tmp/otm_ivf", ignore_errors=True)
+    out_dir, centroids = build_ivf_index(sf_dir, n_lists=16, iters=2)
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    mat = np_.stack(emb["embedding"].to_numpy()).astype(np_.float64)
+    mat = mat / np_.linalg.norm(mat, axis=1, keepdims=True)
+    assign = np_.argmax(mat @ centroids.T, axis=1)
+    want_lists = sorted(set(assign.tolist()))
+    have_lists = sorted(
+        int(d.split("=")[1]) for d in os.listdir(out_dir) if d.startswith("list=")
+    )
+    assert have_lists == want_lists
+    seen = []
+    for lid in have_lists:
+        t = pq.read_table(os.path.join(out_dir, f"list={lid:04d}", "data.parquet"))
+        ids = t["vec_id"].to_pylist()
+        seen.extend(ids)
+        # every vector in the file truly belongs to this list
+        assert all(assign[emb["vec_id"].tolist().index(i)] == lid for i in ids[:20])
+    assert sorted(seen) == sorted(emb["vec_id"].tolist())
