@@ -292,16 +292,19 @@ def lm_coverage(sf_dir: str, top_k: int = 1000) -> rd.Dataset:
     CCNet-style LM quality filter): per document, how many of its bigram
     occurrences fall inside the corpus's top-``top_k`` bigram vocabulary.
 
-    Two passes: (1) heavy-hitter bigram counts -- batch-local combiner,
-    one bigram-bucketed aggregate, exact per-bucket top-k, deterministic
-    (count desc, bigram asc) cut; (2) the top set broadcast once, per-doc
-    membership counts vectorized.  Integer outputs keep it bit-identical
-    to the SQL restatement (no cross-engine float log-prob drift)."""
+    Two passes: (1) heavy-hitter bigram counts via the SHUFFLE-FREE
+    Misra-Gries sketch (each block ships <= 64k counters to the driver;
+    exact below counter saturation -- the oracle-checkable regime -- and
+    bounded-undercount at corpus scale, where an exact aggregate would
+    shuffle the full distinct-bigram table), deterministic (count desc,
+    bigram asc) cut; (2) the top set broadcast once, per-doc membership
+    counts vectorized.  Integer outputs keep it bit-identical to the SQL
+    restatement (no cross-engine float log-prob drift)."""
     import numpy as np
     import ray
 
     from ontology_time_machine_ray.functions.broadcast import cached_get
-    from ontology_time_machine_ray.stages.groupagg import grouped_aggregate
+    from ontology_time_machine_ray.stages.sketch import mg_merge, mg_partial
 
     def bigrams_of(df: pd.DataFrame):
         toks = df["text"].fillna("").str.lower().str.findall(r"\S+")
@@ -317,23 +320,23 @@ def lm_coverage(sf_dir: str, top_k: int = 1000) -> rd.Dataset:
         ok = doc_idx[:-1] == doc_idx[1:]
         return doc_idx[:-1][ok], bg[ok]
 
+    K_COUNTERS = 65536
+
     def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
         _, bg = bigrams_of(df)
-        vc = bg.value_counts()
-        return pd.DataFrame({"bg": vc.index, "n": vc.to_numpy().astype("int64")})
+        s = mg_partial(bg.value_counts(), K_COUNTERS)
+        return pd.DataFrame({"bg": s.index, "n": s.to_numpy().astype("int64")})
 
-    agg = grouped_aggregate(
-        _read_docs(sf_dir).map_batches(partial_counts, batch_format="pandas"),
-        ["bg"],
-        {"n": ("n", "sum")},
+    parts = (
+        _read_docs(sf_dir)
+        .map_batches(partial_counts, batch_format="pandas")
+        .to_pandas()
     )
-
-    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["n", "bg"], ascending=[False, True], kind="stable").head(top_k)
-
-    merged = agg.map_batches(block_topk, batch_format="pandas").to_pandas()
+    merged = mg_merge([parts.set_index("bg")["n"]], K_COUNTERS)
     top = (
-        merged.sort_values(["n", "bg"], ascending=[False, True], kind="stable")
+        merged.rename_axis("bg")
+        .reset_index(name="n")
+        .sort_values(["n", "bg"], ascending=[False, True], kind="stable")
         .head(top_k)["bg"]
         .tolist()
     )
