@@ -296,8 +296,11 @@ def kg_client_intercept(sf_dir: str):
     bref = ray.put((idx_hosts, clients))
 
     def hostify(df: pd.DataFrame) -> pd.DataFrame:
+        # distinct IRIs first: the per-IRI urlparse touches batch-distinct
+        # values, not every mention row
+        iris = df["term_iri"].drop_duplicates()
         return pd.DataFrame(
-            {"host": df["term_iri"].map(lambda i: split_iri(i)[1]).drop_duplicates()}
+            {"host": iris.map(lambda i: split_iri(i)[1]).drop_duplicates()}
         )
 
     hosts = grouped_head1(
