@@ -10,6 +10,11 @@ of a batch build instead of proxy flags.
         --ontoVersion originalFailoverLiveLatest --ontoFormat turtle \
         --ontoPrecedence default --timestamp 2021-06-01 [--restricted] \
         [--no-per-row-policy] [--repeat N] [--num-cpus N]
+
+Or run any registry operator standalone (the engine-as-a-tool surface)::
+
+    python -m ontology_time_machine_ray query text_stats \
+        --sf-dir /root/testdata/sf0.01 [--out /tmp/out.parquet] [--limit N]
 """
 
 from __future__ import annotations
@@ -19,7 +24,63 @@ import json
 import sys
 
 
+def _run_query(argv) -> int:
+    ap = argparse.ArgumentParser(prog="ontology_time_machine_ray query")
+    ap.add_argument("name", help="registry query name (see --list)")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default=None, help="write result parquet here instead of printing")
+    ap.add_argument("--limit", type=int, default=20, help="rows to print when no --out")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ontology_time_machine_ray.pipelines.queries import QUERIES
+
+    if args.name == "--list" or args.name not in QUERIES:
+        print(json.dumps({"queries": sorted(QUERIES)}))
+        return 0 if args.name == "--list" else 1
+
+    result = QUERIES[args.name](args.sf_dir)
+    if args.out:
+        if isinstance(result, rd.Dataset):
+            # streaming write: the result never materializes on the driver
+            result.write_parquet(args.out)
+            n = None
+        else:
+            pd.DataFrame(result).to_parquet(args.out, index=False)
+            n = len(result)
+        print(json.dumps({"query": args.name, "out": args.out, "rows": n}))
+    else:
+        df = result.limit(args.limit).to_pandas() if isinstance(result, rd.Dataset) else (
+            pd.DataFrame(result).head(args.limit)
+        )
+        print(df.to_string(index=False))
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "query":
+        return _run_query(argv[1:])
     ap = argparse.ArgumentParser(prog="ontology_time_machine_ray")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--out", default="/tmp/otm_store")

@@ -57,3 +57,29 @@ def test_repeat_corpus_is_multifile_and_runs(ray_session, sf_dir):
     # mentions double too (distinct doc ids -> distinct mention mixes, but
     # every doc still yields its spans)
     assert pipe.mentions().count() > 0
+
+
+def test_cli_query_runner(ray_session, tmp_path, capsys):
+    """The query subcommand runs any registry operator standalone and
+    streams Dataset results to parquet without driver materialization."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ontology_time_machine_ray.__main__ import main
+
+    out = str(tmp_path / "stats_out")
+    rc = main(["query", "text_stats", "--sf-dir", "/root/testdata/sf0.001", "--out", out])
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["query"] == "text_stats"
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert files
+    n = sum(pq.read_metadata(os.path.join(out, f)).num_rows for f in files)
+    assert n == 500  # sf0.001 documents table
+
+    rc = main(["query", "--list"])
+    assert rc == 0
+    listing = json.loads(capsys.readouterr().out.strip())
+    assert "kg_mentions" in listing["queries"]
