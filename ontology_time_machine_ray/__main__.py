@@ -26,7 +26,8 @@ import sys
 
 def _run_query(argv) -> int:
     ap = argparse.ArgumentParser(prog="ontology_time_machine_ray query")
-    ap.add_argument("name", help="registry query name (see --list)")
+    ap.add_argument("name", nargs="?", help="registry query name (see --list)")
+    ap.add_argument("--list", action="store_true", dest="list_queries")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default=None, help="write result parquet here instead of printing")
     ap.add_argument("--limit", type=int, default=20, help="rows to print when no --out")
@@ -53,9 +54,9 @@ def _run_query(argv) -> int:
 
     from ontology_time_machine_ray.pipelines.queries import QUERIES
 
-    if args.name == "--list" or args.name not in QUERIES:
+    if args.list_queries or args.name not in QUERIES:
         print(json.dumps({"queries": sorted(QUERIES)}))
-        return 0 if args.name == "--list" else 1
+        return 0 if args.list_queries else 1
 
     result = QUERIES[args.name](args.sf_dir)
     if args.out:
