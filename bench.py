@@ -8,10 +8,10 @@ and print ONE JSON line::
      "queries": {...}, "sf": "...", "num_cpus": N, ...}
 
 ``--scaling``: run the headline job in FRESH processes at two parallelism
-levels (``$OTM_SCALING_CPUS``, default 4 and 16 -- N vs 4N) on the same
+levels (``$OTM_SCALING_CPUS``, default 8 and 32 -- N vs 4N) on the same
 input and report both throughputs plus scaling efficiency (the sandbox
 stand-in for the N vs 4N node criterion; see BASELINE.md for the full
-four-level curve and the single-box bandwidth-ceiling analysis).
+four-level curve).
 
 The KG corpus at bench scale is the deterministic interleaved synthesis of
 ``$GRAFT_SF_DIR/documents.parquet`` replicated ``$OTM_BENCH_REPEAT`` times
