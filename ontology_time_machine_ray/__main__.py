@@ -34,6 +34,13 @@ def _run_query(argv) -> int:
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
+    # listing / name validation never needs (or pays for) a Ray session
+    from ontology_time_machine_ray.pipelines.queries import QUERIES
+
+    if args.list_queries or args.name not in QUERIES:
+        print(json.dumps({"queries": sorted(QUERIES)}))
+        return 0 if args.list_queries else 1
+
     import ray
 
     owns_session = not ray.is_initialized()
@@ -51,12 +58,6 @@ def _run_query(argv) -> int:
 
     import pandas as pd
     import ray.data as rd
-
-    from ontology_time_machine_ray.pipelines.queries import QUERIES
-
-    if args.list_queries or args.name not in QUERIES:
-        print(json.dumps({"queries": sorted(QUERIES)}))
-        return 0 if args.list_queries else 1
 
     result = QUERIES[args.name](args.sf_dir)
     if args.out:

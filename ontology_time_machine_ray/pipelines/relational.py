@@ -477,7 +477,9 @@ def events_range_join(sf_dir: str, events_ds: rd.Dataset | None = None) -> rd.Da
     )
 
 
-def events_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+def events_sessions(
+    sf_dir: str, gap_minutes: int = 30, events_ds: rd.Dataset | None = None
+) -> rd.Dataset:
     """Session windows (gap > 30 min starts a new session) per user.
 
     Ordering contract: rows are grouped per user and sorted by ts INSIDE
@@ -497,7 +499,9 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
         )
 
     return grouped_apply(
-        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        events_ds
+        if events_ds is not None
+        else _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
         ["user_id"],
         sessions_in_bucket,
     )

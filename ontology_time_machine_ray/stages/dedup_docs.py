@@ -300,8 +300,8 @@ def minhash_clusters(
 def _simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
     """64-bit SimHash per document, vectorized across the whole batch:
     one explode to (doc, token) rows, one bulk token hash, one bit unpack,
-    and a single ``np.add.at`` scatter for the per-document bit votes --
-    no per-document Python loop."""
+    and one ``np.add.reduceat`` over the sorted group starts for the
+    per-document bit votes -- no per-document Python loop."""
     n_docs = len(df)
     sims = np.zeros(n_docs, dtype=np.uint64)
     if n_docs == 0:

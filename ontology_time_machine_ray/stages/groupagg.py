@@ -130,6 +130,10 @@ def bucketed_join(
     (pre-project them away upstream for less shuffle).
     """
     on = list(on)
+    assert salt == 1 or how in ("inner", "left", "semi", "anti"), (
+        "salt>1 would duplicate unmatched right rows under outer/right "
+        "(each replica is unmatched at its own sub-key)"
+    )
     lschema, rschema = left.schema(), right.schema()
     lcols = [c for c in lschema.names if c not in on]
     rcols = [c for c in rschema.names if c not in on]

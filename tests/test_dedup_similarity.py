@@ -254,7 +254,7 @@ def test_ivf_writes_every_list_directory(ray_session, sf_dir):
 
     import pyarrow.parquet as pq
 
-    from ontology_time_machine_ray.stages.similarity import build_ivf_index, _cached_get
+    from ontology_time_machine_ray.stages.similarity import build_ivf_index
     import numpy as np_
     import shutil
 

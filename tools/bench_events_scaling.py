@@ -27,13 +27,19 @@ def ensure_big() -> str:
     """Deterministic 20M-row stream: the sf0.1 events table replicated with
     a user_id offset per replica (each replica keeps its users' exact
     per-user event sequences, so join/session semantics are realistic)."""
+    import shutil
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     marker = os.path.join(BIG_DIR, "_SUCCESS")
-    tag = f"{SRC}:{REPLICAS}"
+    st = os.stat(SRC)
+    # source identity (size + mtime_ns) in the tag, like build_ivf_index:
+    # a regenerated fixture or a REPLICAS change can never serve stale data
+    tag = f"{SRC}:{st.st_size}:{st.st_mtime_ns}:{REPLICAS}"
     if os.path.exists(marker) and open(marker).read() == tag:
         return BIG_DIR
+    shutil.rmtree(BIG_DIR, ignore_errors=True)  # no stale part files survive
     os.makedirs(BIG_DIR, exist_ok=True)
     t = pq.read_table(SRC, columns=["event_id", "ts", "user_id", "event_type"])
     n_users = 1 + int(pa.compute.max(t["user_id"]).as_py())
@@ -90,15 +96,10 @@ def run_one(ncpu: int) -> dict:
         best = None
         for _ in range(2):  # min-of-2 steady state, like bench.py
             ev = rd.read_parquet(paths)
-            t0 = time.time()
             if name == "sessions":
-                n = relational.grouped_apply(
-                    ev.select_columns(["event_id", "user_id", "ts"]),
-                    ["user_id"],
-                    _session_fn(),
-                ).count()
-            else:
-                n = fn("unused", events_ds=ev).count()
+                ev = ev.select_columns(["event_id", "user_id", "ts"])
+            t0 = time.time()
+            n = fn("unused", events_ds=ev).count()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
             out[f"{name}_rows"] = n
@@ -106,22 +107,6 @@ def run_one(ncpu: int) -> dict:
     ray.shutdown()
     return out
 
-
-def _session_fn():
-    import pandas as pd
-
-    gap = pd.Timedelta(minutes=30)
-
-    def sessions_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
-        new_user = g["user_id"] != g["user_id"].shift()
-        gap_hit = (g["ts"] - g["ts"].shift()) > gap
-        g = g.assign(_start=(new_user | gap_hit).astype("int64"))
-        return g.groupby("user_id", as_index=False).agg(
-            n_events=("_start", "size"), n_sessions=("_start", "sum")
-        )
-
-    return sessions_in_bucket
 
 
 def main() -> None:
