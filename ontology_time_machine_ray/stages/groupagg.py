@@ -228,3 +228,54 @@ def grouped_head1(
         )
 
     return grouped_apply(ds, keys, first_bucket, num_buckets, bucket_keys=bucket_keys)
+
+
+def bloom_semi_anti_join(
+    left,
+    right,
+    on: str,
+    how: str = "semi",
+    num_buckets: int = DEFAULT_BUCKETS,
+    m_bits: int | None = None,
+):
+    """Bloom-prefiltered SEMI/ANTI join: the classic shuffle-volume
+    optimization for sparse-overlap joins.
+
+    The right side's keys are summarized into a mergeable Bloom filter
+    (one streaming pass, per-block partials OR-merged on the driver --
+    never the keys themselves), broadcast once, and probed vectorized on
+    the left BEFORE the shuffle:
+
+    * definitely-absent left rows (the Bloom's exact side) short-circuit:
+      a semi join DROPS them with no shuffle at all, an anti join EMITS
+      them directly into the output stream;
+    * only the maybe-present residue (true matches + the ~0.1% false
+      positives) goes through the exact in-bucket membership check, so
+      false positives never reach the result -- output is bit-identical
+      to ``bucketed_join(how=...)`` at a fraction of the exchange volume.
+    """
+    assert how in ("semi", "anti")
+    import ray
+
+    from ontology_time_machine_ray.functions.broadcast import cached_get
+    from ontology_time_machine_ray.stages.sketch import (
+        BLOOM_BITS,
+        bloom_contains,
+        bloom_of,
+    )
+
+    bits_ref = ray.put(bloom_of(right, on, m_bits or BLOOM_BITS))
+
+    def split(keep_maybe: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            maybe = bloom_contains(cached_get(bits_ref), df[on])
+            return df[maybe if keep_maybe else ~maybe]
+
+        return fn
+
+    maybe_side = left.map_batches(split(True), batch_format="pandas")
+    exact = bucketed_join(maybe_side, right, on=[on], how=how, num_buckets=num_buckets)
+    if how == "semi":
+        return exact
+    definite = left.map_batches(split(False), batch_format="pandas")
+    return exact.union(definite)

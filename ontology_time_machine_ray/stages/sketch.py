@@ -158,3 +158,51 @@ def top_terms_sketch(sf_dir: str, k_counters: int = 4096, top: int = 20) -> pd.D
     terms = docs.map_batches(explode_terms, batch_format="pandas")
     out = heavy_hitters_sketch(terms, "term", k_counters, top)
     return out.rename(columns={"v": "term", "n": "n_occurrences"})
+
+
+# --------------------------------------------------------------------- #
+# Bloom filter (mergeable membership sketch for join pre-filtering)      #
+# --------------------------------------------------------------------- #
+BLOOM_BITS = 1 << 20  # 128 KB per partial; ~0.1% fp at ~100k keys, k=2
+
+
+def bloom_partial(values: pd.Series, m_bits: int = BLOOM_BITS) -> np.ndarray:
+    """Per-block Bloom bit array (two derived hash probes per value).
+    Partials merge by OR -- a commutative monoid like the KMV sketch, so
+    each block ships m/8 bytes to the driver regardless of block size."""
+    h = stable_hash64_series(values).astype(np.uint64)
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    for probe in (h % m_bits, (h >> np.uint64(32)) % m_bits):
+        p = probe.astype(np.int64)
+        np.bitwise_or.at(bits, p // 8, (1 << (p % 8)).astype(np.uint8))
+    return bits
+
+
+def bloom_contains(bits: np.ndarray, values: pd.Series) -> np.ndarray:
+    """Vectorized membership probe: True = maybe present (fp possible),
+    False = DEFINITELY absent (the side bloom filtering is exact on)."""
+    m_bits = len(bits) * 8
+    h = stable_hash64_series(values).astype(np.uint64)
+    out = np.ones(len(h), dtype=bool)
+    for probe in (h % m_bits, (h >> np.uint64(32)) % m_bits):
+        p = probe.astype(np.int64)
+        out &= (bits[p // 8] & (1 << (p % 8)).astype(np.uint8)) != 0
+    return out
+
+
+def bloom_of(ds: rd.Dataset, column: str, m_bits: int = BLOOM_BITS) -> np.ndarray:
+    """Distributed Bloom build: one pass, per-block partials OR-merged on
+    the driver (O(blocks * m/8) bytes driver-side, never the keys)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"bits": [bloom_partial(df[column], m_bits)]})
+
+    parts = (
+        ds.select_columns([column])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()["bits"]
+    )
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    for p in parts:
+        bits |= np.asarray(p, dtype=np.uint8)
+    return bits

@@ -184,3 +184,38 @@ def test_bucketed_join_salted_hot_key(ray_session):
             )
             assert key(got) == key(want)
         assert "_salt" not in got.columns
+
+
+def test_bloom_semi_anti_join_exact_and_prefilters(ray_session):
+    """Bloom-prefiltered semi/anti equals the plain bucketed join exactly,
+    and the shuffled residue is a small fraction of the left side when key
+    overlap is sparse."""
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.groupagg import (
+        bloom_semi_anti_join,
+        bucketed_join,
+    )
+    from ontology_time_machine_ray.stages.sketch import bloom_contains, bloom_of
+
+    rng = np.random.RandomState(23)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 1_000_000, 5000).astype(np.int64),
+            "lv": np.arange(5000, dtype=np.int64),
+        }
+    )
+    # sparse overlap: 40 of the left's keys, plus 60 unrelated ones
+    right = pd.DataFrame(
+        {"k": np.concatenate([left["k"].to_numpy()[:40],
+                              rng.randint(2_000_000, 3_000_000, 60).astype(np.int64)])}
+    )
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+    for how in ("semi", "anti"):
+        got = bloom_semi_anti_join(lds, rds, on="k", how=how).to_pandas()
+        want = bucketed_join(lds, rds, on=["k"], how=how).to_pandas()
+        assert sorted(got["lv"]) == sorted(want["lv"])
+    # the prefilter really cuts the shuffled volume
+    bits = bloom_of(rds, "k")
+    residue = int(bloom_contains(bits, left["k"]).sum())
+    assert residue < len(left) // 10
