@@ -19,6 +19,8 @@ sketch is the 100-TB path and the exact operator the small-side path.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import numpy as np
 import pandas as pd
 import ray.data as rd
@@ -206,3 +208,62 @@ def bloom_of(ds: rd.Dataset, column: str, m_bits: int = BLOOM_BITS) -> np.ndarra
     for p in parts:
         bits |= np.asarray(p, dtype=np.uint8)
     return bits
+
+
+# --------------------------------------------------------------------- #
+# Weighted quantile sketch (mergeable, GK/KLL-lite)                      #
+# --------------------------------------------------------------------- #
+def quantile_sketch_partial(values: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-block quantile summary: if the block holds <= k values, ship
+    them all with weight 1 (EXACT); otherwise ship k evenly-spaced order
+    statistics, each carrying weight n/k.  A block's summary mis-ranks any
+    query point by at most n/k, so a merge over all blocks is off by at
+    most N/k_total ranks -- the simple mergeable-summary bound."""
+    v = np.sort(np.asarray(values))
+    n = len(v)
+    if n <= k:
+        return v, np.ones(n)
+    idx = ((np.arange(k) + 0.5) * n / k).astype(np.int64)
+    return v[idx], np.full(k, n / k)
+
+
+def quantile_sketch_merge(
+    partials: list[tuple[np.ndarray, np.ndarray]]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate + re-sort weighted samples (weights just add -- the
+    summary is a weighted multiset, a commutative monoid)."""
+    if not partials:
+        return np.array([]), np.array([])
+    v = np.concatenate([p[0] for p in partials])
+    w = np.concatenate([p[1] for p in partials])
+    order = np.argsort(v, kind="stable")
+    return v[order], w[order]
+
+
+def quantile_sketch_query(sketch: tuple[np.ndarray, np.ndarray], q: float) -> float:
+    """Weighted quantile_disc: the smallest value whose cumulative weight
+    reaches ceil(q * W)."""
+    v, w = sketch
+    cum = np.cumsum(w)
+    target = max(1.0, np.ceil(q * cum[-1]))
+    return float(v[int(np.argmax(cum >= target))])
+
+
+def quantiles_sketched(
+    ds: rd.Dataset, column: str, qs: Sequence[float], k: int = 8192
+) -> dict[float, float]:
+    """Streaming quantiles with NO shuffle: per-block weighted summaries
+    (<= k * 16 bytes each) merged on the driver -- the 100-TB companion to
+    the exact value-histogram path (``relational.price_quantiles``), whose
+    shuffle moves one row per DISTINCT value and so grows with the value
+    domain.  Rank error bounded by N / k per block count."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v, w = quantile_sketch_partial(df[column].to_numpy(), k)
+        return pd.DataFrame({"v": v, "w": w})
+
+    parts = (
+        ds.select_columns([column]).map_batches(partial, batch_format="pandas").to_pandas()
+    )
+    sketch = quantile_sketch_merge([(parts["v"].to_numpy(), parts["w"].to_numpy())])
+    return {q: quantile_sketch_query(sketch, q) for q in qs}

@@ -85,3 +85,47 @@ def test_mg_error_bound_and_exactness():
     for v, t in true.items():
         if t > n / (k + 1):
             assert v in merged.index
+
+
+def test_quantile_sketch_bounds_and_exactness(ray_session):
+    """Weighted quantile sketch: exact when every block is unsaturated;
+    rank error <= sum(n_i/k) when saturated."""
+    import numpy as np
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.sketch import (
+        quantile_sketch_merge,
+        quantile_sketch_partial,
+        quantile_sketch_query,
+        quantiles_sketched,
+    )
+
+    rng = np.random.RandomState(9)
+    data = rng.lognormal(3, 1, 50_000)
+    blocks = np.array_split(data, 7)
+
+    # unsaturated: k >= block size -> exact quantile_disc
+    sk = quantile_sketch_merge([quantile_sketch_partial(b, k=10_000) for b in blocks])
+    svals = np.sort(data)
+    for q in (0.1, 0.5, 0.95):
+        import math
+
+        exact = svals[max(1, math.ceil(q * len(svals))) - 1]
+        assert quantile_sketch_query(sk, q) == exact
+
+    # saturated (k=128 per block): rank error <= sum(n_i / k)
+    k = 128
+    sk = quantile_sketch_merge([quantile_sketch_partial(b, k=k) for b in blocks])
+    budget = sum(len(b) / k for b in blocks)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = quantile_sketch_query(sk, q)
+        rank = np.searchsorted(svals, est, side="right")
+        assert abs(rank - q * len(svals)) <= budget + 1
+
+    # the Dataset wrapper agrees with the driver-side merge
+    import pandas as pd
+
+    got = quantiles_sketched(
+        rd.from_pandas(pd.DataFrame({"x": data})), "x", [0.5], k=65_536
+    )  # k >= any single Ray block -> unsaturated -> exact
+    assert got[0.5] == svals[max(1, int(np.ceil(0.5 * len(svals)))) - 1]
