@@ -165,13 +165,16 @@ def top_terms_sketch(sf_dir: str, k_counters: int = 4096, top: int = 20) -> pd.D
 # --------------------------------------------------------------------- #
 # Bloom filter (mergeable membership sketch for join pre-filtering)      #
 # --------------------------------------------------------------------- #
-BLOOM_BITS = 1 << 20  # 128 KB per partial; ~0.1% fp at ~100k keys, k=2
+BLOOM_BITS = 1 << 20  # 128 KB per partial; fp(k=2) ~ 0.1% at 17k keys, ~3% at 100k
 
 
 def bloom_partial(values: pd.Series, m_bits: int = BLOOM_BITS) -> np.ndarray:
     """Per-block Bloom bit array (two derived hash probes per value).
     Partials merge by OR -- a commutative monoid like the KMV sketch, so
-    each block ships m/8 bytes to the driver regardless of block size."""
+    each block ships m/8 bytes to the driver regardless of block size.
+    ``m_bits`` is rounded UP to a whole byte so build and probe always use
+    the identical modulus (len(bits) * 8)."""
+    m_bits = (m_bits + 7) // 8 * 8
     h = stable_hash64_series(values).astype(np.uint64)
     bits = np.zeros(m_bits // 8, dtype=np.uint8)
     for probe in (h % m_bits, (h >> np.uint64(32)) % m_bits):
@@ -195,6 +198,8 @@ def bloom_contains(bits: np.ndarray, values: pd.Series) -> np.ndarray:
 def bloom_of(ds: rd.Dataset, column: str, m_bits: int = BLOOM_BITS) -> np.ndarray:
     """Distributed Bloom build: one pass, per-block partials OR-merged on
     the driver (O(blocks * m/8) bytes driver-side, never the keys)."""
+
+    m_bits = (m_bits + 7) // 8 * 8  # same rounding as bloom_partial
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"bits": [bloom_partial(df[column], m_bits)]})
@@ -242,10 +247,14 @@ def quantile_sketch_merge(
 
 def quantile_sketch_query(sketch: tuple[np.ndarray, np.ndarray], q: float) -> float:
     """Weighted quantile_disc: the smallest value whose cumulative weight
-    reaches ceil(q * W)."""
+    reaches ceil(q * W).  NaN on an empty sketch; the target is clamped to
+    the total weight so float drift in saturated weights (n/k sums) can
+    never push it past the last element at q = 1."""
     v, w = sketch
+    if len(v) == 0:
+        return float("nan")
     cum = np.cumsum(w)
-    target = max(1.0, np.ceil(q * cum[-1]))
+    target = min(max(1.0, np.ceil(q * cum[-1] - 1e-9)), cum[-1])
     return float(v[int(np.argmax(cum >= target))])
 
 
@@ -259,11 +268,15 @@ def quantiles_sketched(
     domain.  Rank error bounded by N / k per block count."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        v, w = quantile_sketch_partial(df[column].to_numpy(), k)
+        # NULLs are ignored, matching SQL quantile_disc (the exact
+        # companion's oracle semantics)
+        v, w = quantile_sketch_partial(df[column].dropna().to_numpy(), k)
         return pd.DataFrame({"v": v, "w": w})
 
     parts = (
         ds.select_columns([column]).map_batches(partial, batch_format="pandas").to_pandas()
     )
+    if len(parts) == 0:
+        return {q: float("nan") for q in qs}
     sketch = quantile_sketch_merge([(parts["v"].to_numpy(), parts["w"].to_numpy())])
     return {q: quantile_sketch_query(sketch, q) for q in qs}

@@ -199,10 +199,12 @@ def test_bloom_semi_anti_join_exact_and_prefilters(ray_session):
     from ontology_time_machine_ray.stages.sketch import bloom_contains, bloom_of
 
     rng = np.random.RandomState(23)
+    # key column deliberately NOT first: the anti bypass stream must be
+    # reindexed to the join output's order before the positional union
     left = pd.DataFrame(
         {
-            "k": rng.randint(0, 1_000_000, 5000).astype(np.int64),
             "lv": np.arange(5000, dtype=np.int64),
+            "k": rng.randint(0, 1_000_000, 5000).astype(np.int64),
         }
     )
     # sparse overlap: 40 of the left's keys, plus 60 unrelated ones
@@ -212,7 +214,8 @@ def test_bloom_semi_anti_join_exact_and_prefilters(ray_session):
     )
     lds, rds = rd.from_pandas(left), rd.from_pandas(right)
     for how in ("semi", "anti"):
-        got = bloom_semi_anti_join(lds, rds, on="k", how=how).to_pandas()
+        # odd m_bits: build and probe must still agree on the modulus
+        got = bloom_semi_anti_join(lds, rds, on="k", how=how, m_bits=1_000_001).to_pandas()
         want = bucketed_join(lds, rds, on=["k"], how=how).to_pandas()
         assert sorted(got["lv"]) == sorted(want["lv"])
     # the prefilter really cuts the shuffled volume

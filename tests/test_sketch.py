@@ -122,6 +122,16 @@ def test_quantile_sketch_bounds_and_exactness(ray_session):
         rank = np.searchsorted(svals, est, side="right")
         assert abs(rank - q * len(svals)) <= budget + 1
 
+    # q=1.0 under saturation: float drift in n/k weights must not wrap the
+    # answer to the MINIMUM (target clamped to the total weight); the
+    # correct saturated answer is the sketch's LAST sample
+    sk_odd = quantile_sketch_merge(
+        [quantile_sketch_partial(data[:7143], k=1000)]
+    )
+    assert quantile_sketch_query(sk_odd, 1.0) == sk_odd[0][-1]
+    # empty sketch -> NaN, not a crash
+    assert np.isnan(quantile_sketch_query(quantile_sketch_merge([]), 0.5))
+
     # the Dataset wrapper agrees with the driver-side merge
     import pandas as pd
 
