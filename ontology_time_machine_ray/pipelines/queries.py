@@ -468,6 +468,14 @@ def _top_terms_sketch(sf_dir: str) -> pd.DataFrame:
     return top_terms_sketch(sf_dir)
 
 
+def _pack_sequences(sf_dir: str):
+    """Token-budget sequence packing via distributed prefix sum (see
+    stages/packing.py); oracle is a single SQL window cumsum."""
+    from ontology_time_machine_ray.stages.packing import pack_sequences
+
+    return pack_sequences(sf_dir)
+
+
 def _distinct_sketch(sf_dir: str) -> pd.DataFrame:
     """KMV cardinality sketch (see stages/sketch.py): exact below
     saturation -> checkable against count(DISTINCT) at test scale; the
@@ -532,6 +540,9 @@ QUERIES = {
     "events_topk_users": events_topk_users,
     # text analysis
     "text_stats": textops.text_stats,
+    "text_repetition": textops.text_repetition,
+    "text_decontaminate": textops.decontaminate,
+    "pack_sequences": _pack_sequences,
     "text_top_terms": textops.top_terms,
     "text_tokens_bpe": textops.tokens_bpe,
     "text_winnow": textops.winnow_fingerprints,

@@ -455,6 +455,40 @@ SELECT doc_id,
   + CAST(len(regexp_extract_all(text, '[.,;:!?]')) * 10
          <= len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS quality
 FROM documents""",
+    "text_repetition": """
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+e AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+      FROM w WHERE len(w) >= 2),
+c AS (SELECT doc_id, g, count(*) AS c FROM e GROUP BY 1, 2),
+a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             CAST(sum(c) - count(*) AS BIGINT) AS n_dup_bigrams,
+             CAST(max(c) AS BIGINT) AS top_bigram_count
+      FROM c GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(a.n_bigrams, 0) AS n_bigrams,
+       coalesce(a.n_dup_bigrams, 0) AS n_dup_bigrams,
+       coalesce(a.top_bigram_count, 0) AS top_bigram_count,
+       CAST(coalesce(a.n_dup_bigrams * 100 > 20 * a.n_bigrams
+                     OR a.top_bigram_count * 100 > 8 * a.n_bigrams, FALSE) AS BIGINT) AS repetitive
+FROM documents d LEFT JOIN a USING (doc_id)""",
+    "text_decontaminate": """
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS g
+      FROM w WHERE len(w) >= 4),
+bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+SELECT c.doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS n_hits
+FROM (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0) c
+JOIN bg USING (g) GROUP BY 1""",
+    "pack_sequences": """
+WITH t AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+           FROM documents)
+SELECT doc_id, n_tokens,
+  (SUM(n_tokens) OVER (ORDER BY doc_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2048 AS shard
+FROM t""",
     "text_fingerprint": """
 SELECT doc_id, md5(lower(trim(text, ' \t\n\r'))) AS fingerprint FROM documents""",
     "dedup_exact": """

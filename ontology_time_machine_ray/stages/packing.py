@@ -1,0 +1,140 @@
+"""Token-budget sequence packing: assign every document to a training
+shard by global token offset, via a DISTRIBUTED PREFIX SUM.
+
+Training-data assembly needs "concatenate the corpus in a deterministic
+order, then cut it into shards of ``budget`` tokens".  The shard of a
+document is ``floor(start_offset / budget)`` where ``start_offset`` is
+the sum of token counts of every document before it in ``doc_id`` order.
+A global running sum looks inherently sequential; the classic distributed
+restatement is three cheap passes, none of which moves the corpus:
+
+1. **count**   -- one ``map_batches`` projection to (doc_id, n_tokens).
+2. **bucket sums** -- docs are range-bucketed on ``doc_id`` (ordered
+   buckets, unlike the hash buckets used elsewhere: prefix order must be
+   preserved), and a tiny grouped aggregate ships ONE row per bucket to
+   the driver, which exclusive-cumsums them into per-bucket offsets and
+   broadcasts the (num_buckets)-sized dict back with ``ray.put``.
+3. **local cumsum** -- a ``grouped_apply`` on the same bucket key sorts
+   each bucket by ``doc_id``, adds the bucket's offset to the local
+   cumulative sum, and emits ``shard = start_offset // budget``.
+
+Only pass 3 shuffles, and it moves exactly the (doc_id, n_tokens)
+projection -- never the text.  Range-bucketing on a skewed id space would
+unbalance buckets; at production scale the bucket bounds would come from
+a quantile sketch over doc_id (the repo's ``sketch.quantiles_sketched``)
+instead of min/max -- min/max is used here because fixture ids are dense.
+
+No reference counterpart (the reference has no notion of shards); this is
+one of the beyond-reference training-data operators the build brief asks
+for.  Oracle: a single SQL window cumsum (ORDER BY doc_id), exact.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import ray.data as rd
+
+
+def _read_docs(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def _token_counts(df: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_tokens": df["text"].fillna("").str.count(r"\S+").astype("int64"),
+        }
+    )
+
+
+def pack_sequences(
+    sf_dir: str,
+    budget: int = 2048,
+    num_buckets: int = 64,
+    docs_ds: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """(doc_id, n_tokens, shard) for every document; ``shard`` is the
+    index of the ``budget``-token training shard the document STARTS in
+    under doc_id-ordered concatenation."""
+    import numpy as np
+    import ray
+
+    from ontology_time_machine_ray.functions.broadcast import cached_get
+    from ontology_time_machine_ray.stages.groupagg import grouped_aggregate, grouped_apply
+
+    counts = (docs_ds or _read_docs(sf_dir)).map_batches(
+        _token_counts, batch_format="pandas"
+    )
+    # checkpoint the narrow (doc_id, n_tokens) projection: three passes
+    # read it, and re-deriving it would re-scan the text column each time
+    counts = counts.materialize()
+
+    # pass 1: id range (one tiny row per block to the driver)
+    bounds = counts.map_batches(
+        lambda df: pd.DataFrame(
+            {"lo": [df["doc_id"].min()], "hi": [df["doc_id"].max()]}
+        )
+        if len(df)
+        else pd.DataFrame({"lo": pd.Series(dtype="int64"), "hi": pd.Series(dtype="int64")}),
+        batch_format="pandas",
+    ).to_pandas()
+    if len(bounds) == 0:
+        return counts.map_batches(
+            lambda df: df.assign(shard=pd.Series(dtype="int64")),
+            batch_format="pandas",
+        )
+    lo = int(bounds["lo"].min())
+    hi = int(bounds["hi"].max())
+    span = max(1, (hi - lo) // num_buckets + 1)
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=((df["doc_id"] - lo) // span).astype("int64"))
+
+    bucketed = counts.map_batches(with_bucket, batch_format="pandas")
+
+    # pass 2: per-bucket token sums -> driver exclusive cumsum (tiny)
+    bsums = grouped_aggregate(
+        bucketed, ["bucket"], {"tok": ("n_tokens", "sum")}
+    ).to_pandas()
+    bsums = bsums.sort_values("bucket")
+    offsets = dict(
+        zip(
+            bsums["bucket"].astype(int),
+            (bsums["tok"].cumsum() - bsums["tok"]).astype(int),
+        )
+    )
+    off_ref = ray.put(offsets)
+
+    # pass 3: within-bucket ordered cumsum + bucket offset
+    def pack_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        off = cached_get(off_ref)
+        g = g.sort_values(["bucket", "doc_id"], kind="stable")
+        out = []
+        for b, grp in g.groupby("bucket", sort=True):
+            n = grp["n_tokens"].to_numpy()
+            start = n.cumsum() - n + off[int(b)]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": grp["doc_id"].to_numpy(),
+                        "n_tokens": n,
+                        "shard": (start // budget).astype("int64"),
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "n_tokens": pd.Series(dtype="int64"),
+                    "shard": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return grouped_apply(bucketed, ["bucket"], pack_bucket)

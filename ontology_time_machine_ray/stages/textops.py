@@ -364,3 +364,144 @@ def lm_coverage(sf_dir: str, top_k: int = 1000) -> rd.Dataset:
         )
 
     return _read_docs(sf_dir).map_batches(score, batch_format="pandas")
+
+
+# --------------------------------------------------------------------- #
+# repetition filtering + decontamination + n-gram machinery              #
+# --------------------------------------------------------------------- #
+def ngram_rows(df: pd.DataFrame, n: int):
+    """(doc_index, ngram) rows for every word ``n``-gram in the batch,
+    fully vectorized: one explode to a flat token array, ``n`` shifted
+    slices string-concatenated, and a doc-boundary mask (an n-gram is kept
+    only when its first and last token belong to the same document).
+    Returns ``(doc_idx ndarray, grams Series)``; grams never cross docs.
+    """
+    import numpy as np
+
+    toks = df["text"].fillna("").str.findall(r"\S+")
+    lengths = toks.str.len().to_numpy()
+    doc_idx = np.repeat(np.arange(len(df)), lengths)
+    flat = pd.Series(toks.explode().dropna().to_numpy(), dtype="string")
+    if len(flat) < n:
+        return doc_idx[:0], pd.Series([], dtype="string")
+    m = len(flat) - n + 1
+    parts = [flat.iloc[i : m + i].reset_index(drop=True) for i in range(n)]
+    grams = parts[0].str.cat(parts[1:], sep=" ") if n > 1 else parts[0]
+    ok = doc_idx[:m] == doc_idx[n - 1 :]
+    return doc_idx[:m][ok], grams[ok].reset_index(drop=True)
+
+
+#: integer thresholds for the repetition flag (Gopher-style filter):
+#: flagged when >20% of bigram instances are duplicates OR the single most
+#: frequent bigram accounts for >8% of all bigram instances.
+REP_DUP_PCT = 20
+REP_TOP_PCT = 8
+
+
+def text_repetition_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Gopher-style repetition metrics per document (Rae et al. 2021,
+    "Scaling Language Models", Table A1 repetition filters), restated on
+    word bigrams with integer outputs so the DuckDB oracle is exact:
+    duplicate-bigram count, top-bigram frequency, and the keep/drop flag.
+    """
+    import numpy as np
+
+    doc_i, grams = ngram_rows(df, 2)
+    base = pd.DataFrame(
+        {
+            "n_bigrams": np.zeros(len(df), dtype="int64"),
+            "n_dup_bigrams": np.zeros(len(df), dtype="int64"),
+            "top_bigram_count": np.zeros(len(df), dtype="int64"),
+        }
+    )
+    if len(grams):
+        cnt = (
+            pd.DataFrame({"i": doc_i, "g": grams})
+            .groupby(["i", "g"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        agg = cnt.groupby("i").agg(
+            n_bigrams=("c", "sum"), n_distinct=("c", "size"), top=("c", "max")
+        )
+        base.loc[agg.index, "n_bigrams"] = agg["n_bigrams"].astype("int64")
+        base.loc[agg.index, "n_dup_bigrams"] = (
+            agg["n_bigrams"] - agg["n_distinct"]
+        ).astype("int64")
+        base.loc[agg.index, "top_bigram_count"] = agg["top"].astype("int64")
+    repetitive = (
+        (base["n_dup_bigrams"] * 100 > REP_DUP_PCT * base["n_bigrams"])
+        | (base["top_bigram_count"] * 100 > REP_TOP_PCT * base["n_bigrams"])
+    ).astype("int64")
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_bigrams": base["n_bigrams"].to_numpy(),
+            "n_dup_bigrams": base["n_dup_bigrams"].to_numpy(),
+            "top_bigram_count": base["top_bigram_count"].to_numpy(),
+            "repetitive": repetitive.to_numpy(),
+        }
+    )
+
+
+def text_repetition(sf_dir: str) -> rd.Dataset:
+    return _read_docs(sf_dir).map_batches(text_repetition_batch, batch_format="pandas")
+
+
+#: every doc whose id is divisible by this is "benchmark" (the held-out
+#: eval suite a training corpus must be decontaminated against).
+DECONTAM_MODULUS = 97
+DECONTAM_NGRAM = 4
+
+
+def decontaminate(
+    sf_dir: str,
+    n: int = DECONTAM_NGRAM,
+    modulus: int = DECONTAM_MODULUS,
+    docs_ds: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """Benchmark decontamination (GPT-3 / The Pile style): flag corpus
+    documents sharing any word ``n``-gram with the benchmark suite.
+    Returns (doc_id, n_hits) for contaminated documents only.
+
+    Scale shape: the benchmark side is SMALL by definition (an eval suite
+    is ~1e5 docs against a 1e12-doc corpus), so its distinct n-gram set is
+    collected once, ``ray.put`` once, and membership-checked inside the
+    stream -- a broadcast semi-join, never a shuffle.  The corpus side is
+    one vectorized ``map_batches`` pass (explode -> shifted-slice n-grams
+    -> isin -> per-doc distinct-hit count)."""
+    import ray
+
+    from ontology_time_machine_ray.functions.broadcast import cached_get
+
+    docs = docs_ds or _read_docs(sf_dir)
+    bench_df = docs.map_batches(
+        lambda df: df[df["doc_id"] % modulus == 0], batch_format="pandas"
+    ).to_pandas()  # benchmark suite: small side by definition
+    _, bench_grams = ngram_rows(bench_df, n)
+    gram_ref = ray.put(frozenset(bench_grams.tolist()))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % modulus != 0].reset_index(drop=True)
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "n_hits": pd.Series(dtype="int64")}
+        )
+        if len(df) == 0:
+            return empty
+        doc_i, grams = ngram_rows(df, n)
+        if len(grams) == 0:
+            return empty
+        bset = cached_get(gram_ref)
+        sub = pd.DataFrame({"i": doc_i, "g": grams}).drop_duplicates()
+        sub = sub[sub["g"].isin(bset)]
+        if len(sub) == 0:
+            return empty
+        agg = sub.groupby("i").size()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy()[agg.index.to_numpy()],
+                "n_hits": agg.to_numpy().astype("int64"),
+            }
+        )
+
+    return docs.map_batches(flag, batch_format="pandas")

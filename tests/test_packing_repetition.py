@@ -1,0 +1,122 @@
+"""Repetition filter, decontamination and sequence packing vs naive
+per-document Python oracles, including the edge cases the fixture corpus
+does not exercise (skewed sparse ids, empty/one-token docs, repeated
+text, boundary-exact shards)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ontology_time_machine_ray.stages import textops
+from ontology_time_machine_ray.stages.packing import pack_sequences
+
+
+def _write_docs(tmp_path, rows):
+    df = pd.DataFrame(rows)
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+DOCS = [
+    {"doc_id": 0, "text": "a b a b a b a b"},           # one dominant bigram
+    {"doc_id": 3, "text": "x"},                          # no bigrams
+    {"doc_id": 7, "text": ""},                           # empty
+    {"doc_id": 97, "text": "alpha beta gamma delta epsilon zeta"},  # benchmark
+    # long all-distinct-bigram doc: top bigram is 1 of 19 (<8%), not flagged
+    {"doc_id": 150, "text": " ".join(f"w{i}" for i in range(20))},
+    {"doc_id": 194, "text": "omega psi chi phi"},        # benchmark
+    {"doc_id": 205, "text": "beta gamma delta epsilon trailing stuff"},  # contaminated
+    {"doc_id": 9000000, "text": "alpha beta gamma delta epsilon zeta"},  # dup of bench text
+]
+
+
+def _naive_bigram_stats(text: str):
+    w = text.split()
+    bg = [w[i] + " " + w[i + 1] for i in range(len(w) - 1)]
+    n = len(bg)
+    dup = n - len(set(bg))
+    top = max(pd.Series(bg).value_counts()) if bg else 0
+    flag = int(dup * 100 > textops.REP_DUP_PCT * n or top * 100 > textops.REP_TOP_PCT * n)
+    return n, dup, int(top), flag
+
+
+def test_text_repetition_vs_naive(ray_session, tmp_path):
+    sf = _write_docs(tmp_path, DOCS)
+    got = textops.text_repetition(sf).to_pandas().set_index("doc_id").sort_index()
+    for d in DOCS:
+        n, dup, top, flag = _naive_bigram_stats(d["text"])
+        row = got.loc[d["doc_id"]]
+        assert (row["n_bigrams"], row["n_dup_bigrams"], row["top_bigram_count"], row["repetitive"]) == (
+            n, dup, top, flag
+        ), d
+    # the dominant-bigram doc must be flagged, the plain one must not
+    assert got.loc[0, "repetitive"] == 1
+    assert got.loc[150, "repetitive"] == 0
+
+
+def test_ngram_rows_never_cross_documents():
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "c d e"]})
+    _, grams = textops.ngram_rows(df, 3)
+    assert grams.tolist() == ["a b c", "c d e"]  # no "b c c" / "c c d"
+
+
+def test_decontaminate_vs_naive(ray_session, tmp_path):
+    sf = _write_docs(tmp_path, DOCS)
+    got = textops.decontaminate(sf).to_pandas().set_index("doc_id").sort_index()
+    # naive: benchmark 4-gram set from doc_id % 97 == 0 docs
+    bench, corpus = {}, {}
+    for d in DOCS:
+        w = d["text"].split()
+        grams = {" ".join(w[i : i + 4]) for i in range(len(w) - 3)}
+        (bench if d["doc_id"] % 97 == 0 else corpus)[d["doc_id"]] = grams
+    bset = set().union(*bench.values())
+    expected = {did: len(g & bset) for did, g in corpus.items() if g & bset}
+    assert dict(zip(got.index, got["n_hits"])) == expected
+    # the planted overlap and the full-copy doc are both caught
+    assert 205 in expected and 9000000 in expected
+
+
+def test_pack_sequences_vs_window_cumsum(ray_session, tmp_path):
+    # sparse, skewed ids across several range buckets; boundary-exact doc
+    rows = [
+        {"doc_id": i, "text": " ".join(["tok"] * n)}
+        for i, n in [(0, 5), (1, 2043), (2, 1), (50, 2048), (51, 7),
+                     (100000, 10), (100001, 2038), (5_000_000, 3)]
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = (
+        pack_sequences(sf, budget=2048, num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    naive = pd.DataFrame(
+        {"doc_id": [r["doc_id"] for r in rows],
+         "n_tokens": [len(r["text"].split()) for r in rows]}
+    ).sort_values("doc_id")
+    start = naive["n_tokens"].cumsum() - naive["n_tokens"]
+    naive["shard"] = start // 2048
+    pd.testing.assert_frame_equal(got, naive.reset_index(drop=True), check_dtype=False)
+    # shard ids must be monotone in doc order and start at 0
+    assert got["shard"].is_monotonic_increasing and got["shard"].iloc[0] == 0
+
+
+@pytest.mark.parametrize("num_buckets", [1, 3, 16])
+def test_pack_sequences_bucket_count_invariant(ray_session, tmp_path, num_buckets):
+    rows = [{"doc_id": i * 13 + 1, "text": " ".join(["w"] * (i % 7 + 1))} for i in range(40)]
+    sf = _write_docs(tmp_path, rows)
+    got = (
+        pack_sequences(sf, budget=16, num_buckets=num_buckets)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    naive = pd.DataFrame(
+        {"doc_id": [r["doc_id"] for r in rows],
+         "n_tokens": [len(r["text"].split()) for r in rows]}
+    ).sort_values("doc_id").reset_index(drop=True)
+    naive["shard"] = (naive["n_tokens"].cumsum() - naive["n_tokens"]) // 16
+    pd.testing.assert_frame_equal(got, naive, check_dtype=False)
