@@ -411,7 +411,8 @@ def media_catalog(sf_dir: str):
 
 def media_frames(sf_dir: str):
     """Full multimodal chain: explode -> decode -> resize -> frame-sample
-    (stubbed codecs, real plumbing); rows-only oracle by design."""
+    (stubbed codecs, real plumbing).  The stub arithmetic is deterministic
+    in length(media_ref), so the chain gets a full SQL oracle."""
     paths = ensure_fixtures(sf_dir)
     return media.media_pipeline(paths.documents)
 
@@ -582,6 +583,7 @@ _KG_ORACLE_NAMES = (
     "kg_intercept_modes",
     "kg_doc_stats",
     "media_catalog",
+    "media_frames",
 )
 
 

@@ -340,6 +340,22 @@ SELECT doc_id, CAST(span_idx AS INTEGER) AS span_idx, span.media_ref AS media_re
        64 + (length(span.media_ref) * 7) % 128 AS height,
        length(span.media_ref) AS n_bytes
 FROM flat WHERE span.kind = 'media'""",
+        "media_frames": """
+WITH flat AS (
+  SELECT doc_id, unnest(spans) AS span
+  FROM read_parquet('__ROOT__/documents_interleaved.parquet')
+),
+cat AS (
+  SELECT doc_id, span.media_ref AS media_ref,
+         length(span.media_ref) AS n_bytes
+  FROM flat WHERE span.kind = 'media'
+),
+f AS (SELECT doc_id, media_ref, 10 + (n_bytes % 90) AS n_frames FROM cat),
+s AS (SELECT doc_id, media_ref, n_frames,
+             greatest(1, n_frames // 3) AS step FROM f)
+SELECT doc_id, media_ref,
+       CAST(least(i * step, n_frames - 1) AS BIGINT) AS frame_idx
+FROM s CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) t""",
     }
     return bodies[name].replace("__ROOT__", fixture_root).replace("__T__", timestamp)
 
