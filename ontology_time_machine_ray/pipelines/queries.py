@@ -477,6 +477,14 @@ def _pack_sequences(sf_dir: str):
     return pack_sequences(sf_dir)
 
 
+def _shuffle_index(sf_dir: str):
+    """Deterministic global shuffle order (md5 rank) via ordered
+    hash-prefix buckets -- no global sort (see stages/packing.py)."""
+    from ontology_time_machine_ray.stages.packing import global_shuffle_index
+
+    return global_shuffle_index(sf_dir)
+
+
 def _distinct_sketch(sf_dir: str) -> pd.DataFrame:
     """KMV cardinality sketch (see stages/sketch.py): exact below
     saturation -> checkable against count(DISTINCT) at test scale; the
@@ -544,6 +552,7 @@ QUERIES = {
     "text_repetition": textops.text_repetition,
     "text_decontaminate": textops.decontaminate,
     "pack_sequences": _pack_sequences,
+    "shuffle_index": _shuffle_index,
     "text_top_terms": textops.top_terms,
     "text_tokens_bpe": textops.tokens_bpe,
     "text_winnow": textops.winnow_fingerprints,

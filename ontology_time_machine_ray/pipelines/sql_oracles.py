@@ -505,6 +505,10 @@ SELECT doc_id, n_tokens,
   (SUM(n_tokens) OVER (ORDER BY doc_id
      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2048 AS shard
 FROM t""",
+    "shuffle_index": """
+SELECT doc_id,
+  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS shuffle_pos
+FROM documents""",
     "text_fingerprint": """
 SELECT doc_id, md5(lower(trim(text, ' \t\n\r'))) AS fingerprint FROM documents""",
     "dedup_exact": """

@@ -138,3 +138,77 @@ def pack_sequences(
         return pd.concat(out, ignore_index=True)
 
     return grouped_apply(bucketed, ["bucket"], pack_bucket)
+
+
+def global_shuffle_index(
+    sf_dir: str,
+    seed: str = "",
+    num_buckets: int = 256,
+    docs_ds: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """(doc_id, shuffle_pos): a deterministic, reproducible global shuffle
+    order for training-data assembly -- rank by ``md5(seed || doc_id)``
+    with doc_id as the tie-break -- WITHOUT a global sort.
+
+    Hash order is uniform by construction, so ordered buckets on the first
+    hash byte(s) are balanced with no skew handling needed (unlike value
+    ranges): per-bucket COUNTS go to the driver (``num_buckets`` rows),
+    the exclusive cumsum comes back as broadcast offsets, and each bucket
+    sorts only its own slice locally.  The corpus moves through exactly
+    one hash-bucket exchange; at 1e12 docs a ``ds.sort`` over the hash key
+    would move the same data but serialize range-boundary sampling and
+    lose the deterministic tie-break.  Same three-pass shape as
+    ``pack_sequences``; md5 matches DuckDB's, so the oracle is a single
+    ``row_number() OVER (ORDER BY md5(...))`` window."""
+    import numpy as np
+    import ray
+
+    from ontology_time_machine_ray.functions.broadcast import cached_get
+    from ontology_time_machine_ray.functions.hashing import content_md5_series
+    from ontology_time_machine_ray.stages.groupagg import grouped_aggregate, grouped_apply
+
+    if not 1 <= num_buckets <= 65536:
+        raise ValueError("num_buckets must be in [1, 65536]")
+    # bucket = integer value of the first 4 hex chars, scaled down: keeps
+    # bucket order == hash order so offsets concatenate correctly
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        key = content_md5_series(df["doc_id"].astype("string").map(lambda s: seed + s))
+        prefix = key.str.slice(0, 4).map(lambda h: int(h, 16))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "_key": key,
+                "_bkt": (prefix * num_buckets // 65536).astype("int64"),
+            }
+        )
+
+    keyed_ds = (docs_ds or _read_docs(sf_dir)).select_columns(["doc_id"]).map_batches(
+        keyed, batch_format="pandas"
+    )
+    keyed_ds = keyed_ds.materialize()  # two consumers of the hashed projection
+
+    counts = grouped_aggregate(
+        keyed_ds, ["_bkt"], {"n": ("doc_id", "size")}
+    ).to_pandas().sort_values("_bkt")
+    offsets = dict(
+        zip(counts["_bkt"].astype(int), (counts["n"].cumsum() - counts["n"]).astype(int))
+    )
+    off_ref = ray.put(offsets)
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        off = cached_get(off_ref)
+        g = g.sort_values(["_bkt", "_key", "doc_id"], kind="stable")
+        out = []
+        for b, grp in g.groupby("_bkt", sort=True):
+            pos = off[int(b)] + np.arange(len(grp), dtype=np.int64)
+            out.append(
+                pd.DataFrame({"doc_id": grp["doc_id"].to_numpy(), "shuffle_pos": pos})
+            )
+        if not out:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "shuffle_pos": pd.Series(dtype="int64")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return grouped_apply(keyed_ds, ["_bkt"], rank_bucket)

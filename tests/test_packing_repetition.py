@@ -120,3 +120,32 @@ def test_pack_sequences_bucket_count_invariant(ray_session, tmp_path, num_bucket
     ).sort_values("doc_id").reset_index(drop=True)
     naive["shard"] = (naive["n_tokens"].cumsum() - naive["n_tokens"]) // 16
     pd.testing.assert_frame_equal(got, naive, check_dtype=False)
+
+
+def test_global_shuffle_index_vs_md5_rank(ray_session, tmp_path):
+    import hashlib
+
+    from ontology_time_machine_ray.stages.packing import global_shuffle_index
+
+    rows = [{"doc_id": i * 7 + 2, "text": "x"} for i in range(60)]
+    sf = _write_docs(tmp_path, rows)
+    got = (
+        global_shuffle_index(sf, num_buckets=8)
+        .to_pandas()
+        .sort_values("shuffle_pos")
+        .reset_index(drop=True)
+    )
+    order = sorted(
+        (r["doc_id"] for r in rows),
+        key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d),
+    )
+    assert got["doc_id"].tolist() == order
+    assert got["shuffle_pos"].tolist() == list(range(len(rows)))
+    # a different seed must give a different (still complete) permutation
+    seeded = (
+        global_shuffle_index(sf, seed="s1", num_buckets=8)
+        .to_pandas()
+        .sort_values("shuffle_pos")
+    )
+    assert sorted(seeded["doc_id"]) == sorted(got["doc_id"])
+    assert seeded["doc_id"].tolist() != got["doc_id"].tolist()
