@@ -127,6 +127,16 @@ def run_bench() -> dict:
 
         timed("text_top_terms", lambda: top_terms(SF_DIR))
         timed("rel_brand_revenue", lambda: relational.brand_revenue(SF_DIR))
+        from ontology_time_machine_ray.stages.packing import (
+            global_shuffle_index,
+            pack_sequences,
+        )
+        from ontology_time_machine_ray.stages.textops import decontaminate, text_repetition
+
+        timed("text_repetition", lambda: text_repetition(SF_DIR))
+        timed("text_decontaminate", lambda: decontaminate(SF_DIR))
+        timed("pack_sequences", lambda: pack_sequences(SF_DIR))
+        timed("shuffle_index", lambda: global_shuffle_index(SF_DIR))
 
     ray.shutdown()
     return {
