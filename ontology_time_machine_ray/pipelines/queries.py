@@ -477,6 +477,14 @@ def _pack_sequences(sf_dir: str):
     return pack_sequences(sf_dir)
 
 
+def _chunk_documents(sf_dir: str):
+    """Overlapping token-window chunking (RAG / context-window prep); one
+    map_batches pass, no shuffle (see stages/packing.py)."""
+    from ontology_time_machine_ray.stages.packing import chunk_documents
+
+    return chunk_documents(sf_dir)
+
+
 def _shuffle_index(sf_dir: str):
     """Deterministic global shuffle order (md5 rank) via ordered
     hash-prefix buckets -- no global sort (see stages/packing.py)."""
@@ -553,6 +561,7 @@ QUERIES = {
     "text_decontaminate": textops.decontaminate,
     "pack_sequences": _pack_sequences,
     "shuffle_index": _shuffle_index,
+    "chunk_documents": _chunk_documents,
     "text_top_terms": textops.top_terms,
     "text_tokens_bpe": textops.tokens_bpe,
     "text_winnow": textops.winnow_fingerprints,

@@ -212,3 +212,51 @@ def global_shuffle_index(
         return pd.concat(out, ignore_index=True)
 
     return grouped_apply(keyed_ds, ["_bkt"], rank_bucket)
+
+
+def chunk_documents(
+    sf_dir: str,
+    window: int = 64,
+    stride: int = 48,
+    docs_ds: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """Split every document into overlapping token windows (RAG / context-
+    window chunking): (doc_id, chunk_idx, start_tok, n_tokens, chunk_text)
+    with chunks starting every ``stride`` tokens and spanning up to
+    ``window`` tokens; the final chunk is the remainder.
+
+    Embarrassingly parallel -- one ``map_batches`` pass, no shuffle; row
+    expansion is bounded by ``window/stride`` (~1.33x here), so block
+    sizes stay predictable.  Chunk-text assembly is per-chunk string
+    joining (inherently so); token split and chunk counting are
+    vectorized.  Deterministic in the text alone -> exact SQL oracle
+    (list-slice + array_to_string over the same regexp token split)."""
+    if window < 1 or stride < 1 or stride > window:
+        raise ValueError("need 1 <= stride <= window")
+
+    def chunk_batch(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.findall(r"\S+")
+        ids, cidx, starts, lens, texts = [], [], [], [], []
+        for did, ws in zip(df["doc_id"], toks):
+            n = len(ws)
+            if n == 0:
+                continue
+            n_chunks = 1 if n <= window else 1 + -(-(n - window) // stride)
+            for ci in range(n_chunks):
+                s = ci * stride
+                ids.append(did)
+                cidx.append(ci)
+                starts.append(s)
+                lens.append(min(n - s, window))
+                texts.append(" ".join(ws[s : s + window]))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "chunk_idx": pd.Series(cidx, dtype="int64"),
+                "start_tok": pd.Series(starts, dtype="int64"),
+                "n_tokens": pd.Series(lens, dtype="int64"),
+                "chunk_text": pd.Series(texts, dtype="string"),
+            }
+        )
+
+    return (docs_ds or _read_docs(sf_dir)).map_batches(chunk_batch, batch_format="pandas")

@@ -149,3 +149,47 @@ def test_global_shuffle_index_vs_md5_rank(ray_session, tmp_path):
     )
     assert sorted(seeded["doc_id"]) == sorted(got["doc_id"])
     assert seeded["doc_id"].tolist() != got["doc_id"].tolist()
+
+
+def test_chunk_documents_vs_naive(ray_session, tmp_path):
+    from ontology_time_machine_ray.stages.packing import chunk_documents
+
+    rows = [
+        {"doc_id": 1, "text": " ".join(f"t{i}" for i in range(20))},  # 3 chunks
+        {"doc_id": 2, "text": " ".join(f"t{i}" for i in range(8))},   # exactly W
+        {"doc_id": 3, "text": "one two"},                              # < W
+        {"doc_id": 4, "text": ""},                                     # no chunks
+        {"doc_id": 5, "text": " ".join(f"t{i}" for i in range(15))},  # W + remainder
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = (
+        chunk_documents(sf, window=8, stride=6)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    exp = []
+    for r in rows:
+        ws = r["text"].split()
+        n = len(ws)
+        if n == 0:
+            continue
+        n_chunks = 1 if n <= 8 else 1 + -(-(n - 8) // 6)
+        for ci in range(n_chunks):
+            s = ci * 6
+            exp.append((r["doc_id"], ci, s, min(n - s, 8), " ".join(ws[s : s + 8])))
+    exp_df = pd.DataFrame(
+        exp, columns=["doc_id", "chunk_idx", "start_tok", "n_tokens", "chunk_text"]
+    )
+    pd.testing.assert_frame_equal(got, exp_df, check_dtype=False)
+    # every token of every doc appears in at least one chunk (coverage)
+    assert got.groupby("doc_id").apply(
+        lambda g: g["start_tok"].iloc[-1] + g["n_tokens"].iloc[-1], include_groups=False
+    ).tolist() == [20, 8, 2, 15]
+
+
+def test_chunk_documents_rejects_bad_stride(ray_session, tmp_path):
+    from ontology_time_machine_ray.stages.packing import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents("/nonexistent", window=4, stride=5)
