@@ -31,23 +31,19 @@ for.  Oracle: a single SQL window cumsum (ORDER BY doc_id), exact.
 
 from __future__ import annotations
 
-import os
-
 import pandas as pd
 import ray.data as rd
 
-
-def _read_docs(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
+# one reader + one token rule shared with the text family: shard
+# boundaries here must agree with text_stats' n_tokens by construction
+from ontology_time_machine_ray.stages.textops import TOKEN_RE, _read_docs
 
 
 def _token_counts(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "doc_id": df["doc_id"].astype("int64"),
-            "n_tokens": df["text"].fillna("").str.count(r"\S+").astype("int64"),
+            "n_tokens": df["text"].fillna("").str.count(TOKEN_RE).astype("int64"),
         }
     )
 
@@ -61,11 +57,15 @@ def pack_sequences(
     """(doc_id, n_tokens, shard) for every document; ``shard`` is the
     index of the ``budget``-token training shard the document STARTS in
     under doc_id-ordered concatenation."""
-    import numpy as np
     import ray
 
     from ontology_time_machine_ray.functions.broadcast import cached_get
-    from ontology_time_machine_ray.stages.groupagg import grouped_aggregate, grouped_apply
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply
+
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    if num_buckets < 1:
+        raise ValueError("num_buckets must be >= 1")
 
     counts = (docs_ds or _read_docs(sf_dir)).map_batches(
         _token_counts, batch_format="pandas"
@@ -97,15 +97,19 @@ def pack_sequences(
 
     bucketed = counts.map_batches(with_bucket, batch_format="pandas")
 
-    # pass 2: per-bucket token sums -> driver exclusive cumsum (tiny)
-    bsums = grouped_aggregate(
-        bucketed, ["bucket"], {"tok": ("n_tokens", "sum")}
+    # pass 2: per-bucket token sums, SHUFFLE-FREE -- each block emits its
+    # local per-bucket partial (<= num_buckets rows), the driver merges
+    bparts = bucketed.map_batches(
+        lambda df: df.groupby("bucket", as_index=False)["n_tokens"].sum(),
+        batch_format="pandas",
     ).to_pandas()
-    bsums = bsums.sort_values("bucket")
+    bsums = (
+        bparts.groupby("bucket", as_index=False)["n_tokens"].sum().sort_values("bucket")
+    )
     offsets = dict(
         zip(
             bsums["bucket"].astype(int),
-            (bsums["tok"].cumsum() - bsums["tok"]).astype(int),
+            (bsums["n_tokens"].cumsum() - bsums["n_tokens"]).astype(int),
         )
     )
     off_ref = ray.put(offsets)
@@ -165,7 +169,7 @@ def global_shuffle_index(
 
     from ontology_time_machine_ray.functions.broadcast import cached_get
     from ontology_time_machine_ray.functions.hashing import content_md5_series
-    from ontology_time_machine_ray.stages.groupagg import grouped_aggregate, grouped_apply
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply
 
     if not 1 <= num_buckets <= 65536:
         raise ValueError("num_buckets must be in [1, 65536]")
@@ -187,9 +191,12 @@ def global_shuffle_index(
     )
     keyed_ds = keyed_ds.materialize()  # two consumers of the hashed projection
 
-    counts = grouped_aggregate(
-        keyed_ds, ["_bkt"], {"n": ("doc_id", "size")}
-    ).to_pandas().sort_values("_bkt")
+    # per-bucket counts, SHUFFLE-FREE: per-block partials, driver merge
+    cparts = keyed_ds.map_batches(
+        lambda df: df["_bkt"].value_counts().rename_axis("_bkt").reset_index(name="n"),
+        batch_format="pandas",
+    ).to_pandas()
+    counts = cparts.groupby("_bkt", as_index=False)["n"].sum().sort_values("_bkt")
     offsets = dict(
         zip(counts["_bkt"].astype(int), (counts["n"].cumsum() - counts["n"]).astype(int))
     )

@@ -26,6 +26,10 @@ LANG_MARKERS = {
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 
+#: the whitespace-token rule every token-count/n-gram operator shares
+#: (matches the SQL oracles' regexp_extract_all(text, '\S+')).
+TOKEN_RE = r"\S+"
+
 
 def _read_docs(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])

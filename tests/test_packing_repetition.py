@@ -193,3 +193,10 @@ def test_chunk_documents_rejects_bad_stride(ray_session, tmp_path):
 
     with pytest.raises(ValueError):
         chunk_documents("/nonexistent", window=4, stride=5)
+
+
+def test_pack_sequences_rejects_bad_params(ray_session):
+    with pytest.raises(ValueError):
+        pack_sequences("/nonexistent", budget=0)
+    with pytest.raises(ValueError):
+        pack_sequences("/nonexistent", num_buckets=0)
