@@ -382,7 +382,9 @@ def ngram_rows(df: pd.DataFrame, n: int):
     """
     import numpy as np
 
-    toks = df["text"].fillna("").str.findall(r"\S+")
+    # explicit string cast: an all-empty block arrives as float64 and
+    # would break the .str accessor
+    toks = df["text"].astype("string").fillna("").str.findall(TOKEN_RE)
     lengths = toks.str.len().to_numpy()
     doc_idx = np.repeat(np.arange(len(df)), lengths)
     flat = pd.Series(toks.explode().dropna().to_numpy(), dtype="string")

@@ -228,3 +228,29 @@ def test_bucketed_join_equals_pandas_merge(ray_session, left_rows, right_rows, h
             map(tuple, df[["k", "lv", "rv"]].fillna(-999).itertuples(index=False))
         )
         assert key(got) == key(want)
+
+
+# --------------------------------------------------------------------- #
+# shared n-gram machinery (textops.ngram_rows) vs naive per-doc          #
+# --------------------------------------------------------------------- #
+@given(
+    texts=st.lists(
+        st.text(alphabet=" abcd\t\n", max_size=30), min_size=0, max_size=8
+    ),
+    n=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=200, deadline=None)
+def test_ngram_rows_matches_naive(texts, n):
+    import pandas as pd
+
+    from ontology_time_machine_ray.stages.textops import ngram_rows
+
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    doc_i, grams = ngram_rows(df, n)
+    got = list(zip(doc_i.tolist(), grams.tolist()))
+    expected = []
+    for i, t in enumerate(texts):
+        w = t.split()
+        for j in range(len(w) - n + 1):
+            expected.append((i, " ".join(w[j : j + n])))
+    assert got == expected
