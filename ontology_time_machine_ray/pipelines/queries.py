@@ -572,6 +572,7 @@ QUERIES = {
     "lang_id": textops.lang_id,
     # dedup family
     "dedup_exact": textops.dedup_exact,
+    "corpus_clean": textops.corpus_clean,
     "dedup_jaccard": dedup_jaccard,
     "dedup_minhash": dedup_minhash,      # approximate: rows-only oracle
     "dedup_simhash": dedup_simhash,      # approximate: rows-only oracle

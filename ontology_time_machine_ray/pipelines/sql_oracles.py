@@ -527,6 +527,34 @@ SELECT doc_id, md5(lower(trim(text, ' \t\n\r'))) AS fingerprint FROM documents""
     "dedup_exact": """
 SELECT doc_id, md5(lower(trim(text, ' \t\n\r'))) AS fingerprint FROM documents
 QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1""",
+    "corpus_clean": f"""
+WITH w AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS tok FROM documents),
+q AS (SELECT doc_id,
+  CAST(length(text) BETWEEN 100 AND 20000 AS BIGINT)
+  + CAST(len(regexp_extract_all(text, '\\b({STOP_RE})\\b')) * 100 >= len(tok) AS BIGINT)
+  + CAST(len(regexp_extract_all(text, '[.,;:!?]')) * 10 <= len(tok) AS BIGINT) AS quality
+  FROM w),
+e AS (SELECT doc_id, unnest(list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1])) AS g
+      FROM w WHERE len(tok) >= 2),
+c AS (SELECT doc_id, g, count(*) AS c FROM e GROUP BY 1, 2),
+r AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb, CAST(sum(c) - count(*) AS BIGINT) AS dup,
+             CAST(max(c) AS BIGINT) AS top FROM c GROUP BY 1),
+rep AS (SELECT w.doc_id,
+               CAST(coalesce(r.dup * 100 > 20 * r.nb OR r.top * 100 > 8 * r.nb, FALSE) AS BIGINT) AS repetitive
+        FROM w LEFT JOIN r ON r.doc_id = w.doc_id),
+g4 AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(tok) - 2),
+                     i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3])) AS g
+       FROM w WHERE len(tok) >= 4),
+bg AS (SELECT DISTINCT g FROM g4 WHERE doc_id % 97 = 0),
+contam AS (SELECT DISTINCT g4.doc_id FROM g4 JOIN bg USING (g) WHERE g4.doc_id % 97 <> 0),
+kept AS (
+  SELECT w.doc_id, md5(lower(trim(text, ' \t\n\r'))) AS fingerprint
+  FROM w JOIN q USING (doc_id) JOIN rep ON rep.doc_id = w.doc_id
+  WHERE w.doc_id % 97 <> 0 AND q.quality >= 2 AND rep.repetitive = 0
+    AND w.doc_id NOT IN (SELECT doc_id FROM contam))
+SELECT doc_id, fingerprint FROM kept
+QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1""",
     "lang_id": """
 WITH s AS (
   SELECT doc_id,

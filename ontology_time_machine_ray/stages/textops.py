@@ -511,3 +511,49 @@ def decontaminate(
         )
 
     return docs.map_batches(flag, batch_format="pandas")
+
+
+def corpus_clean(sf_dir: str, docs_ds: rd.Dataset | None = None) -> rd.Dataset:
+    """Flagship training-data cleaning pipeline: one composition of the
+    quality gate (score >= 2), the Gopher repetition filter, benchmark
+    decontamination (any shared 4-gram, and the benchmark docs themselves
+    dropped -- they are the eval set), and exact dedup (min doc_id per
+    content fingerprint).  Returns the kept (doc_id, fingerprint) rows.
+
+    Shape: ONE vectorized scan computes every per-document flag (the
+    benchmark n-gram set rides a single broadcast), then the survivors --
+    already a reduced stream -- go through the one hash-bucketed dedup
+    shuffle.  Filters always run before the exchange, so shuffle volume
+    is bounded by the kept fraction, not the corpus."""
+    import numpy as np
+    import ray
+
+    from ontology_time_machine_ray.functions.broadcast import cached_get
+    from ontology_time_machine_ray.stages.groupagg import grouped_head1
+
+    docs = docs_ds or _read_docs(sf_dir)
+    bench_df = docs.map_batches(
+        lambda df: df[df["doc_id"] % DECONTAM_MODULUS == 0], batch_format="pandas"
+    ).to_pandas()  # benchmark suite: small side by definition
+    _, bench_grams = ngram_rows(bench_df, DECONTAM_NGRAM)
+    gram_ref = ray.put(frozenset(bench_grams.tolist()))
+
+    def keep_and_fingerprint(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % DECONTAM_MODULUS != 0].reset_index(drop=True)
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "fingerprint": pd.Series(dtype="string")}
+            )
+        quality = quality_score_batch(df)["quality"].to_numpy()
+        repetitive = text_repetition_batch(df)["repetitive"].to_numpy()
+        contaminated = np.zeros(len(df), dtype=bool)
+        doc_i, grams = ngram_rows(df, DECONTAM_NGRAM)
+        if len(grams):
+            bset = cached_get(gram_ref)
+            contaminated[pd.unique(doc_i[grams.isin(bset).to_numpy()])] = True
+        kept = df[(quality >= 2) & (repetitive == 0) & ~contaminated]
+        return fingerprint_batch(kept)
+
+    surviving = docs.map_batches(keep_and_fingerprint, batch_format="pandas")
+    return grouped_head1(surviving, keys=["fingerprint"], order_by=["doc_id"])

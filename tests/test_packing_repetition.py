@@ -200,3 +200,21 @@ def test_pack_sequences_rejects_bad_params(ray_session):
         pack_sequences("/nonexistent", budget=0)
     with pytest.raises(ValueError):
         pack_sequences("/nonexistent", num_buckets=0)
+
+
+def test_corpus_clean_each_drop_reason(ray_session, tmp_path):
+    filler = " ".join(f"word{i}" for i in range(22))  # ~130 chars, distinct bigrams
+    keep = "the " + filler
+    rows = [
+        # benchmark doc (id%97==0): own filler so only the planted 4-gram leaks
+        {"doc_id": 0, "text": "the alpha beta gamma delta " + " ".join(f"b{i}" for i in range(22))},
+        {"doc_id": 10, "text": keep},                                    # kept
+        {"doc_id": 11, "text": keep},                                    # exact dup -> dropped
+        {"doc_id": 12, "text": "the cat " * 20},                        # repetitive -> dropped
+        {"doc_id": 13, "text": "short"},                                 # low quality -> dropped
+        {"doc_id": 14, "text": "the alpha beta gamma delta " + " ".join(f"x{i}" for i in range(22))},  # contaminated
+        {"doc_id": 15, "text": "the " + " ".join(f"z{i}" for i in range(22))},  # kept
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = textops.corpus_clean(sf).to_pandas()
+    assert sorted(got["doc_id"].tolist()) == [10, 15]
