@@ -133,6 +133,9 @@ def run_bench() -> dict:
         )
         from ontology_time_machine_ray.stages.textops import decontaminate, text_repetition
 
+        from ontology_time_machine_ray.stages.textops import corpus_clean
+
+        timed("corpus_clean", lambda: corpus_clean(SF_DIR))
         timed("text_repetition", lambda: text_repetition(SF_DIR))
         timed("text_decontaminate", lambda: decontaminate(SF_DIR))
         timed("pack_sequences", lambda: pack_sequences(SF_DIR))
@@ -147,6 +150,12 @@ def run_bench() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "repeat": REPEAT,
+        # 1-min load average BEFORE this process ran: ambient co-tenant
+        # load on this shared host hits full-box runs hardest, so a high
+        # value flags a polluted measurement.  In --scaling mode the later
+        # legs see the previous leg's decaying self-load too; the FIRST
+        # leg's value is the clean ambient reading
+        "loadavg_start": round(os.getloadavg()[0], 1),
         **extras,
     }
 
@@ -174,7 +183,7 @@ def run_scaling() -> dict:
             OTM_BENCH_ONLY="kg",
         )
         best = None
-        for _ in range(2):
+        for _ in range(int(os.environ.get("OTM_SCALING_TRIES", "2"))):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, check=True,
@@ -201,6 +210,8 @@ def run_scaling() -> dict:
         f"docs_per_sec_{lo}cpu": results[lo]["docs_per_sec"],
         f"docs_per_sec_{hi}cpu": results[hi]["docs_per_sec"],
         "link_raw_efficiency": round((raw_lo / raw_hi) / (hi / lo), 3),
+        f"loadavg_{lo}cpu": results[lo].get("loadavg_start"),
+        f"loadavg_{hi}cpu": results[hi].get("loadavg_start"),
         f"link_raw_sec_{lo}cpu": raw_lo,
         f"link_raw_sec_{hi}cpu": raw_hi,
         "n_docs": results[hi]["n_docs"],
