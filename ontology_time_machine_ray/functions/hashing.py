@@ -32,6 +32,23 @@ def stable_hash64(value: str) -> int:
     )
 
 
+def md5_hash64_series(values: pd.Series) -> np.ndarray:
+    """uint64 from the first 8 md5 bytes (== first 16 hex chars, big-endian).
+
+    Matches DuckDB's ``CAST(concat('0x', substr(md5(x), 1, 16)) AS
+    UBIGINT)`` exactly, so any operator keyed on this hash (MinHash
+    signatures, SimHash bit votes) is restatable as a full SQL oracle.
+    ~2x the cost of ``stable_hash64_series`` -- use only where the SQL
+    replay is worth it.
+    """
+    md5 = hashlib.md5
+    return np.fromiter(
+        (int.from_bytes(md5(s.encode("utf-8")).digest()[:8], "big") for s in values),
+        dtype=np.uint64,
+        count=len(values),
+    )
+
+
 def content_md5_series(values: pd.Series) -> pd.Series:
     """Hex md5 per string -- matches DuckDB's ``md5()`` so the document
     fingerprint operator is oracle-checkable in SQL."""

@@ -574,8 +574,8 @@ QUERIES = {
     "dedup_exact": textops.dedup_exact,
     "corpus_clean": textops.corpus_clean,
     "dedup_jaccard": dedup_jaccard,
-    "dedup_minhash": dedup_minhash,      # approximate: rows-only oracle
-    "dedup_simhash": dedup_simhash,      # approximate: rows-only oracle
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
     "dedup_embed": dedup_embed,
     "dedup_embed_keep": dedup_embed_keep,
     "embed_kmeans": embed_kmeans,        # iterative: rows-only oracle

@@ -719,6 +719,148 @@ ORDER BY n_docs DESC, term LIMIT 20""",
 }
 
 
+def _minhash_perm_values(num_perm: int = 64, seed: int = 42) -> str:
+    """VALUES literal of the MinHash permutation coefficients.  The a/b
+    draws replay ``MinHasher.__init__`` (same numpy RandomState seed) --
+    the coefficients are shared CONFIGURATION; the signature/banding/
+    verify/cluster logic below is an independent SQL restatement."""
+    import numpy as np
+
+    mersenne = (1 << 61) - 1
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, mersenne, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, mersenne, size=num_perm, dtype=np.int64)
+    return ",\n    ".join(
+        f"({p}, {int(a[p])}, {int(b[p])})" for p in range(num_perm)
+    )
+
+
+def _minhash_sql() -> str:
+    """Full restatement of ``minhash_clusters`` defaults (threshold 0.8,
+    64 perms, 16 bands of 4):  md5-derived shingle hash -> affine
+    permutation minima (numpy int64 wraparound emulated exactly in
+    HUGEINT: fold mod 2**64, reinterpret signed, floor-mod the Mersenne
+    prime) -> band buckets keyed on the 4-signature tuple (the engine
+    folds the tuple to one 64-bit hash; equal tuples <=> equal hashes
+    absent astronomically-unlikely collisions) -> 200-doc bucket cap ->
+    signature-agreement verify at >= 36/64 (= ceil of the 2-sigma-relaxed
+    0.55 threshold on the 1/64 agreement grid) -> connected components
+    (VARCHAR min root, matching the engine's representative) -> every doc
+    labeled with its component root or itself."""
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents),
+expanded AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 2))) AS i
+  FROM toks WHERE len(t) > 0),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+  FROM expanded),
+hx AS (
+  SELECT doc_id,
+    CAST(CAST(concat('0x', substr(md5(shingle), 1, 16)) AS UBIGINT) >> 3 AS BIGINT) AS x
+  FROM sh),
+perm(p, a, b) AS (VALUES
+    {_minhash_perm_values()}),
+sig AS (
+  SELECT doc_id, p, min(CAST(
+      ((CASE WHEN w >= 9223372036854775808::HUGEINT
+             THEN w - 18446744073709551616::HUGEINT ELSE w END
+        % 2305843009213693951) + 2305843009213693951) % 2305843009213693951
+      AS BIGINT)) AS v
+  FROM (SELECT h.doc_id, perm.p,
+               (perm.a::HUGEINT * h.x + perm.b) % 18446744073709551616::HUGEINT AS w
+        FROM hx h CROSS JOIN perm)
+  GROUP BY 1, 2),
+sigs AS (  -- shingle-less docs carry the all-Mersenne sentinel signature
+  SELECT * FROM sig
+  UNION ALL
+  SELECT d.doc_id, perm.p, 2305843009213693951 AS v
+  FROM documents d CROSS JOIN perm
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM sh)),
+bandkey AS (
+  SELECT doc_id, p // 4 AS band,
+         string_agg(CAST(v AS VARCHAR), ',' ORDER BY p) AS bkey
+  FROM sigs GROUP BY 1, 2),
+bsize AS (SELECT band, bkey, count(*) AS n FROM bandkey GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+  FROM bandkey x
+  JOIN bandkey y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+  JOIN bsize s ON s.band = x.band AND s.bkey = x.bkey
+  WHERE s.n <= 200),
+agree AS (
+  SELECT c.da, c.db, count(*) FILTER (WHERE sa.v = sb.v) AS n_eq
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.da
+  JOIN sigs sb ON sb.doc_id = c.db AND sb.p = sa.p
+  GROUP BY 1, 2),
+edges AS (
+  SELECT CAST(da AS VARCHAR) AS u, CAST(db AS VARCHAR) AS v
+  FROM agree WHERE n_eq >= 36),
+nodes AS (SELECT u AS nn FROM edges UNION SELECT v FROM edges),
+sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+reach(x, y) AS (
+  SELECT nn, nn FROM nodes
+  UNION
+  SELECT r.x, s.v FROM reach r JOIN sym s ON s.u = r.y),
+comp AS (SELECT x AS node, min(y) AS root FROM reach GROUP BY x)
+SELECT d.doc_id, coalesce(c.root, CAST(d.doc_id AS VARCHAR)) AS cluster
+FROM documents d
+LEFT JOIN comp c ON c.node = CAST(d.doc_id AS VARCHAR)"""
+
+
+#: ``simhash_pairs`` restatement: per-doc 64-bit SimHash as explicit
+#: (doc, bit) majority votes over md5-derived distinct-token hashes,
+#: 4x16-bit segment blocking with the 200-doc bucket cap, hamming as a
+#: bit-level disagreement count.  Token-less docs keep the all-zero
+#: bitset (no votes -> no set bits), exactly like the engine.
+_SIMHASH_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, tk
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tk
+        FROM documents)),
+ntok AS (
+  SELECT d.doc_id, coalesce(c.n, 0) AS n
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1) c
+    ON c.doc_id = d.doc_id),
+th AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tk), 1, 16)) AS UBIGINT) AS h
+  FROM tok),
+idx AS (SELECT unnest(range(0, 64)) AS i),
+votes AS (
+  SELECT doc_id, i.i, count(*) FILTER (WHERE (h >> CAST(i.i AS UBIGINT)) & 1 = 1) AS ones
+  FROM th CROSS JOIN idx i
+  GROUP BY 1, 2),
+bitset AS (
+  SELECT n.doc_id, i.i,
+    CASE WHEN 2 * coalesce(v.ones, 0) > n.n THEN 1 ELSE 0 END AS bit
+  FROM ntok n
+  CROSS JOIN idx i
+  LEFT JOIN votes v ON v.doc_id = n.doc_id AND v.i = i.i),
+seg AS (
+  SELECT doc_id, i // 16 AS s, sum(bit * (1::BIGINT << (i % 16))) AS seg_val
+  FROM bitset GROUP BY 1, 2),
+segsize AS (SELECT s, seg_val, count(*) AS n FROM seg GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM seg x
+  JOIN seg y ON x.s = y.s AND x.seg_val = y.seg_val AND x.doc_id < y.doc_id
+  JOIN segsize z ON z.s = x.s AND z.seg_val = x.seg_val
+  WHERE z.n <= 200),
+ham AS (
+  SELECT c.a, c.b, count(*) FILTER (WHERE ba.bit <> bb.bit) AS hamming
+  FROM cand c
+  JOIN bitset ba ON ba.doc_id = c.a
+  JOIN bitset bb ON bb.doc_id = c.b AND bb.i = ba.i
+  GROUP BY 1, 2)
+SELECT a, b, CAST(hamming AS BIGINT) AS hamming FROM ham WHERE hamming <= 3"""
+
+TESTDATA_SQL["dedup_minhash"] = _minhash_sql()
+TESTDATA_SQL["dedup_simhash"] = _SIMHASH_SQL
+
+
 #: recognized CLI tokens for the auth-config parse (config.py:141-337).
 _AUTH_VALUE_OPTS = {
     "ontoFormat": ("turtle", "ntriples", "rdfxml", "htmldocu"),

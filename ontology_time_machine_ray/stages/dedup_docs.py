@@ -7,10 +7,13 @@
 * ``minhash_clusters`` -- MinHash + LSH banding: signature per doc, band
   rows, groupby((band, band_hash)) buckets, signature-estimated Jaccard
   verify, connected components over surviving pairs (reuses the KG
-  union-find).  Approximate by design -> tested against exact Jaccard
-  recall in pytest, rows-only for the driver oracle.
+  union-find).  Approximate relative to true Jaccard, but DETERMINISTIC
+  given the md5-derived shingle hash -- the full chain (signatures,
+  banding, verify, components) has an exact DuckDB oracle in
+  sql_oracles.py, plus a recall pytest against exact Jaccard.
 * ``simhash_pairs``    -- 64-bit SimHash with 4-segment blocking (hamming
-  <= 3 candidates must agree on >= 1 of 4 16-bit segments).
+  <= 3 candidates must agree on >= 1 of 4 16-bit segments).  Same story:
+  md5-derived token hash makes the bit votes SQL-replayable exactly.
 
 Scale notes: every stage is a ``map_batches``/``groupby`` composition; the
 only all-to-all exchanges are on (shingle), (band, band_hash) and (simhash
@@ -27,7 +30,7 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from ontology_time_machine_ray.functions.hashing import stable_hash64_series
+from ontology_time_machine_ray.functions.hashing import md5_hash64_series
 
 #: document-frequency cap for shingle-based pair generation (skew guard).
 MAX_SHINGLE_DF = 50
@@ -157,9 +160,10 @@ class MinHasher:
         flat: list[str] = []
         for p in per_doc:
             flat.extend(p if p else [""])  # sentinel keeps offsets aligned
-        x = (stable_hash64_series(pd.Series(flat)).astype(np.uint64) >> np.uint64(3)).astype(
-            np.int64
-        )
+        # md5-derived shingle hash (not the faster pandas hash): the whole
+        # signature pipeline stays exactly replayable in DuckDB, which is
+        # what upgrades dedup_minhash from a rows-only to a full oracle
+        x = (md5_hash64_series(pd.Series(flat)) >> np.uint64(3)).astype(np.int64)
         offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
         sigs = np.empty((len(texts), self.num_perm), dtype=np.int64)
         for i in range(self.num_perm):
@@ -315,7 +319,7 @@ def _simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
         pairs = pd.DataFrame({"d": ex.index.to_numpy(), "t": ex.to_numpy()})
         pairs = pairs.drop_duplicates(["d", "t"])
         d = pairs["d"].to_numpy()
-        h = stable_hash64_series(pairs["t"]).astype(np.uint64)
+        h = md5_hash64_series(pairs["t"])  # SQL-replayable token hash
         # (n_tokens, 64) bit matrix; little-endian byte+bit order makes
         # column i exactly bit i of the hash
         bits = np.unpackbits(h[:, None].view(np.uint8), axis=1, bitorder="little")

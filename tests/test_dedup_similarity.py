@@ -50,11 +50,29 @@ def test_minhash_clusters_match_planted_dups(dup_corpus):
     assert len({by_doc[i] for i in range(5, 20)}) == 15
 
 
-def test_simhash_pairs_on_planted_dups(dup_corpus):
+def test_simhash_pairs_on_planted_dups(ray_session):
+    """SimHash finds planted dups and nothing hamming-infeasible.
+
+    The corpus plants an exact duplicate (hamming 0, must always appear)
+    and a one-token-append near-dup; a 3-word edit like ``dup_corpus``'s
+    is NOT guaranteed under hamming<=3 (each edited token flips every bit
+    whose majority margin it covers), so this test owns its fixture."""
+    import ray.data as rd
+
     from ontology_time_machine_ray.stages.dedup_docs import simhash_pairs
 
-    df, ds = dup_corpus
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(vocab, size=120))}
+        for i in range(20)
+    ]
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})  # exact dup
+    rows.append({"doc_id": 101, "text": rows[1]["text"] + " zzz-rare"})
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df)
     pairs = simhash_pairs("unused", max_hamming=3, docs_ds=ds).to_pandas()
+    assert (0, 100) in set(zip(pairs["a"], pairs["b"]))
     got = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
     # every reported pair must truly be within the hamming bound
     from ontology_time_machine_ray.stages.dedup_docs import _simhash_batch
