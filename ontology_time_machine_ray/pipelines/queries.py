@@ -8,6 +8,7 @@ order-insensitive value-hash comparison is meaningful.
 
 from __future__ import annotations
 
+import os
 from dataclasses import replace
 
 import pandas as pd
@@ -581,8 +582,8 @@ QUERIES = {
     "embed_kmeans": embed_kmeans,        # iterative: rows-only oracle
     # similarity search
     "ann_bruteforce": ann_bruteforce,
-    "ann_lsh": ann_lsh,                  # approximate: rows-only oracle
-    "ann_ivf": ann_ivf,                  # approximate: rows-only oracle
+    "ann_lsh": ann_lsh,
+    "ann_ivf": ann_ivf,                  # iterative float k-means lists: rows-only oracle
 }
 
 #: KG queries whose oracle reads the fixture parquet.
@@ -616,4 +617,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["dedup_embed_keep"] = sql_oracles.embed_dedup_keep_sql(paths.root)
     out["kg_client_config"] = sql_oracles.client_config_sql(paths.root)
     out["kg_client_intercept"] = sql_oracles.client_intercept_sql(paths.root)
+    out["ann_lsh"] = sql_oracles.ann_lsh_sql(
+        similarity._emb_dim(os.path.join(sf_dir, "embeddings.parquet"))
+    )
     return out

@@ -861,6 +861,49 @@ TESTDATA_SQL["dedup_minhash"] = _minhash_sql()
 TESTDATA_SQL["dedup_simhash"] = _SIMHASH_SQL
 
 
+def ann_lsh_sql(
+    dim: int, k: int = 10, n_queries: int = 3, n_planes: int = 6, seed: int = 7
+) -> str:
+    """Full restatement of ``ann_lsh`` defaults: the hyperplanes are
+    emitted as exact float64 literals (``repr`` round-trips the doubles),
+    bucket = sign-bit fold of the plane dot products, each query scored
+    only against its own bucket, cosine top-k with the (sim DESC, vec_id)
+    tie-break.  Sign agreement between numpy's BLAS dot and DuckDB's
+    sequential ``list_dot_product`` holds unless a true dot product sits
+    within ~1e-15 of zero -- the same float64 determinism contract the
+    ann_bruteforce oracle already relies on for its top-k boundary."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            p, ", ".join(repr(float(v)) for v in planes[p])
+        )
+        for p in range(n_planes)
+    )
+    return f"""
+WITH planes(p, pv) AS (VALUES
+    {rows}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+buck AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN list_dot_product(e.emb, p.pv) > 0
+                  THEN (1::BIGINT << p.p) ELSE 0 END) AS bucket
+  FROM e CROSS JOIN planes p GROUP BY 1),
+q AS (
+  SELECT e.vec_id AS query_id, e.emb AS qe, b.bucket AS qb
+  FROM e JOIN buck b ON b.vec_id = e.vec_id
+  ORDER BY e.vec_id LIMIT {n_queries}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.emb, q.qe) AS sim
+  FROM e JOIN buck b ON b.vec_id = e.vec_id
+  JOIN q ON q.qb = b.bucket)
+SELECT query_id, vec_id FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= {k}"""
+
+
 #: recognized CLI tokens for the auth-config parse (config.py:141-337).
 _AUTH_VALUE_OPTS = {
     "ontoFormat": ("turtle", "ntriples", "rdfxml", "htmldocu"),
