@@ -51,7 +51,7 @@ GENERATOR_VERSION = "otm-fixtures-v2"
 #: embeddings_aug/client_auth).  Bumping this rewrites only those tables
 #: (<1 s) and leaves the expensive documents corpus untouched -- bench
 #: corpora at x800/x1600 stay valid across small-table semantic changes.
-SMALL_TABLES_VERSION = "small-v3"
+SMALL_TABLES_VERSION = "small-v4"
 FIXTURE_ROOT = "/tmp/otm_fixtures"
 
 N_INDEX = 48  # in-index ontologies O000..O047
@@ -224,6 +224,10 @@ class FixturePaths:
     @property
     def client_auth(self) -> str:
         return os.path.join(self.root, "client_auth.parquet")
+
+    @property
+    def documents_pii(self) -> str:
+        return os.path.join(self.root, "documents_pii.parquet")
 
 
 def build_ontology_index() -> pa.Table:
@@ -492,6 +496,34 @@ def fixture_dir(sf_dir: str, repeat: int = 1, text_scale: int = 1) -> str:
     return os.path.join(FIXTURE_ROOT, name)
 
 
+def build_documents_pii(sf_dir: str) -> pa.Table:
+    """The driver's documents table with deterministic planted PII, so the
+    ``pii_scrub`` operator has a non-trivial exact answer (the synthetic
+    corpus itself contains no emails/phones/IPs).
+
+    Plants (by doc_id residue; some docs get several kinds):
+      %5 == 0  -> an email address
+      %7 == 0  -> a +-prefixed international phone number
+      %11 == 0 -> a dotted-quad IPv4
+    """
+    src = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = src["doc_id"].to_pylist()
+    texts = src["text"].to_pylist()
+    out = []
+    for i, t in zip(ids, texts):
+        t = t or ""
+        if i % 5 == 0:
+            t += f" Contact alice.smith+{i}@example.org for details."
+        if i % 7 == 0:
+            t += f" Call +1 415 555 {i % 10000:04d} now."
+        if i % 11 == 0:
+            t += f" Served from 10.{i % 256}.0.{(i * 7) % 256}."
+        out.append(t)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(out, pa.string())})
+
+
 def _write_small_tables(paths: FixturePaths, sf_dir: str) -> None:
     deps = build_dependencies()
     pq.write_table(deps, paths.dependencies)
@@ -504,6 +536,7 @@ def _write_small_tables(paths: FixturePaths, sf_dir: str) -> None:
     pq.write_table(status, paths.snapshot_status)
     pq.write_table(build_embeddings_aug(sf_dir), paths.embeddings_aug)
     pq.write_table(build_client_auth(), paths.client_auth)
+    pq.write_table(build_documents_pii(sf_dir), paths.documents_pii)
 
 
 def _marker_value() -> str:

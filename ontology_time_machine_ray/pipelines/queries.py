@@ -419,6 +419,14 @@ def media_frames(sf_dir: str):
 
 
 # --------------------------- training-data ops ------------------------ #
+def pii_scrub(sf_dir: str):
+    """PII redaction over the planted-PII documents fixture (the raw
+    synthetic corpus contains no emails/phones/IPs, so the fixture keeps
+    the oracle non-vacuous)."""
+    paths = ensure_fixtures(sf_dir)
+    return textops.pii_scrub(paths.documents_pii)
+
+
 def dedup_minhash(sf_dir: str):
     return dedup_docs.minhash_clusters(sf_dir)
 
@@ -568,6 +576,7 @@ QUERIES = {
     "text_winnow": textops.winnow_fingerprints,
     "text_lm_coverage": textops.lm_coverage,
     "text_top_terms_sketch": _top_terms_sketch,
+    "pii_scrub": pii_scrub,
     "text_quality": textops.quality_score,
     "text_fingerprint": textops.fingerprints,
     "lang_id": textops.lang_id,
@@ -620,4 +629,5 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["ann_lsh"] = sql_oracles.ann_lsh_sql(
         similarity._emb_dim(os.path.join(sf_dir, "embeddings.parquet"))
     )
+    out["pii_scrub"] = sql_oracles.pii_scrub_sql(paths.root)
     return out

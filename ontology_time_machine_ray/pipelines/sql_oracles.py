@@ -1030,6 +1030,33 @@ SELECT vec_id FROM n
 WHERE CAST(vec_id AS VARCHAR) NOT IN (SELECT node FROM comp WHERE root <> node)"""
 
 
+def pii_scrub_sql(fixture_root: str) -> str:
+    """``pii_scrub`` restatement: counts on the original text, then
+    nested global regexp_replace in the engine's email -> ip -> phone
+    order.  The patterns are shared VERBATIM from stages/textops.py --
+    both engines (Python re, DuckDB RE2) implement leftmost-first
+    matching for these alternation-free patterns."""
+    from ontology_time_machine_ray.stages.textops import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+    )
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS t
+  FROM read_parquet('{fixture_root}/documents_pii.parquet'))
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+      '{PII_IP_RE}', '<IP>', 'g'),
+      '{PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+  CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(t, '{PII_IP_RE}')) AS BIGINT) AS n_ips
+FROM d"""
+
+
 def client_intercept_sql(fixture_root: str) -> str:
     """Composition oracle: the parsed per-client config (client_config_sql)
     cross-joined with the corpus's distinct hosts, interception decided by

@@ -557,3 +557,52 @@ def corpus_clean(sf_dir: str, docs_ds: rd.Dataset | None = None) -> rd.Dataset:
 
     surviving = docs.map_batches(keep_and_fingerprint, batch_format="pandas")
     return grouped_head1(surviving, keys=["fingerprint"], order_by=["doc_id"])
+
+
+# --------------------------------------------------------------------- #
+# PII redaction                                                          #
+# --------------------------------------------------------------------- #
+#: RE2-compatible patterns (no backrefs/lookarounds) so the DuckDB oracle
+#: applies the IDENTICAL regexes via regexp_extract_all/regexp_replace.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d(?:[ -]?\d){6,14}"
+
+
+def pii_scrub_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized PII redaction: counts on the ORIGINAL text, then
+    sequential replacement email -> ip -> phone (the order is part of the
+    contract -- the oracle nests its regexp_replace calls identically;
+    the patterns are disjoint on real text, so order only matters for
+    pathological overlaps)."""
+    texts = df["text"].fillna("")
+    n_emails = texts.str.count(PII_EMAIL_RE).astype("int64")
+    n_ips = texts.str.count(PII_IP_RE).astype("int64")
+    n_phones = texts.str.count(PII_PHONE_RE).astype("int64")
+    clean = (
+        texts.str.replace(PII_EMAIL_RE, "<EMAIL>", regex=True)
+        .str.replace(PII_IP_RE, "<IP>", regex=True)
+        .str.replace(PII_PHONE_RE, "<PHONE>", regex=True)
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "clean_text": clean,
+            "n_emails": n_emails,
+            "n_phones": n_phones,
+            "n_ips": n_ips,
+        }
+    )
+
+
+def pii_scrub(docs_path: str) -> rd.Dataset:
+    """(doc_id, clean_text, n_emails, n_phones, n_ips) with emails,
+    +-prefixed phone numbers and dotted-quad IPv4s redacted.  One
+    map_batches pass, no shuffle; compiled-regex vectorized kernels.
+
+    ``docs_path`` is a parquet file (the planted-PII fixture in the
+    registry query) or an sf_dir containing documents.parquet."""
+    if not docs_path.endswith(".parquet"):
+        docs_path = os.path.join(docs_path, "documents.parquet")
+    docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    return docs.map_batches(pii_scrub_batch, batch_format="pandas")

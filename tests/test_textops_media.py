@@ -156,3 +156,47 @@ def test_tokens_bpe_counts(ray_session, tmp_path):
     assert got["a"] == 3
     assert got["b"] == 5
     assert got["c"] == 0
+
+
+def test_pii_scrub_redacts_and_counts(ray_session, tmp_path):
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_time_machine_ray.stages.textops import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+        pii_scrub,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "reach me at bob.jones+spam@mail.example.com today",
+                "server 192.168.001.1 rebooted; backup at 10.0.0.255",
+                "call +1 415 555 0137 or +44-20-7946-0958",
+                "no pii here, just w1 w2 w3 (v1.2.3 is not an ip)",
+                None,
+            ],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+    got = pii_scrub(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert got.loc[1, "n_emails"] == 1 and "<EMAIL>" in got.loc[1, "clean_text"]
+    assert got.loc[2, "n_ips"] == 2 and got.loc[2, "clean_text"].count("<IP>") == 2
+    assert got.loc[3, "n_phones"] == 2 and got.loc[3, "clean_text"].count("<PHONE>") == 2
+    assert got.loc[4, ["n_emails", "n_phones", "n_ips"]].sum() == 0
+    assert got.loc[4, "clean_text"] == docs.loc[3, "text"]
+    assert got.loc[5, "clean_text"] == ""
+    # nothing redactable survives in any cleaned text
+    for pat in (PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE):
+        assert not got["clean_text"].str.contains(pat, regex=True).any()
+    # independent scalar-re oracle for the counts
+    for _, row in docs.dropna().iterrows():
+        g = got.loc[row["doc_id"]]
+        assert g["n_emails"] == len(re.findall(PII_EMAIL_RE, row["text"]))
+        assert g["n_phones"] == len(re.findall(PII_PHONE_RE, row["text"]))
+        assert g["n_ips"] == len(re.findall(PII_IP_RE, row["text"]))
