@@ -427,6 +427,19 @@ def pii_scrub(sf_dir: str):
     return textops.pii_scrub(paths.documents_pii)
 
 
+#: df bounds for the registry's inverted-index query: singletons dropped,
+#: near-ubiquitous (stopword-grade) terms elided -- both bounds exercised
+#: non-trivially at sf0.01 (500 docs).
+INVINDEX_MIN_DF = 2
+INVINDEX_MAX_DF = 400
+
+
+def inverted_index(sf_dir: str):
+    return textops.inverted_index(
+        sf_dir, min_df=INVINDEX_MIN_DF, max_df=INVINDEX_MAX_DF
+    )
+
+
 def dedup_minhash(sf_dir: str):
     return dedup_docs.minhash_clusters(sf_dir)
 
@@ -577,6 +590,7 @@ QUERIES = {
     "text_lm_coverage": textops.lm_coverage,
     "text_top_terms_sketch": _top_terms_sketch,
     "pii_scrub": pii_scrub,
+    "inverted_index": inverted_index,
     "text_quality": textops.quality_score,
     "text_fingerprint": textops.fingerprints,
     "lang_id": textops.lang_id,
@@ -630,4 +644,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         similarity._emb_dim(os.path.join(sf_dir, "embeddings.parquet"))
     )
     out["pii_scrub"] = sql_oracles.pii_scrub_sql(paths.root)
+    out["inverted_index"] = sql_oracles.inverted_index_sql(
+        INVINDEX_MIN_DF, INVINDEX_MAX_DF
+    )
     return out

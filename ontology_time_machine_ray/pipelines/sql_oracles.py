@@ -1030,6 +1030,26 @@ SELECT vec_id FROM n
 WHERE CAST(vec_id AS VARCHAR) NOT IN (SELECT node FROM comp WHERE root <> node)"""
 
 
+def inverted_index_sql(min_df: int, max_df: int) -> str:
+    """``inverted_index`` restatement: same lowercase whitespace tokens,
+    (doc_id, term) term frequencies, doc_id-ordered posting-list string,
+    df bounds via HAVING."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM w),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term)
+SELECT term,
+  CAST(COUNT(*) AS BIGINT) AS df,
+  CAST(SUM(tf) AS BIGINT) AS total_tf,
+  array_to_string(
+    list(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)
+         ORDER BY doc_id), ',') AS postings
+FROM tf
+GROUP BY term
+HAVING COUNT(*) >= {min_df} AND COUNT(*) <= {max_df}"""
+
+
 def pii_scrub_sql(fixture_root: str) -> str:
     """``pii_scrub`` restatement: counts on the original text, then
     nested global regexp_replace in the engine's email -> ip -> phone

@@ -595,6 +595,73 @@ def pii_scrub_batch(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def inverted_index(
+    sf_dir: str,
+    min_df: int = 1,
+    max_df: int | None = None,
+    docs_ds: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """Distributed inverted index: one row per surviving term with its
+    document frequency, total term frequency and the full posting list
+    (``"doc_id:tf,doc_id:tf,..."`` sorted by doc_id).
+
+    Scale shape: tokenize + per-document term frequencies inside the batch
+    (a document lives in exactly one batch, so the (doc_id, term) grain is
+    globally exact with no combiner round), then ONE term-bucketed shuffle
+    builds each posting list where the term lives.  ``max_df`` is the
+    stopword guard -- the posting list of a the-grade term is the classic
+    hot key at corpus scale, and dropping df > max_df terms (Lucene-style
+    stopword elision) bounds every bucket's largest list; terms dropped by
+    either df bound are an explicit, documented cut, not a silent cap.
+    """
+    import numpy as np
+
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(TOKEN_RE)
+        flat = pd.DataFrame(
+            {
+                "doc_id": np.repeat(
+                    df["doc_id"].to_numpy(), toks.str.len().to_numpy()
+                ),
+                "term": toks.explode().dropna().to_numpy(),
+            }
+        )
+        if flat.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "term": pd.Series([], dtype="object"),
+                    "tf": pd.Series([], dtype="int64"),
+                }
+            )
+        return flat.groupby(["doc_id", "term"], as_index=False).agg(
+            tf=("term", "size")
+        )
+
+    tf = (docs_ds or _read_docs(sf_dir)).map_batches(
+        tf_rows, batch_format="pandas"
+    )
+
+    def build_postings(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["term", "doc_id"], kind="stable")
+        entry = g["doc_id"].astype(str) + ":" + g["tf"].astype(str)
+        out = g.assign(entry=entry).groupby("term", as_index=False).agg(
+            df=("doc_id", "size"),
+            total_tf=("tf", "sum"),
+            postings=("entry", ",".join),
+        )
+        out["df"] = out["df"].astype("int64")
+        out["total_tf"] = out["total_tf"].astype("int64")
+        keep = out["df"] >= min_df
+        if max_df is not None:
+            keep &= out["df"] <= max_df
+        return out[keep]
+
+    return grouped_apply(tf, ["term"], build_postings)
+
+
 def pii_scrub(docs_path: str) -> rd.Dataset:
     """(doc_id, clean_text, n_emails, n_phones, n_ips) with emails,
     +-prefixed phone numbers and dotted-quad IPv4s redacted.  One

@@ -200,3 +200,69 @@ def test_pii_scrub_redacts_and_counts(ray_session, tmp_path):
         assert g["n_emails"] == len(re.findall(PII_EMAIL_RE, row["text"]))
         assert g["n_phones"] == len(re.findall(PII_PHONE_RE, row["text"]))
         assert g["n_ips"] == len(re.findall(PII_IP_RE, row["text"]))
+
+
+def test_inverted_index_matches_scalar_oracle(ray_session, tmp_path):
+    from collections import Counter, defaultdict
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_time_machine_ray.stages.textops import inverted_index
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "the cat sat on the mat",
+                "The dog and the cat",
+                "dog dog dog",
+                None,
+                "",
+            ],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+    got = (
+        inverted_index(str(tmp_path))
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+
+    post = defaultdict(list)
+    for _, row in docs.dropna().iterrows():
+        for term, tf in sorted(Counter(row["text"].lower().split()).items()):
+            post[term].append((row["doc_id"], tf))
+    want = pd.DataFrame(
+        [
+            {
+                "term": t,
+                "df": len(e),
+                "total_tf": sum(tf for _, tf in e),
+                "postings": ",".join(f"{d}:{tf}" for d, tf in sorted(e)),
+            }
+            for t, e in sorted(post.items())
+        ]
+    )
+    pd.testing.assert_frame_equal(got[["term", "df", "total_tf", "postings"]], want)
+    assert got.loc[got["term"] == "the", "postings"].item() == "1:2,2:2"
+    assert got.loc[got["term"] == "dog", "total_tf"].item() == 4
+
+    # df bounds: min_df drops singletons, max_df elides stopword-grade terms
+    bounded = inverted_index(str(tmp_path), min_df=2, max_df=2).to_pandas()
+    assert set(bounded["term"]) == {"cat", "dog", "the"} - {
+        t for t, e in post.items() if len(e) > 2
+    }
+
+    # batch-size invariance: the (doc_id, term) grain never crosses batches
+    import ray.data as rd
+
+    one_per_block = rd.read_parquet(str(tmp_path / "documents.parquet")).repartition(5)
+    again = (
+        inverted_index(str(tmp_path), docs_ds=one_per_block)
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(again[["term", "df", "total_tf", "postings"]], want)
