@@ -440,6 +440,13 @@ def inverted_index(sf_dir: str):
     )
 
 
+TFIDF_K = 5
+
+
+def tfidf_topk(sf_dir: str):
+    return textops.tfidf_topk(sf_dir, k=TFIDF_K)
+
+
 def dedup_minhash(sf_dir: str):
     return dedup_docs.minhash_clusters(sf_dir)
 
@@ -591,6 +598,7 @@ QUERIES = {
     "text_top_terms_sketch": _top_terms_sketch,
     "pii_scrub": pii_scrub,
     "inverted_index": inverted_index,
+    "tfidf_topk": tfidf_topk,
     "text_quality": textops.quality_score,
     "text_fingerprint": textops.fingerprints,
     "lang_id": textops.lang_id,
@@ -647,4 +655,5 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["inverted_index"] = sql_oracles.inverted_index_sql(
         INVINDEX_MIN_DF, INVINDEX_MAX_DF
     )
+    out["tfidf_topk"] = sql_oracles.tfidf_topk_sql(TFIDF_K, textops.TFIDF_SCALE)
     return out

@@ -1050,6 +1050,25 @@ GROUP BY term
 HAVING COUNT(*) >= {min_df} AND COUNT(*) <= {max_df}"""
 
 
+def tfidf_topk_sql(k: int, scale: int) -> str:
+    """``tfidf_topk`` restatement: same fixed-point tf/df score via BIGINT
+    floor division (``//``), rank by (score DESC, term ASC)."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM w),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, term),
+d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, d.df,
+             tf.tf * {scale} // d.df AS score
+      FROM tf JOIN d USING (term)),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s)
+SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}"""
+
+
 def pii_scrub_sql(fixture_root: str) -> str:
     """``pii_scrub`` restatement: counts on the original text, then
     nested global regexp_replace in the engine's email -> ip -> phone

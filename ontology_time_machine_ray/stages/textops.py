@@ -569,6 +569,55 @@ PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE_RE = r"\+\d(?:[ -]?\d){6,14}"
 
 
+#: fixed-point scale for the tf/df relevance ratio: score = tf*SCALE // df
+#: (integer floor division in BOTH engines -- bit-identical, no float log
+#: drift; ties broken by term asc, so ranks are fully deterministic).
+TFIDF_SCALE = 1_000_000_000
+
+
+def tfidf_topk(
+    sf_dir: str, k: int = 5, docs_ds: rd.Dataset | None = None
+) -> rd.Dataset:
+    """Top-k most characteristic terms per document by an integer-exact
+    tf/df relevance score: (doc_id, term, tf, df, score, rank).
+
+    Scale shape: the (doc_id, term, tf) grain is batch-exact (one pass),
+    document frequencies are a vocabulary-scale table -- far too big to
+    broadcast at corpus scale -- so tf x df meet in ONE term-bucketed hash
+    join; a second doc-bucketed pass assigns ranks and keeps k rows per
+    document.  Nothing corpus-scale ever lands on the driver.
+
+    idf is monotone-decreasing in df, so ranking by tf/df (fixed-point,
+    ``TFIDF_SCALE``) orders identically to tf*idf for any corpus size N
+    within a document; the score column is the exact integer both engines
+    compute, immune to float log drift.
+    """
+    from ontology_time_machine_ray.stages.groupagg import (
+        bucketed_join,
+        grouped_aggregate,
+        grouped_apply,
+    )
+
+    docs = docs_ds or _read_docs(sf_dir)
+    tf = docs.map_batches(_tf_rows, batch_format="pandas")
+    df_tbl = grouped_aggregate(tf, ["term"], {"df": ("tf", "size")})
+    joined = bucketed_join(tf, df_tbl, on=["term"], how="inner")
+
+    def rank_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["df"] = g["df"].astype("int64")
+        g["score"] = (g["tf"].astype("int64") * TFIDF_SCALE) // g["df"]
+        g = g.sort_values(
+            ["doc_id", "score", "term"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        g["rank"] = g.groupby("doc_id").cumcount().astype("int64") + 1
+        return g[g["rank"] <= k]
+
+    return grouped_apply(joined, ["doc_id"], rank_per_doc)
+
+
 def pii_scrub_batch(df: pd.DataFrame) -> pd.DataFrame:
     """Vectorized PII redaction: counts on the ORIGINAL text, then
     sequential replacement email -> ip -> phone (the order is part of the
@@ -595,6 +644,30 @@ def pii_scrub_batch(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, term, tf) at the exact global grain: lowercase whitespace
+    tokens, counted inside the batch (a document lives in exactly one
+    batch, so no combiner round is needed)."""
+    import numpy as np
+
+    toks = df["text"].fillna("").str.lower().str.findall(TOKEN_RE)
+    flat = pd.DataFrame(
+        {
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), toks.str.len().to_numpy()),
+            "term": toks.explode().dropna().to_numpy(),
+        }
+    )
+    if flat.empty:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "term": pd.Series([], dtype="object"),
+                "tf": pd.Series([], dtype="int64"),
+            }
+        )
+    return flat.groupby(["doc_id", "term"], as_index=False).agg(tf=("term", "size"))
+
+
 def inverted_index(
     sf_dir: str,
     min_df: int = 1,
@@ -614,34 +687,10 @@ def inverted_index(
     stopword elision) bounds every bucket's largest list; terms dropped by
     either df bound are an explicit, documented cut, not a silent cap.
     """
-    import numpy as np
-
     from ontology_time_machine_ray.stages.groupagg import grouped_apply
 
-    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].fillna("").str.lower().str.findall(TOKEN_RE)
-        flat = pd.DataFrame(
-            {
-                "doc_id": np.repeat(
-                    df["doc_id"].to_numpy(), toks.str.len().to_numpy()
-                ),
-                "term": toks.explode().dropna().to_numpy(),
-            }
-        )
-        if flat.empty:
-            return pd.DataFrame(
-                {
-                    "doc_id": pd.Series([], dtype="int64"),
-                    "term": pd.Series([], dtype="object"),
-                    "tf": pd.Series([], dtype="int64"),
-                }
-            )
-        return flat.groupby(["doc_id", "term"], as_index=False).agg(
-            tf=("term", "size")
-        )
-
     tf = (docs_ds or _read_docs(sf_dir)).map_batches(
-        tf_rows, batch_format="pandas"
+        _tf_rows, batch_format="pandas"
     )
 
     def build_postings(g: pd.DataFrame) -> pd.DataFrame:

@@ -266,3 +266,55 @@ def test_inverted_index_matches_scalar_oracle(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(again[["term", "df", "total_tf", "postings"]], want)
+
+
+def test_tfidf_topk_matches_scalar_oracle(ray_session, tmp_path):
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_time_machine_ray.stages.textops import TFIDF_SCALE, tfidf_topk
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "apple apple banana the the the",
+                "banana cherry the",
+                "cherry cherry cherry apple the",
+                None,
+            ],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+    k = 2
+    got = (
+        tfidf_topk(str(tmp_path), k=k)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+    tfs = {r["doc_id"]: Counter(r["text"].lower().split()) for _, r in docs.dropna().iterrows()}
+    dfs = Counter(t for c in tfs.values() for t in c)
+    rows = []
+    for d, c in tfs.items():
+        scored = sorted(
+            ((t, tf, dfs[t], tf * TFIDF_SCALE // dfs[t]) for t, tf in c.items()),
+            key=lambda x: (-x[3], x[0]),
+        )
+        for rank, (t, tf, df_, sc) in enumerate(scored[:k], 1):
+            rows.append(
+                {"doc_id": d, "term": t, "tf": tf, "df": df_, "score": sc, "rank": rank}
+            )
+    want = pd.DataFrame(rows)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "term", "tf", "df", "score", "rank"]], want
+    )
+    # the stopword-grade 'the' (df=3) never outranks a rarer term with
+    # equal tf: doc 2's top term is the df=2 'banana', not 'cherry'? both
+    # df=2 -- tie broken by term asc
+    assert got[got["doc_id"] == 2].iloc[0]["term"] == "banana"
+    # empty/None docs contribute no rows
+    assert 4 not in set(got["doc_id"])
