@@ -440,6 +440,16 @@ def inverted_index(sf_dir: str):
     )
 
 
+WINNOW_MIN_SHARED = 2
+WINNOW_MAX_FP_DF = 50
+
+
+def winnow_dup_pairs(sf_dir: str):
+    return textops.winnow_dup_pairs(
+        sf_dir, min_shared=WINNOW_MIN_SHARED, max_fp_df=WINNOW_MAX_FP_DF
+    )
+
+
 TFIDF_K = 5
 
 
@@ -599,6 +609,7 @@ QUERIES = {
     "pii_scrub": pii_scrub,
     "inverted_index": inverted_index,
     "tfidf_topk": tfidf_topk,
+    "winnow_dup_pairs": winnow_dup_pairs,
     "text_quality": textops.quality_score,
     "text_fingerprint": textops.fingerprints,
     "lang_id": textops.lang_id,
@@ -656,4 +667,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         INVINDEX_MIN_DF, INVINDEX_MAX_DF
     )
     out["tfidf_topk"] = sql_oracles.tfidf_topk_sql(TFIDF_K, textops.TFIDF_SCALE)
+    out["winnow_dup_pairs"] = sql_oracles.winnow_dup_pairs_sql(
+        WINNOW_MIN_SHARED, WINNOW_MAX_FP_DF
+    )
     return out

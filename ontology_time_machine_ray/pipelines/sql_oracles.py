@@ -1050,6 +1050,37 @@ GROUP BY term
 HAVING COUNT(*) >= {min_df} AND COUNT(*) <= {max_df}"""
 
 
+def winnow_dup_pairs_sql(min_shared: int, max_fp_df: int) -> str:
+    """``winnow_dup_pairs`` restatement on top of the text_winnow CTE
+    chain: fp groups bounded by the same df cap, pair counts via
+    self-join, HAVING the shared-fingerprint threshold."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents),
+sh AS (
+  SELECT doc_id, i,
+    CAST(concat('0x', substr(md5(array_to_string(list_slice(t, i, i + 2), ' ')), 1, 13))
+         AS BIGINT) AS h
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 3)),
+wins AS (
+  SELECT doc_id,
+    min(h) OVER win AS fp,
+    count(*) OVER win AS cnt
+  FROM sh
+  WINDOW win AS (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE cnt = 4),
+eligible AS (
+  SELECT fp FROM fps GROUP BY fp
+  HAVING COUNT(*) BETWEEN 2 AND {max_fp_df})
+SELECT f1.doc_id AS a, f2.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fps f1 JOIN fps f2 USING (fp) JOIN eligible USING (fp)
+WHERE f1.doc_id < f2.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}"""
+
+
 def tfidf_topk_sql(k: int, scale: int) -> str:
     """``tfidf_topk`` restatement: same fixed-point tf/df score via BIGINT
     floor division (``//``), rank by (score DESC, term ASC)."""

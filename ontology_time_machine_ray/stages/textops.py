@@ -259,6 +259,57 @@ def winnow_fingerprints(sf_dir: str, k: int = 3, w: int = 4) -> rd.Dataset:
     return grouped_head1(ds, keys=["doc_id", "fp"], order_by=["fp"])
 
 
+def winnow_dup_pairs(
+    sf_dir: str, min_shared: int = 2, max_fp_df: int = 50
+) -> rd.Dataset:
+    """MOSS-style near-duplicate candidate pairs: (a, b, n_shared) for
+    document pairs sharing at least ``min_shared`` winnowing fingerprints
+    (a < b).
+
+    Scale shape: rides the existing winnowing selection (distinct
+    (doc_id, fp) rows, ~2/(w+1) of positions), then ONE fp-bucketed
+    shuffle; inside each bucket a vectorized self-merge expands each
+    fingerprint group into its pairs, bounded by ``max_fp_df`` -- a
+    boilerplate-grade fingerprint shared by thousands of documents is the
+    hot key here, and eliding fp groups larger than the cap (mirrored by
+    the oracle's HAVING bound) keeps pair expansion O(df^2 <= cap^2) per
+    group.  Pair partial counts then meet in one (a, b)-bucketed sum.
+    """
+    from ontology_time_machine_ray.stages.groupagg import (
+        grouped_aggregate,
+        grouped_apply,
+    )
+
+    fps = winnow_fingerprints(sf_dir)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("fp")["doc_id"].transform("size")
+        g = g[(sizes >= 2) & (sizes <= max_fp_df)]
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype="int64"),
+                    "b": pd.Series([], dtype="int64"),
+                    "n_shared": pd.Series([], dtype="int64"),
+                }
+            )
+        m = g.merge(g, on="fp")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return m.groupby(["doc_id_x", "doc_id_y"], as_index=False).agg(
+            n_shared=("fp", "size")
+        ).rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
+
+    partials = grouped_apply(fps, ["fp"], pairs_in_bucket)
+    agg = grouped_aggregate(partials, ["a", "b"], {"n_shared": ("n_shared", "sum")})
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_shared"] >= min_shared].copy()
+        df["n_shared"] = df["n_shared"].astype("int64")
+        return df
+
+    return agg.map_batches(keep, batch_format="pandas")
+
+
 #: per-language sampling rate expressed as the number of leading md5 hex
 #: chars in the keep set out of 16 (en is downsampled 4x vs the rest --
 #: the classic rebalancing move for an English-heavy crawl).

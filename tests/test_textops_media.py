@@ -318,3 +318,47 @@ def test_tfidf_topk_matches_scalar_oracle(ray_session, tmp_path):
     assert got[got["doc_id"] == 2].iloc[0]["term"] == "banana"
     # empty/None docs contribute no rows
     assert 4 not in set(got["doc_id"])
+
+
+def test_winnow_dup_pairs_vs_naive(ray_session, tmp_path):
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_time_machine_ray.stages.textops import winnow_dup_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                f"intro words {shared} outro one",
+                f"different opening {shared} and a tail",
+                "completely unrelated text with no overlap at all here",
+                "tiny",
+            ],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+    got = winnow_dup_pairs(str(tmp_path), min_shared=1).to_pandas()
+
+    def naive_fps(text, k=3, w=4):
+        toks = text.lower().split()
+        hs = [
+            int(hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:13], 16)
+            for i in range(len(toks) - k + 1)
+        ]
+        return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+    fps = {r["doc_id"]: naive_fps(r["text"]) for _, r in docs.iterrows()}
+    want = {
+        (a, b): len(fps[a] & fps[b])
+        for a in fps
+        for b in fps
+        if a < b and fps[a] & fps[b]
+    }
+    assert {(r["a"], r["b"]): r["n_shared"] for _, r in got.iterrows()} == want
+    # the winnowing guarantee: an 8-token shared run (>= w+k-1 = 6) MUST
+    # produce at least one common fingerprint for the pair (1, 2)
+    assert (1, 2) in want and want[(1, 2)] >= 1
