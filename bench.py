@@ -140,6 +140,15 @@ def run_bench() -> dict:
         timed("text_decontaminate", lambda: decontaminate(SF_DIR))
         timed("pack_sequences", lambda: pack_sequences(SF_DIR))
         timed("shuffle_index", lambda: global_shuffle_index(SF_DIR))
+        from ontology_time_machine_ray.stages.textops import (
+            inverted_index,
+            tfidf_topk,
+            winnow_dup_pairs,
+        )
+
+        timed("inverted_index", lambda: inverted_index(SF_DIR, min_df=2))
+        timed("tfidf_topk", lambda: tfidf_topk(SF_DIR))
+        timed("winnow_dup_pairs", lambda: winnow_dup_pairs(SF_DIR))
 
     ray.shutdown()
     return {

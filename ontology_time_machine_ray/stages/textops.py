@@ -634,30 +634,32 @@ def tfidf_topk(
 
     Scale shape: the (doc_id, term, tf) grain is batch-exact (one pass),
     document frequencies are a vocabulary-scale table -- far too big to
-    broadcast at corpus scale -- so tf x df meet in ONE term-bucketed hash
-    join; a second doc-bucketed pass assigns ranks and keeps k rows per
-    document.  Nothing corpus-scale ever lands on the driver.
+    broadcast at corpus scale -- but a term lives in exactly one bucket,
+    so ONE term-bucketed pass computes each term's df AND annotates its tf
+    rows in place (a transform, not an aggregate-then-join: the tf grain
+    shuffles once, not twice); a second doc-bucketed pass assigns ranks
+    and keeps k rows per document.  Nothing corpus-scale ever lands on
+    the driver.
 
     idf is monotone-decreasing in df, so ranking by tf/df (fixed-point,
     ``TFIDF_SCALE``) orders identically to tf*idf for any corpus size N
     within a document; the score column is the exact integer both engines
     compute, immune to float log drift.
     """
-    from ontology_time_machine_ray.stages.groupagg import (
-        bucketed_join,
-        grouped_aggregate,
-        grouped_apply,
-    )
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply
 
     docs = docs_ds or _read_docs(sf_dir)
     tf = docs.map_batches(_tf_rows, batch_format="pandas")
-    df_tbl = grouped_aggregate(tf, ["term"], {"df": ("tf", "size")})
-    joined = bucketed_join(tf, df_tbl, on=["term"], how="inner")
+
+    def annotate_df(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["df"] = g.groupby("term")["tf"].transform("size").astype("int64")
+        g["score"] = (g["tf"].astype("int64") * TFIDF_SCALE) // g["df"]
+        return g
+
+    joined = grouped_apply(tf, ["term"], annotate_df)
 
     def rank_per_doc(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["df"] = g["df"].astype("int64")
-        g["score"] = (g["tf"].astype("int64") * TFIDF_SCALE) // g["df"]
         g = g.sort_values(
             ["doc_id", "score", "term"],
             ascending=[True, False, True],
