@@ -440,6 +440,13 @@ def inverted_index(sf_dir: str):
     )
 
 
+DUP_NGRAM_N = 5
+
+
+def dup_ngrams(sf_dir: str):
+    return textops.dup_ngrams(sf_dir, n=DUP_NGRAM_N)
+
+
 WINNOW_MIN_SHARED = 2
 WINNOW_MAX_FP_DF = 50
 
@@ -610,6 +617,7 @@ QUERIES = {
     "inverted_index": inverted_index,
     "tfidf_topk": tfidf_topk,
     "winnow_dup_pairs": winnow_dup_pairs,
+    "dup_ngrams": dup_ngrams,
     "text_quality": textops.quality_score,
     "text_fingerprint": textops.fingerprints,
     "lang_id": textops.lang_id,
@@ -670,4 +678,5 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["winnow_dup_pairs"] = sql_oracles.winnow_dup_pairs_sql(
         WINNOW_MIN_SHARED, WINNOW_MAX_FP_DF
     )
+    out["dup_ngrams"] = sql_oracles.dup_ngrams_sql(DUP_NGRAM_N)
     return out

@@ -1050,6 +1050,26 @@ GROUP BY term
 HAVING COUNT(*) >= {min_df} AND COUNT(*) <= {max_df}"""
 
 
+def dup_ngrams_sql(n: int) -> str:
+    """``dup_ngrams`` restatement: same distinct (doc_id, 52-bit md5-prefix
+    gram hash) grain, gram document frequencies, per-doc dup counts."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+    CAST(concat('0x', substr(md5(array_to_string(list_slice(t, i, i + {n - 1}), ' ')), 1, 13))
+         AS BIGINT) AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - {n - 2})) AS i
+        FROM toks WHERE len(t) >= {n})),
+d AS (SELECT gram, COUNT(*) AS gdf FROM g GROUP BY gram)
+SELECT g.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(COUNT(*) FILTER (WHERE d.gdf >= 2) AS BIGINT) AS n_dup_grams
+FROM g JOIN d USING (gram)
+GROUP BY g.doc_id"""
+
+
 def winnow_dup_pairs_sql(min_shared: int, max_fp_df: int) -> str:
     """``winnow_dup_pairs`` restatement on top of the text_winnow CTE
     chain: fp groups bounded by the same df cap, pair counts via

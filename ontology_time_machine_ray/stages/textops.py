@@ -448,6 +448,71 @@ def ngram_rows(df: pd.DataFrame, n: int):
     return doc_idx[:m][ok], grams[ok].reset_index(drop=True)
 
 
+def dup_ngrams(sf_dir: str, n: int = 5, docs_ds: rd.Dataset | None = None) -> rd.Dataset:
+    """Cross-document duplicated n-gram scan (the detection half of
+    ExactSubstr dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better"): per document, how many of its distinct word
+    ``n``-grams also occur in at least one OTHER document.
+
+    Unlike ``decontaminate`` (corpus x small broadcast benchmark side),
+    both sides here are the corpus itself, so nothing can be broadcast:
+    the distinct (doc_id, gram-hash) grain is batch-exact, each gram's
+    document frequency is annotated in ONE gram-bucketed pass (a gram
+    lives in one bucket), and per-doc counts reduce through a combiner +
+    one doc-bucketed sum.  Gram hashes are the same 52-bit md5 prefix the
+    winnowing operators use, so the oracle replays them exactly -- both
+    engines agree even on hash collisions.
+    """
+    import numpy as np
+
+    from ontology_time_machine_ray.stages.groupagg import (
+        grouped_aggregate,
+        grouped_apply,
+    )
+
+    docs = docs_ds or _read_docs(sf_dir)
+
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        doc_i, grams = ngram_rows(df, n)
+        if not len(grams):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "gram": pd.Series([], dtype="int64"),
+                }
+            )
+        h = (
+            content_md5_series(grams)
+            .map(lambda x: int(x[:13], 16))
+            .astype("int64")
+            .to_numpy()
+        )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy()[doc_i], "gram": h}
+        ).drop_duplicates()
+
+    rows = docs.map_batches(gram_rows, batch_format="pandas")
+
+    def annotate_gdf(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["gdf"] = g.groupby("gram")["doc_id"].transform("size").astype("int64")
+        return g
+
+    ann = grouped_apply(rows, ["gram"], annotate_gdf)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(is_dup=(df["gdf"] >= 2).astype("int64"))
+        return df.groupby("doc_id", as_index=False).agg(
+            n_grams=("gram", "size"), n_dup_grams=("is_dup", "sum")
+        )
+
+    return grouped_aggregate(
+        ann.map_batches(partial, batch_format="pandas"),
+        ["doc_id"],
+        {"n_grams": ("n_grams", "sum"), "n_dup_grams": ("n_dup_grams", "sum")},
+    )
+
+
 #: integer thresholds for the repetition flag (Gopher-style filter):
 #: flagged when >20% of bigram instances are duplicates OR the single most
 #: frequent bigram accounts for >8% of all bigram instances.

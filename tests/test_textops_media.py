@@ -362,3 +362,40 @@ def test_winnow_dup_pairs_vs_naive(ray_session, tmp_path):
     # the winnowing guarantee: an 8-token shared run (>= w+k-1 = 6) MUST
     # produce at least one common fingerprint for the pair (1, 2)
     assert (1, 2) in want and want[(1, 2)] >= 1
+
+
+def test_dup_ngrams_vs_naive(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_time_machine_ray.stages.textops import dup_ngrams
+
+    shared = "one two three four five six"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                f"{shared} and unique tail a",
+                f"prefix b {shared}",
+                "no overlap with anything else at all",
+                "short",  # < n tokens: absent from output
+            ],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+    n = 3
+    got = dup_ngrams(str(tmp_path), n=n).to_pandas().set_index("doc_id")
+
+    def grams_of(text):
+        t = text.split()
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    gsets = {r["doc_id"]: grams_of(r["text"]) for _, r in docs.iterrows() if len(r["text"].split()) >= n}
+    for d, gs in gsets.items():
+        others = set().union(*(g for o, g in gsets.items() if o != d))
+        assert got.loc[d, "n_grams"] == len(gs)
+        assert got.loc[d, "n_dup_grams"] == len(gs & others)
+    assert 4 not in got.index
+    # the 6-token shared run yields 4 shared 3-grams in both docs
+    assert got.loc[1, "n_dup_grams"] == 4 and got.loc[2, "n_dup_grams"] == 4
+    assert got.loc[3, "n_dup_grams"] == 0
