@@ -373,8 +373,9 @@ def kg_doc_stats(sf_dir: str):
 
 def kg_pagerank(sf_dir: str) -> pd.DataFrame:
     """Distributed PageRank over the dependency manifest (iterative:
-    bucketed join + aggregate per round; rows-only oracle -- float
-    iteration is not SQL-expressible; pytest pins it against numpy)."""
+    bucketed join + aggregate per round).  Fixed-point int64 arithmetic
+    makes the iteration bit-exact across numpy / pandas / DuckDB, so the
+    oracle is a 5x-unrolled SQL statement, not a rows-only check."""
     from ontology_time_machine_ray.stages.graph import dependency_pagerank
 
     paths = ensure_fixtures(sf_dir)
@@ -569,7 +570,7 @@ QUERIES = {
     "kg_formats_complete": kg_formats_complete,
     "kg_spans_passthrough": kg_spans_passthrough,
     "kg_dependency_closure": kg_dependency_closure,
-    "kg_pagerank": kg_pagerank,          # iterative: rows-only oracle
+    "kg_pagerank": kg_pagerank,          # fixed-point: unrolled SQL oracle
     "kg_dependency_closure_ttl": kg_dependency_closure_ttl,
     "kg_intercept_archivo": kg_intercept_archivo,
     "kg_intercept_modes": kg_intercept_modes,
@@ -649,6 +650,7 @@ _KG_ORACLE_NAMES = (
     "kg_spans_passthrough",
     "kg_dependency_closure",
     "kg_dependency_closure_ttl",
+    "kg_pagerank",
     "kg_intercept_archivo",
     "kg_intercept_modes",
     "kg_doc_stats",

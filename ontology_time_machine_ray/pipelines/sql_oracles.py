@@ -234,6 +234,42 @@ _COMPONENT_CTES = f"""
   comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a)"""
 
 
+def _pagerank_sql(iters: int = 5) -> str:
+    """Unrolled fixed-point PageRank (stages/graph.py pagerank): int64
+    nano-unit ranks, floor division, damping 85/100 -- every iteration is
+    one CTE, so the 'iterative' algorithm is exactly SQL-expressible.
+    SUM(BIGINT) is HUGEINT in DuckDB; each iteration casts back."""
+    ctes = [
+        """deps AS (
+  SELECT DISTINCT ontology_id AS src, depends_on AS dst
+  FROM read_parquet('__ROOT__/dependencies.parquet')
+),
+nodes AS (SELECT src AS node FROM deps UNION SELECT dst FROM deps),
+deg AS (SELECT src, count(*) AS deg FROM deps GROUP BY src),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST(150000000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.r // d.deg) AS s
+    FROM deps e
+    JOIN deg d ON d.src = e.src
+    JOIN r{i - 1} r ON r.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, r AS rank_nanos FROM r{iters}"
+    )
+
+
 def kg_sql(name: str, fixture_root: str, timestamp: str = "2021-06-01") -> str:
     """Full SQL statement for a KG-family query over ``fixture_root``."""
     bodies = {
@@ -329,6 +365,7 @@ reach(a, b) AS (
   SELECT r.a, d.depends_on FROM reach r JOIN deps d ON d.ontology_id = r.b
 )
 SELECT a AS ontology_id, b AS dep_id FROM reach""",
+        "kg_pagerank": _pagerank_sql(iters=5),
         "media_catalog": """
 WITH flat AS (
   SELECT doc_id, unnest(spans) AS span,

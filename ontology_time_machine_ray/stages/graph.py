@@ -94,23 +94,33 @@ def dependency_closure(dependencies_path: str, edges_ds=None) -> pd.DataFrame:
     )
 
 
-def _driver_pagerank(edges: pd.DataFrame, iters: int, damping: float) -> pd.DataFrame:
+#: fixed-point scale for PageRank: ranks are int64 nano-units, so every
+#: platform (numpy, pandas, DuckDB SQL) computes bit-identical values and
+#: the driver's exact-equality oracle can check the iteration.
+PR_NANO = 1_000_000_000
+#: damping 0.85 as an exact integer fraction (85 / 100)
+PR_D_NUM, PR_D_DEN = 85, 100
+
+
+def _driver_pagerank(edges: pd.DataFrame, iters: int) -> pd.DataFrame:
     import numpy as np
 
     names = sorted(set(edges["src"]) | set(edges["dst"]))
     pos = {v: i for i, v in enumerate(names)}
     si = edges["src"].map(pos).to_numpy()
     di = edges["dst"].map(pos).to_numpy()
-    deg = np.bincount(si, minlength=len(names)).astype(float)
-    r = np.ones(len(names))
+    deg = np.bincount(si, minlength=len(names)).astype(np.int64)
+    r = np.full(len(names), PR_NANO, dtype=np.int64)
+    base = (PR_D_DEN - PR_D_NUM) * PR_NANO // PR_D_DEN
     for _ in range(iters):
-        share = np.where(deg > 0, r / np.maximum(deg, 1.0), 0.0)
-        sums = np.bincount(di, weights=share[si], minlength=len(names))
-        r = (1.0 - damping) + damping * sums
-    return pd.DataFrame({"node": names, "rank": r})
+        share = np.where(deg > 0, r // np.maximum(deg, 1), 0)
+        sums = np.zeros(len(names), dtype=np.int64)
+        np.add.at(sums, di, share[si])
+        r = base + (PR_D_NUM * sums) // PR_D_DEN
+    return pd.DataFrame({"node": names, "rank_nanos": r})
 
 
-def pagerank(edges_ds, iters: int = 5, damping: float = 0.85) -> rd.Dataset:
+def pagerank(edges_ds, iters: int = 5) -> rd.Dataset:
     """Distributed PageRank over Dataset[(src, dst)] edges.
 
     The honest multi-node shape: out-degrees and the edge table (with the
@@ -118,9 +128,18 @@ def pagerank(edges_ds, iters: int = 5, damping: float = 0.85) -> rd.Dataset:
     is one bucketed hash join (ranks onto edges by src), one dst-bucketed
     sum, and one left join back onto the node set -- all key-partitioned,
     no driver-side graph state.  Convention: rank(v) = (1 - d) +
-    d * sum_{u->v} rank(u) / outdeg(u); dangling mass is dropped (the
-    pytest numpy reference uses the identical convention).  Parallel
-    edges contribute once (the edge set is dedup'd), ranks start at 1.
+    d * sum_{u->v} rank(u) / outdeg(u); dangling mass is dropped.
+    Parallel edges contribute once (the edge set is dedup'd), ranks
+    start at 1.
+
+    Arithmetic is FIXED-POINT int64 (``rank_nanos`` = rank * 1e9, floor
+    division everywhere, damping as the exact fraction 85/100) so the
+    distributed path, the driver fast path, the pytest numpy reference
+    and the unrolled DuckDB oracle all produce bit-identical values --
+    this is what lets an "iterative, not SQL-expressible" float algorithm
+    have a full exact-hash SQL oracle.  Overflow headroom: total mass is
+    ~n * 1e9, so 85 * sum stays inside int64 up to ~10^8 nodes; beyond
+    that the scale constant must shrink (documented, not silent).
     """
     from ontology_time_machine_ray.stages.groupagg import (
         grouped_aggregate,
@@ -135,7 +154,7 @@ def pagerank(edges_ds, iters: int = 5, damping: float = 0.85) -> rd.Dataset:
         # driver fast path (same hybrid sizing as transitive_closure):
         # identical convention, vectorized groupby instead of 5 x 2
         # distributed shuffles for a vocabulary-scale graph
-        return rd.from_pandas(_driver_pagerank(edges.to_pandas(), iters, damping))
+        return rd.from_pandas(_driver_pagerank(edges.to_pandas(), iters))
     deg = grouped_aggregate(
         edges.map_batches(
             lambda df: df.groupby("src", as_index=False).agg(deg=("dst", "size")),
@@ -153,16 +172,19 @@ def pagerank(edges_ds, iters: int = 5, damping: float = 0.85) -> rd.Dataset:
     )
     nodes = grouped_head1(both, keys=["node"], order_by=["node"]).materialize()
     ranks = nodes.map_batches(
-        lambda df: df.assign(rank=1.0), batch_format="pandas"
+        lambda df: df.assign(rank_nanos=PR_NANO), batch_format="pandas"
     ).materialize()
+    base = (PR_D_DEN - PR_D_NUM) * PR_NANO // PR_D_DEN
 
     for _ in range(iters):
         r_src = ranks.map_batches(
-            lambda df: pd.DataFrame({"src": df["node"], "r": df["rank"]}),
+            lambda df: pd.DataFrame({"src": df["node"], "r": df["rank_nanos"]}),
             batch_format="pandas",
         )
         contrib = bucketed_join(e2, r_src, on=["src"], how="inner").map_batches(
-            lambda df: pd.DataFrame({"dst": df["dst"], "share": df["r"] / df["deg"]}),
+            lambda df: pd.DataFrame(
+                {"dst": df["dst"], "share": df["r"] // df["deg"]}
+            ),
             batch_format="pandas",
         )
         sums = grouped_aggregate(contrib, ["dst"], {"s": ("share", "sum")}).map_batches(
@@ -175,7 +197,12 @@ def pagerank(edges_ds, iters: int = 5, damping: float = 0.85) -> rd.Dataset:
                 lambda df: pd.DataFrame(
                     {
                         "node": df["node"],
-                        "rank": (1.0 - damping) + damping * df["s"].fillna(0.0),
+                        "rank_nanos": base
+                        + (
+                            PR_D_NUM
+                            * df["s"].fillna(0).astype("int64")
+                        )
+                        // PR_D_DEN,
                     }
                 ),
                 batch_format="pandas",
@@ -186,9 +213,8 @@ def pagerank(edges_ds, iters: int = 5, damping: float = 0.85) -> rd.Dataset:
 
 
 def dependency_pagerank(dependencies_path: str, iters: int = 5) -> pd.DataFrame:
-    """PageRank over the dependency manifest (reversed edges: an ontology
-    many others depend on ranks high).  Rounded to 1e-9 for stable
-    cross-run comparison of the float iteration."""
+    """PageRank over the dependency manifest.  Fixed-point int64 output
+    (``rank_nanos``) -- exactly reproducible by the unrolled SQL oracle."""
     edges = rd.read_parquet(dependencies_path).map_batches(
         lambda df: pd.DataFrame(
             {"src": df["ontology_id"], "dst": df["depends_on"]}
@@ -196,5 +222,5 @@ def dependency_pagerank(dependencies_path: str, iters: int = 5) -> pd.DataFrame:
         batch_format="pandas",
     )
     out = pagerank(edges, iters=iters).to_pandas()
-    out["rank"] = out["rank"].round(9)
+    out["rank_nanos"] = out["rank_nanos"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)

@@ -113,16 +113,25 @@ def test_pagerank_matches_numpy_reference(ray_session, monkeypatch):
         .reset_index(drop=True)
     )
 
+    # independent dense-matrix fixed-point reference (int64 nano-units,
+    # floor division, damping = 85/100) -- must match BIT-EXACTLY
     names = sorted(set(edges["src"]) | set(edges["dst"]))
     pos = {v: i for i, v in enumerate(names)}
     m = len(names)
-    adj = np.zeros((m, m))
+    adj = np.zeros((m, m), dtype=np.int64)
     for a, b in zip(edges["src"], edges["dst"]):
         adj[pos[a], pos[b]] = 1
     deg = adj.sum(axis=1)
-    r = np.ones(m)
+    r = np.full(m, 1_000_000_000, dtype=np.int64)
     for _ in range(5):
-        share = np.where(deg > 0, r / np.maximum(deg, 1), 0.0)
-        r = 0.15 + 0.85 * (adj.T @ share)
+        share = np.where(deg > 0, r // np.maximum(deg, 1), 0)
+        r = 150_000_000 + (85 * (adj.T @ share)) // 100
     assert got["node"].tolist() == names
-    np.testing.assert_allclose(got["rank"].to_numpy(), r, rtol=1e-9, atol=1e-9)
+    assert got["rank_nanos"].tolist() == r.tolist()
+    # sanity: the fixed-point ranks approximate the float iteration
+    rf = np.ones(m)
+    degf = deg.astype(float)
+    for _ in range(5):
+        sharef = np.where(degf > 0, rf / np.maximum(degf, 1.0), 0.0)
+        rf = 0.15 + 0.85 * (adj.T @ sharef)
+    np.testing.assert_allclose(got["rank_nanos"].to_numpy() / 1e9, rf, atol=1e-6)
