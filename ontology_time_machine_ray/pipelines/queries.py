@@ -486,8 +486,8 @@ def dedup_embed_keep(sf_dir: str):
 
 def embed_kmeans(sf_dir: str):
     """Distributed k-means assignments over the embedding column
-    (deterministic Lloyd; rows-only oracle -- iterative, not
-    SQL-expressible)."""
+    (deterministic Lloyd).  The oracle unrolls the 3 Lloyd rounds into
+    SQL CTEs -- the discrete cluster output is stable across engines."""
     return similarity.embed_kmeans(sf_dir)
 
 
@@ -553,8 +553,9 @@ def _distinct_sketch(sf_dir: str) -> pd.DataFrame:
 def ann_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF ANN: k-means inverted lists materialized as one parquet
     directory per list; the query reads ONLY the probed lists (prune at
-    the read).  Approximate at the default probe budget -> rows-only
-    oracle; pytest pins exactness at n_probe == n_lists."""
+    the read).  The oracle replays the unrolled k-means lists, the probe
+    ranking and the within-list exact top-k in SQL; pytest additionally
+    pins exactness at n_probe == n_lists."""
     return similarity.ann_ivf(sf_dir)
 
 
@@ -630,11 +631,11 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embed": dedup_embed,
     "dedup_embed_keep": dedup_embed_keep,
-    "embed_kmeans": embed_kmeans,        # iterative: rows-only oracle
+    "embed_kmeans": embed_kmeans,        # unrolled-Lloyd SQL oracle
     # similarity search
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
-    "ann_ivf": ann_ivf,                  # iterative float k-means lists: rows-only oracle
+    "ann_ivf": ann_ivf,                  # unrolled k-means lists: full SQL oracle
 }
 
 #: KG queries whose oracle reads the fixture parquet.
@@ -681,4 +682,6 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         WINNOW_MIN_SHARED, WINNOW_MAX_FP_DF
     )
     out["dup_ngrams"] = sql_oracles.dup_ngrams_sql(DUP_NGRAM_N)
+    out["embed_kmeans"] = sql_oracles.embed_kmeans_sql()
+    out["ann_ivf"] = sql_oracles.ann_ivf_sql()
     return out

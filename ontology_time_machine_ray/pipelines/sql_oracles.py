@@ -270,6 +270,132 @@ r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes)"""
     )
 
 
+def _kmeans_ctes(n_clusters: int, iters: int) -> str:
+    """Unrolled Lloyd iterations over the ``embeddings`` view, mirroring
+    stages/similarity._kmeans_centroids: init = the n lowest-vec_id
+    vectors (cluster = rank by vec_id), cosine assignment with
+    first-centroid tie-break, centroid = L2-normalized mean of assigned
+    normalized vectors, empty clusters keep the previous centroid.
+    Discrete outputs (cluster ids / top-k ids) tolerate the float
+    summation-order noise between numpy and DuckDB; only an exact
+    similarity tie could flip, which the fixtures' random vectors never
+    produce."""
+    parts = [
+        f"""emb AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(range(len(embedding))) AS j
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM emb GROUP BY vec_id),
+vn AS (
+  SELECT e.vec_id, e.j, e.x / greatest(n.nrm, 1e-30) AS x
+  FROM emb e JOIN norms n USING (vec_id)
+),
+init_ids AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM (SELECT DISTINCT vec_id FROM emb ORDER BY vec_id LIMIT {n_clusters})
+),
+c0 AS (SELECT i.cluster, v.j, v.x FROM init_ids i JOIN vn v USING (vec_id))"""
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c.cluster,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY sum(v.x * c.x) DESC, c.cluster ASC) AS rn
+    FROM vn v JOIN c{p} c ON c.j = v.j
+    GROUP BY v.vec_id, c.cluster
+  ) WHERE rn = 1
+),
+m{t} AS (
+  SELECT a.cluster, v.j, sum(v.x) / count(*) AS mu
+  FROM a{t} a JOIN vn v USING (vec_id)
+  GROUP BY a.cluster, v.j
+),
+mn{t} AS (SELECT cluster, sqrt(sum(mu * mu)) AS nrm FROM m{t} GROUP BY cluster),
+c{t} AS (
+  SELECT c.cluster, c.j,
+         coalesce(m.mu / greatest(n.nrm, 1e-30), c.x) AS x
+  FROM c{p} c
+  LEFT JOIN m{t} m ON m.cluster = c.cluster AND m.j = c.j
+  LEFT JOIN mn{t} n ON n.cluster = c.cluster
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _final_assign_cte(iters: int) -> str:
+    return f"""af AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c.cluster,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY sum(v.x * c.x) DESC, c.cluster ASC) AS rn
+    FROM vn v JOIN c{iters} c ON c.j = v.j
+    GROUP BY v.vec_id, c.cluster
+  ) WHERE rn = 1
+)"""
+
+
+def embed_kmeans_sql(n_clusters: int = 16, iters: int = 3) -> str:
+    """stages/similarity.embed_kmeans: final cluster assignment after the
+    unrolled Lloyd rounds."""
+    return (
+        "WITH "
+        + _kmeans_ctes(n_clusters, iters)
+        + ",\n"
+        + _final_assign_cte(iters)
+        + "\nSELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM af"
+    )
+
+
+def ann_ivf_sql(
+    k: int = 10, n_queries: int = 3, n_lists: int = 16, n_probe: int = 8, iters: int = 3
+) -> str:
+    """stages/similarity.ann_ivf: IVF probe + within-list exact top-k,
+    over the same unrolled k-means lists."""
+    return (
+        "WITH "
+        + _kmeans_ctes(n_lists, iters)
+        + ",\n"
+        + _final_assign_cte(iters)
+        + f""",
+qids AS (SELECT DISTINCT vec_id FROM emb ORDER BY vec_id LIMIT {n_queries}),
+probes AS (
+  SELECT query_id, cluster FROM (
+    SELECT q.vec_id AS query_id, c.cluster,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY sum(v.x * c.x) DESC, c.cluster ASC) AS rn
+    FROM qids q
+    JOIN vn v ON v.vec_id = q.vec_id
+    JOIN c{iters} c ON c.j = v.j
+    GROUP BY q.vec_id, c.cluster
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM af a JOIN probes p ON p.cluster = a.cluster
+),
+sims AS (
+  SELECT c.query_id, c.vec_id, sum(v.x * q.x) AS sim
+  FROM cand c
+  JOIN vn v ON v.vec_id = c.vec_id
+  JOIN vn q ON q.vec_id = c.query_id AND q.j = v.j
+  GROUP BY c.query_id, c.vec_id
+)
+SELECT query_id, vec_id FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM sims
+) WHERE rn <= {k}"""
+    )
+
+
 def kg_sql(name: str, fixture_root: str, timestamp: str = "2021-06-01") -> str:
     """Full SQL statement for a KG-family query over ``fixture_root``."""
     bodies = {
