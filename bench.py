@@ -140,6 +140,9 @@ def run_bench() -> dict:
         timed("text_decontaminate", lambda: decontaminate(SF_DIR))
         timed("pack_sequences", lambda: pack_sequences(SF_DIR))
         timed("shuffle_index", lambda: global_shuffle_index(SF_DIR))
+        from ontology_time_machine_ray.stages.packing import corpus_mix
+
+        timed("corpus_mix", lambda: corpus_mix(SF_DIR))
         from ontology_time_machine_ray.stages.textops import (
             inverted_index,
             tfidf_topk,

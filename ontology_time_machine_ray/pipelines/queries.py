@@ -540,6 +540,15 @@ def _shuffle_index(sf_dir: str):
     return global_shuffle_index(sf_dir)
 
 
+def _corpus_mix(sf_dir: str):
+    """Weighted corpus mixing to target per-source rates (drop /
+    downsample / fractional and integer upsample) -- deterministic
+    hash-uniform selection, one map_batches pass, no shuffle."""
+    from ontology_time_machine_ray.stages.packing import corpus_mix
+
+    return corpus_mix(sf_dir)
+
+
 def _distinct_sketch(sf_dir: str) -> pd.DataFrame:
     """KMV cardinality sketch (see stages/sketch.py): exact below
     saturation -> checkable against count(DISTINCT) at test scale; the
@@ -610,6 +619,7 @@ QUERIES = {
     "pack_sequences": _pack_sequences,
     "shuffle_index": _shuffle_index,
     "chunk_documents": _chunk_documents,
+    "corpus_mix": _corpus_mix,
     "text_top_terms": textops.top_terms,
     "text_tokens_bpe": textops.tokens_bpe,
     "text_winnow": textops.winnow_fingerprints,
@@ -684,4 +694,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["dup_ngrams"] = sql_oracles.dup_ngrams_sql(DUP_NGRAM_N)
     out["embed_kmeans"] = sql_oracles.embed_kmeans_sql()
     out["ann_ivf"] = sql_oracles.ann_ivf_sql()
+    from ontology_time_machine_ray.stages.packing import DEFAULT_MIX_E6
+
+    out["corpus_mix"] = sql_oracles.corpus_mix_sql(DEFAULT_MIX_E6, "mix1")
     return out

@@ -396,6 +396,28 @@ SELECT query_id, vec_id FROM (
     )
 
 
+def corpus_mix_sql(rates_e6: dict[str, int], seed: str) -> str:
+    """stages/packing.corpus_mix: per-source epoch expansion + the
+    hash-uniform fractional subset, as one VALUES join + range unnest.
+    The keep test is the identical lowercase-hex string compare."""
+    vals = ", ".join(
+        f"('{src}', {rate})" for src, rate in rates_e6.items() if rate > 0
+    )
+    return f"""
+WITH rates(source, rate_e6) AS (VALUES {vals}),
+d AS (
+  SELECT doc_id, documents.source, r.rate_e6,
+         range((r.rate_e6 + 999999) // 1000000) AS eps
+  FROM documents JOIN rates r USING (source)
+),
+e AS (SELECT doc_id, source, rate_e6, unnest(eps) AS epoch FROM d)
+SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+FROM e
+WHERE epoch < rate_e6 // 1000000
+   OR substr(md5(concat('{seed}:', epoch, ':', doc_id)), 1, 6)
+      < printf('%06x', CAST(rate_e6 % 1000000 AS BIGINT) * 16777216 // 1000000)"""
+
+
 def kg_sql(name: str, fixture_root: str, timestamp: str = "2021-06-01") -> str:
     """Full SQL statement for a KG-family query over ``fixture_root``."""
     bodies = {

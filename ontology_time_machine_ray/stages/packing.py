@@ -267,3 +267,93 @@ def chunk_documents(
         )
 
     return (docs_ds or _read_docs(sf_dir)).map_batches(chunk_batch, batch_format="pandas")
+
+
+#: default mixing recipe (rate in millionths of one epoch): exercises
+#: drop (unlisted sources), downsample, keep, fractional upsample and
+#: integer upsample in one run.
+DEFAULT_MIX_E6: dict[str, int] = {
+    "src0": 250_000,    # 0.25x
+    "src1": 500_000,    # 0.5x
+    "src2": 1_000_000,  # 1x
+    "src3": 1_750_000,  # 1.75x (one full epoch + 0.75 fractional)
+    "src4": 3_000_000,  # 3x (three full epochs)
+}
+
+
+def corpus_mix(
+    sf_dir: str,
+    rates_e6: dict[str, int] | None = None,
+    seed: str = "mix1",
+    docs_ds: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """Weighted corpus mixing: resample each ``source`` to a target rate
+    (training-mix assembly, e.g. "2 epochs of wiki, 0.3 of crawl").
+
+    Rates are integer millionths of an epoch for cross-engine exactness.
+    A rate of ``r`` emits ``floor(r / 1e6)`` full copies (``epoch`` =
+    0..full-1) plus one fractional copy at ``epoch = full`` containing the
+    deterministic hash-uniform subset: a doc joins iff the first 6 hex
+    chars of ``md5('{seed}:{epoch}:{doc_id}')`` sort below
+    ``printf('%06x', frac_e6 * 16^6 // 1e6)`` -- a plain string compare
+    with identical semantics in pandas and SQL.  Sources not in the
+    recipe are dropped.
+
+    Scale shape: one ``map_batches`` pass, no shuffle; row expansion is
+    bounded by the recipe's max rate, so block sizes stay predictable.
+    Selection depends only on (seed, epoch, doc_id) -- adding nodes,
+    re-running, or resuming cannot change the mix.
+    """
+    from ontology_time_machine_ray.functions.hashing import content_md5_series
+
+    rates = dict(DEFAULT_MIX_E6 if rates_e6 is None else rates_e6)
+    if any(r < 0 for r in rates.values()):
+        raise ValueError("rates_e6 must be non-negative")
+
+    def mix_batch(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for src, rate in rates.items():
+            sub = df[df["source"] == src]
+            if sub.empty or rate == 0:
+                continue
+            full, frac = divmod(rate, 1_000_000)
+            for ep in range(full):
+                out.append(
+                    pd.DataFrame(
+                        {"doc_id": sub["doc_id"].astype("int64"),
+                         "source": sub["source"].astype("string"),
+                         "epoch": pd.Series(ep, index=sub.index, dtype="int64")}
+                    )
+                )
+            if frac:
+                thr = format(frac * 16**6 // 10**6, "06x")
+                key = content_md5_series(
+                    f"{seed}:{full}:" + sub["doc_id"].astype("string")
+                )
+                keep = sub[key.str.slice(0, 6) < thr]
+                if len(keep):
+                    out.append(
+                        pd.DataFrame(
+                            {"doc_id": keep["doc_id"].astype("int64"),
+                             "source": keep["source"].astype("string"),
+                             "epoch": pd.Series(full, index=keep.index, dtype="int64")}
+                        )
+                    )
+        if not out:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "source": pd.Series(dtype="string"),
+                 "epoch": pd.Series(dtype="int64")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    import os
+
+    if docs_ds is None:
+        # prune at the read: the mix never needs the text column
+        docs_ds = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+        )
+    else:
+        docs_ds = docs_ds.select_columns(["doc_id", "source"])
+    return docs_ds.map_batches(mix_batch, batch_format="pandas")

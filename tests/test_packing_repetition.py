@@ -218,3 +218,50 @@ def test_corpus_clean_each_drop_reason(ray_session, tmp_path):
     sf = _write_docs(tmp_path, rows)
     got = textops.corpus_clean(sf).to_pandas()
     assert sorted(got["doc_id"].tolist()) == [10, 15]
+
+
+def test_corpus_mix_vs_naive(ray_session, tmp_path):
+    import hashlib
+
+    from ontology_time_machine_ray.stages.packing import corpus_mix
+
+    rows = [
+        {"doc_id": i, "text": "x", "source": f"s{i % 4}"} for i in range(400)
+    ]
+    sf = _write_docs(tmp_path, rows)
+    rates = {"s0": 300_000, "s1": 1_000_000, "s2": 2_500_000}  # s3 dropped
+    got = (
+        corpus_mix(sf, rates_e6=rates, seed="t")
+        .to_pandas()
+        .sort_values(["source", "epoch", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+    # independent row-at-a-time reference
+    exp = []
+    for r in rows:
+        rate = rates.get(r["source"], 0)
+        full, frac = divmod(rate, 1_000_000)
+        for ep in range(full):
+            exp.append((r["doc_id"], r["source"], ep))
+        if frac:
+            thr = format(frac * 16**6 // 10**6, "06x")
+            h = hashlib.md5(f"t:{full}:{r['doc_id']}".encode()).hexdigest()
+            if h[:6] < thr:
+                exp.append((r["doc_id"], r["source"], full))
+    exp.sort(key=lambda t: (t[1], t[2], t[0]))
+    assert list(map(tuple, got[["doc_id", "source", "epoch"]].to_numpy())) == exp
+
+    # dropped source never appears; full epochs are complete copies
+    assert "s3" not in set(got["source"])
+    assert (got[(got["source"] == "s2") & (got["epoch"] < 2)]
+            .groupby("epoch")["doc_id"].count() == 100).all()
+    # fractional subsets land near their target rates (hash-uniform)
+    n_s0 = (got["source"] == "s0").sum()
+    assert 15 <= n_s0 <= 45  # 100 docs at 0.3 target
+    # deterministic: same seed -> same mix
+    again = corpus_mix(sf, rates_e6=rates, seed="t").to_pandas()
+    assert len(again) == len(got)
+
+    with pytest.raises(ValueError):
+        corpus_mix(sf, rates_e6={"s0": -1})
