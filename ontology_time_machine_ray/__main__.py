@@ -104,6 +104,21 @@ def main(argv=None) -> int:
     ap.add_argument("--no-canonical", action="store_true")
     ap.add_argument("--repeat", type=int, default=1)
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument(
+        "--update",
+        action="store_true",
+        help="incrementally merge this corpus slice into an EXISTING "
+        "non-canonical store at --out (continuous ingest; implies "
+        "--no-canonical semantics)",
+    )
+    ap.add_argument(
+        "--doc-id-from", default=None,
+        help="restrict the corpus to doc_id >= this (delta slice lower bound)",
+    )
+    ap.add_argument(
+        "--doc-id-to", default=None,
+        help="restrict the corpus to doc_id < this (delta slice upper bound)",
+    )
     args = ap.parse_args(argv)
 
     import ray
@@ -144,20 +159,38 @@ def main(argv=None) -> int:
         per_row_policy=not args.no_per_row_policy,
     )
     pipe = KgPipeline.for_sf_dir(args.sf_dir, repeat=args.repeat)
-    pipe = type(pipe)(paths=pipe.paths, config=config)
-
-    summary = pipe.materialize(args.out, canonical=not args.no_canonical)
-    report = pipe.report().to_pandas().to_dict(orient="records")
-    print(
-        json.dumps(
-            {
-                "out": args.out,
-                "triples": sum(summary["partitions"].values()),
-                "skipped_partitions": summary["skipped"],
-                "report": report,
-            }
-        )
+    doc_range = (
+        (args.doc_id_from, args.doc_id_to)
+        if (args.doc_id_from is not None or args.doc_id_to is not None)
+        else None
     )
+    pipe = type(pipe)(paths=pipe.paths, config=config, doc_id_range=doc_range)
+
+    if args.update:
+        summary = pipe.update(args.out)
+        print(
+            json.dumps(
+                {
+                    "out": args.out,
+                    "updated_partitions": sorted(summary["updated"]),
+                    "rows_added": sum(summary["added"].values()),
+                    "untouched_partitions": len(summary["untouched"]),
+                }
+            )
+        )
+    else:
+        summary = pipe.materialize(args.out, canonical=not args.no_canonical)
+        report = pipe.report().to_pandas().to_dict(orient="records")
+        print(
+            json.dumps(
+                {
+                    "out": args.out,
+                    "triples": sum(summary["partitions"].values()),
+                    "skipped_partitions": summary["skipped"],
+                    "report": report,
+                }
+            )
+        )
     if owns_session:
         ray.shutdown()
     return 0

@@ -66,6 +66,12 @@ class KgPipeline:
     #: (pandas merges, combo memo lookups) amortize best over big batches;
     #: measured 45us/doc at None vs 66us/doc at 4096 on the bench corpus.
     batch_size: Optional[int] = None
+    #: restrict the corpus to doc_id in [lo, hi) (either bound may be
+    #: None for unbounded) -- predicate pushdown at the parquet read.
+    #: This is the INPUT SLICE, not config: it is deliberately outside
+    #: config_hash so a delta slice can be merged into a store built
+    #: from an earlier slice (see ``update``).
+    doc_id_range: Optional[tuple] = None
 
     @classmethod
     def for_sf_dir(cls, sf_dir: str, repeat: int = 1, **kw) -> "KgPipeline":
@@ -88,6 +94,18 @@ class KgPipeline:
 
     # ------------------------------------------------------------------ #
     def documents(self) -> rd.Dataset:
+        if self.doc_id_range is not None:
+            import pyarrow.compute as pc
+
+            lo, hi = self.doc_id_range
+            expr = None
+            if lo is not None:
+                expr = pc.field("doc_id") >= lo
+            if hi is not None:
+                e2 = pc.field("doc_id") < hi
+                expr = e2 if expr is None else expr & e2
+            if expr is not None:
+                return rd.read_parquet(self.paths.documents, filter=expr)
         return rd.read_parquet(self.paths.documents)
 
     def mentions(self) -> rd.Dataset:
@@ -204,6 +222,33 @@ class KgPipeline:
                 self.paths.snapshot_content,
                 self.paths.snapshot_status,
             ],
+        )
+
+    def update(self, out_dir: str) -> dict:
+        """Incrementally merge THIS pipeline's triples into an existing
+        non-canonical store built under the same config (time-machine
+        continuous ingest): only the partitions the delta hashes into are
+        read + merged + rewritten, so cost scales with the delta, not the
+        store.  Equivalent BY CONSTRUCTION to a full rebuild over the
+        union of corpora (per-key min is associative), and idempotent
+        (re-applying a delta is a no-op) -- pinned by pytest and by the
+        kg_incremental query sharing kg_triples' SQL oracle.
+
+        Canonical stores are different: owl:sameAs components are global,
+        so an incremental canonical update would need mapping repair;
+        rebuild (or re-canonicalize periodically) for those.
+        """
+        from ontology_time_machine_ray.sources.writers import update_partitioned
+
+        ds = self.triples_raw().map_batches(_local_dedup, batch_format="pandas")
+        return update_partitioned(
+            ds,
+            out_dir,
+            num_partitions=self.config.output_partitions,
+            config_hash=self.config_hash(),
+            key="subj",
+            dedup_keys=["subj", "pred", "obj"],
+            dedup_order=["doc_id", "ontology_version", "format"],
         )
 
     def with_policy(self, policy, **kw) -> "KgPipeline":

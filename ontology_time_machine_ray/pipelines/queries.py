@@ -382,6 +382,35 @@ def kg_pagerank(sf_dir: str) -> pd.DataFrame:
     return dependency_pagerank(paths.dependencies)
 
 
+def kg_incremental(sf_dir: str):
+    """Incremental store update (time-machine continuous ingest): build
+    the non-canonical store from the first half of the corpus, merge the
+    second half in with ``KgPipeline.update`` (only touched partitions
+    are read/rewritten), and return the final store contents.  The result
+    equals a full one-shot build by construction, so it shares
+    kg_triples' SQL oracle -- the equality IS the correctness claim."""
+    import glob as _glob
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    paths = ensure_fixtures(sf_dir)
+    ids = sorted(pq.read_table(paths.documents, columns=["doc_id"])["doc_id"].to_pylist())
+    mid = ids[len(ids) // 2]  # median doc_id: base half vs delta half
+    base = KgPipeline(paths=paths, doc_id_range=(None, mid))
+    out = os.path.join("/tmp/otm_incr", base.config_hash())
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    base.materialize(out, canonical=False)
+    KgPipeline(paths=paths, doc_id_range=(mid, None)).update(out)
+    files = sorted(_glob.glob(os.path.join(out, "part=*", "data.parquet")))
+    # drop the hive-style part column read_parquet infers from dir names
+    return rd.read_parquet(files).select_columns(
+        ["subj", "pred", "obj", "doc_id", "ontology_version", "format"]
+    )
+
+
 def kg_dependency_closure(sf_dir: str) -> pd.DataFrame:
     """J5: dependency-manifest transitive closure (the reference's dormant
     graph walk, proxy_logic.py:276-307) via distributed path doubling."""
@@ -579,6 +608,7 @@ QUERIES = {
     "kg_restricted_denied": kg_restricted_denied,
     "kg_formats_complete": kg_formats_complete,
     "kg_spans_passthrough": kg_spans_passthrough,
+    "kg_incremental": kg_incremental,
     "kg_dependency_closure": kg_dependency_closure,
     "kg_pagerank": kg_pagerank,          # fixed-point: unrolled SQL oracle
     "kg_dependency_closure_ttl": kg_dependency_closure_ttl,
@@ -662,6 +692,7 @@ _KG_ORACLE_NAMES = (
     "kg_dependency_closure",
     "kg_dependency_closure_ttl",
     "kg_pagerank",
+    "kg_incremental",
     "kg_intercept_archivo",
     "kg_intercept_modes",
     "kg_doc_stats",

@@ -431,6 +431,10 @@ def kg_sql(name: str, fixture_root: str, timestamp: str = "2021-06-01") -> str:
         "FROM outcome GROUP BY 1, 2",
         "kg_triples": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES}\n"
         "SELECT subj, pred, obj, doc_id, ontology_version, format FROM dedup",
+        # incremental build+update must equal the one-shot build, so it
+        # shares the kg_triples statement -- the equality IS the claim
+        "kg_incremental": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES}\n"
+        "SELECT subj, pred, obj, doc_id, ontology_version, format FROM dedup",
         "kg_components": f"WITH RECURSIVE {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},{_COMPONENT_CTES}\n"
         "SELECT node, component FROM comp",
         "kg_triples_canonical": f"WITH RECURSIVE {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},{_COMPONENT_CTES},\n"

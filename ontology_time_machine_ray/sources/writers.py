@@ -152,3 +152,104 @@ def write_partitioned(
     with open(os.path.join(out_dir, "_lineage.json"), "w") as f:
         json.dump(summary, f, indent=1)
     return summary
+
+
+def update_partitioned(
+    delta_ds,
+    out_dir: str,
+    num_partitions: int,
+    config_hash: str,
+    key: str = "subj",
+    dedup_keys: list[str] | None = None,
+    dedup_order: list[str] | None = None,
+) -> dict:
+    """Incrementally merge a DELTA of rows into an existing partitioned
+    store: only partitions the delta hashes into are read, merged,
+    deduped and atomically rewritten -- cost is proportional to the delta
+    plus the touched partitions, never the store.
+
+    Correctness contract: because per-key dedup keeps the minimum by
+    ``dedup_keys + dedup_order`` and the existing partition already holds
+    its per-key minimum, concat + dedup yields exactly the store a full
+    rebuild over (old corpus + delta corpus) would produce.  The same
+    argument makes updates IDEMPOTENT: re-applying a delta (e.g. after a
+    mid-update crash) is a no-op, so the operation needs no separate
+    resume machinery.
+
+    The delta must be produced under the SAME config and hash layout as
+    the store; a mismatch raises instead of silently mixing layouts.
+    """
+    if dedup_keys is None or key not in dedup_keys:
+        raise ValueError("incremental merge requires the partition key in dedup_keys")
+    done = completed_partitions(out_dir, config_hash, num_partitions, key)
+    if not done:
+        raise ValueError(
+            f"{out_dir} has no DONE partitions for config {config_hash} / "
+            f"P={num_partitions} / key={key} -- build the store first "
+            "(write_partitioned) or fix the config/layout mismatch"
+        )
+
+    with_part = delta_ds.map_batches(
+        lambda df: add_partition_column(df, num_partitions, key),
+        batch_format="pandas",
+    )
+
+    order = dedup_order or []
+
+    def _merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["partition"].iloc[0])
+        g = g.drop(columns=["partition"])
+        pdir = os.path.join(out_dir, f"part={part:05d}")
+        old_path = os.path.join(pdir, "data.parquet")
+        n_old = 0
+        if os.path.exists(old_path):
+            old = pd.read_parquet(old_path)
+            n_old = len(old)
+            g = pd.concat([old, g], ignore_index=True)
+        g = g.sort_values(dedup_keys + order, kind="stable").drop_duplicates(
+            dedup_keys, keep="first"
+        )
+        tmp = pdir + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        g.to_parquet(os.path.join(tmp, "data.parquet"), index=False)
+        manifest = {
+            "status": "DONE",
+            "partition": part,
+            "rows": int(len(g)),
+            "config_hash": config_hash,
+            "num_partitions": num_partitions,
+            "partition_key": key,
+        }
+        with open(os.path.join(tmp, "_manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        if os.path.isdir(pdir):
+            shutil.rmtree(pdir)
+        os.rename(tmp, pdir)
+        return pd.DataFrame(
+            {"partition": [part], "rows": [len(g)], "added": [len(g) - n_old]}
+        )
+
+    lineage = (
+        with_part.groupby("partition")
+        .map_groups(_merge_group, batch_format="pandas")
+        .to_pandas()
+    )
+    summary = {
+        "updated": {int(p): int(r) for p, r, _ in lineage.itertuples(index=False)},
+        "added": {int(p): int(a) for p, _, a in lineage.itertuples(index=False)},
+        "untouched": sorted(done - set(int(p) for p in lineage["partition"])),
+        "config_hash": config_hash,
+    }
+    lpath = os.path.join(out_dir, "_lineage.json")
+    lin = json.load(open(lpath)) if os.path.exists(lpath) else {}
+    lin.setdefault("updates", []).append(
+        {"partitions": sorted(summary["updated"]),
+         "rows_added": int(sum(summary["added"].values()))}
+    )
+    for p, r in summary["updated"].items():
+        lin.setdefault("partitions", {})[str(p)] = r
+    with open(lpath, "w") as f:
+        json.dump(lin, f, indent=1)
+    return summary

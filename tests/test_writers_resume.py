@@ -101,3 +101,66 @@ def test_kg_materialize_smoke(ray_session, sf_dir, tmp_path):
     got = _read_all(out)
     assert len(got) == total
     assert not got.duplicated(["subj", "pred", "obj"]).any()
+
+
+def test_update_partitioned_incremental_merge(ray_session, tmp_path):
+    import pytest
+    import ray.data as rd
+
+    from ontology_time_machine_ray.sources.writers import (
+        update_partitioned,
+        write_partitioned,
+    )
+
+    def mk(lo, hi, doc):
+        df = pd.DataFrame(
+            {
+                "subj": [f"s{i % 40}" for i in range(lo, hi)],
+                "pred": ["p"] * (hi - lo),
+                "obj": [f"o{i % 60}" for i in range(lo, hi)],
+                "doc_id": [doc] * (hi - lo),
+            }
+        )
+        return rd.from_pandas(df), df
+
+    kw = dict(
+        num_partitions=8,
+        config_hash="cfgU",
+        key="subj",
+        dedup_keys=["subj", "pred", "obj"],
+        dedup_order=["doc_id"],
+    )
+    out_full = str(tmp_path / "full")
+    out_incr = str(tmp_path / "incr")
+
+    base_ds, base_df = mk(0, 80, "dA")
+    delta_ds, delta_df = mk(40, 120, "dB")  # overlaps base on (s,p,o)
+    all_ds = rd.from_pandas(pd.concat([base_df, delta_df], ignore_index=True))
+
+    write_partitioned(all_ds, out_full, **kw)
+    write_partitioned(base_ds, out_incr, **kw)
+    summary = update_partitioned(delta_ds, out_incr, **kw)
+    assert sum(summary["added"].values()) >= 0
+
+    cols = ["subj", "pred", "obj", "doc_id"]
+    full = _read_all(out_full)[cols].sort_values(cols).reset_index(drop=True)
+    incr = _read_all(out_incr)[cols].sort_values(cols).reset_index(drop=True)
+    # incremental build+update == one-shot build, incl. lineage tie-break
+    pd.testing.assert_frame_equal(full, incr)
+
+    # idempotent: re-applying the same delta changes nothing
+    delta_ds2, _ = mk(40, 120, "dB")
+    again = update_partitioned(delta_ds2, out_incr, **kw)
+    assert all(a == 0 for a in again["added"].values())
+    incr2 = _read_all(out_incr)[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(incr, incr2)
+
+    # guard rails: unbuilt store / layout mismatch / missing key
+    with pytest.raises(ValueError):
+        update_partitioned(delta_ds2, str(tmp_path / "nope"), **kw)
+    bad = dict(kw, num_partitions=16)
+    with pytest.raises(ValueError):
+        update_partitioned(delta_ds2, out_incr, **bad)
+    with pytest.raises(ValueError):
+        update_partitioned(delta_ds2, out_incr, num_partitions=8,
+                           config_hash="cfgU", key="subj", dedup_keys=None)
