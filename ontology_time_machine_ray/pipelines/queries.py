@@ -382,6 +382,42 @@ def kg_pagerank(sf_dir: str) -> pd.DataFrame:
     return dependency_pagerank(paths.dependencies)
 
 
+#: (fixture_root -> (store_dir, median doc_id)) -- the incremental store
+#: is built once per process; kg_incremental and kg_store_asof share it.
+_INCR_STORE: dict[str, tuple] = {}
+
+_STORE_COLS = ["subj", "pred", "obj", "doc_id", "ontology_version", "format"]
+
+
+def incremental_split_mid(sf_dir: str) -> str:
+    """Median doc_id of the interleaved corpus: the base/delta boundary
+    used by the incremental-store queries AND their oracles."""
+    import pyarrow.parquet as pq
+
+    paths = ensure_fixtures(sf_dir)
+    ids = sorted(pq.read_table(paths.documents, columns=["doc_id"])["doc_id"].to_pylist())
+    return ids[len(ids) // 2]
+
+
+def _incremental_store(sf_dir: str) -> tuple:
+    """Build the two-phase store: base half (store version 0), then merge
+    the delta half with ``KgPipeline.update`` (store version 1)."""
+    import shutil
+
+    paths = ensure_fixtures(sf_dir)
+    if paths.root in _INCR_STORE:
+        return _INCR_STORE[paths.root]
+    mid = incremental_split_mid(sf_dir)
+    base = KgPipeline(paths=paths, doc_id_range=(None, mid))
+    out = os.path.join("/tmp/otm_incr", base.config_hash())
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    base.materialize(out, canonical=False)
+    KgPipeline(paths=paths, doc_id_range=(mid, None)).update(out)
+    _INCR_STORE[paths.root] = (out, mid)
+    return out, mid
+
+
 def kg_incremental(sf_dir: str):
     """Incremental store update (time-machine continuous ingest): build
     the non-canonical store from the first half of the corpus, merge the
@@ -389,26 +425,24 @@ def kg_incremental(sf_dir: str):
     are read/rewritten), and return the final store contents.  The result
     equals a full one-shot build by construction, so it shares
     kg_triples' SQL oracle -- the equality IS the correctness claim."""
-    import glob as _glob
-    import shutil
+    from ontology_time_machine_ray.sources.writers import read_store_asof
 
-    import pyarrow.parquet as pq
-    import ray.data as rd
+    out, _ = _incremental_store(sf_dir)
+    return read_store_asof(out, version=None, columns=_STORE_COLS)
 
-    paths = ensure_fixtures(sf_dir)
-    ids = sorted(pq.read_table(paths.documents, columns=["doc_id"])["doc_id"].to_pylist())
-    mid = ids[len(ids) // 2]  # median doc_id: base half vs delta half
-    base = KgPipeline(paths=paths, doc_id_range=(None, mid))
-    out = os.path.join("/tmp/otm_incr", base.config_hash())
-    if os.path.isdir(out):
-        shutil.rmtree(out)
-    base.materialize(out, canonical=False)
-    KgPipeline(paths=paths, doc_id_range=(mid, None)).update(out)
-    files = sorted(_glob.glob(os.path.join(out, "part=*", "data.parquet")))
-    # drop the hive-style part column read_parquet infers from dir names
-    return rd.read_parquet(files).select_columns(
-        ["subj", "pred", "obj", "doc_id", "ontology_version", "format"]
-    )
+
+def kg_store_asof(sf_dir: str):
+    """Time-travel read: the incremental store AS OF version 0 (before
+    the delta merge).  Copy-on-write versioning in ``update_partitioned``
+    keeps each superseded partition file tagged with its version, so the
+    read resolves per partition with no store-wide snapshot state.  The
+    oracle is kg_triples restricted to the base half -- per-key min dedup
+    ordered by doc_id first means the base-half build equals the full
+    dedup filtered to doc_id < mid."""
+    from ontology_time_machine_ray.sources.writers import read_store_asof
+
+    out, _ = _incremental_store(sf_dir)
+    return read_store_asof(out, version=0, columns=_STORE_COLS)
 
 
 def kg_dependency_closure(sf_dir: str) -> pd.DataFrame:
@@ -609,6 +643,7 @@ QUERIES = {
     "kg_formats_complete": kg_formats_complete,
     "kg_spans_passthrough": kg_spans_passthrough,
     "kg_incremental": kg_incremental,
+    "kg_store_asof": kg_store_asof,
     "kg_dependency_closure": kg_dependency_closure,
     "kg_pagerank": kg_pagerank,          # fixed-point: unrolled SQL oracle
     "kg_dependency_closure_ttl": kg_dependency_closure_ttl,
@@ -728,4 +763,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     from ontology_time_machine_ray.stages.packing import DEFAULT_MIX_E6
 
     out["corpus_mix"] = sql_oracles.corpus_mix_sql(DEFAULT_MIX_E6, "mix1")
+    out["kg_store_asof"] = (
+        out["kg_triples"] + f"\nWHERE doc_id < '{incremental_split_mid(sf_dir)}'"
+    )
     return out

@@ -196,16 +196,27 @@ def update_partitioned(
 
     order = dedup_order or []
 
+    # store version this update produces: one past the number of updates
+    # already recorded in the lineage (initial build = version 0)
+    lpath = os.path.join(out_dir, "_lineage.json")
+    lin0 = json.load(open(lpath)) if os.path.exists(lpath) else {}
+    new_version = len(lin0.get("updates", [])) + 1
+
     def _merge_group(g: pd.DataFrame) -> pd.DataFrame:
         part = int(g["partition"].iloc[0])
         g = g.drop(columns=["partition"])
         pdir = os.path.join(out_dir, f"part={part:05d}")
         old_path = os.path.join(pdir, "data.parquet")
         n_old = 0
+        old_version = 0
+        old = None
         if os.path.exists(old_path):
             old = pd.read_parquet(old_path)
             n_old = len(old)
             g = pd.concat([old, g], ignore_index=True)
+            mpath = os.path.join(pdir, "_manifest.json")
+            if os.path.exists(mpath):
+                old_version = int(json.load(open(mpath)).get("version", 0))
         g = g.sort_values(dedup_keys + order, kind="stable").drop_duplicates(
             dedup_keys, keep="first"
         )
@@ -214,6 +225,15 @@ def update_partitioned(
             shutil.rmtree(tmp)
         os.makedirs(tmp, exist_ok=True)
         g.to_parquet(os.path.join(tmp, "data.parquet"), index=False)
+        # copy-on-write time travel: preserve the superseded file tagged
+        # with the store version it was written at, and carry forward any
+        # previously preserved versions (read_store_asof picks the newest
+        # preserved file <= the requested version)
+        if old is not None:
+            old.to_parquet(os.path.join(tmp, f"data@{old_version}.parquet"), index=False)
+        for name in os.listdir(pdir):
+            if name.startswith("data@"):
+                shutil.copy2(os.path.join(pdir, name), os.path.join(tmp, name))
         manifest = {
             "status": "DONE",
             "partition": part,
@@ -221,6 +241,7 @@ def update_partitioned(
             "config_hash": config_hash,
             "num_partitions": num_partitions,
             "partition_key": key,
+            "version": new_version,
         }
         with open(os.path.join(tmp, "_manifest.json"), "w") as f:
             json.dump(manifest, f)
@@ -253,3 +274,50 @@ def update_partitioned(
     with open(lpath, "w") as f:
         json.dump(lin, f, indent=1)
     return summary
+
+
+def read_store_asof(out_dir: str, version: int | None = None, columns: list[str] | None = None):
+    """Time-travel read of a partitioned store: the content AS OF store
+    ``version`` (initial build = 0, each ``update_partitioned`` = +1);
+    ``None`` = current.
+
+    ``update_partitioned`` is copy-on-write: the superseded file is kept
+    as ``data@{v}.parquet`` tagged with the version it was written at, so
+    each partition resolves independently to the newest file <= the
+    requested version.  Partitions first created by a later update simply
+    contribute nothing to earlier versions.  No store-wide snapshot
+    coordination is needed -- version resolution is per-partition local
+    metadata, which is what makes the read scale-free.
+    """
+    import ray.data as rd
+
+    if not os.path.isdir(out_dir):
+        raise ValueError(f"{out_dir} is not a store directory")
+    files: list[str] = []
+    for name in sorted(os.listdir(out_dir)):
+        if not name.startswith("part="):
+            continue
+        pdir = os.path.join(out_dir, name)
+        mpath = os.path.join(pdir, "_manifest.json")
+        if not os.path.exists(mpath):
+            continue
+        m = json.load(open(mpath))
+        if m.get("status") != "DONE":
+            continue
+        if version is None or int(m.get("version", 0)) <= version:
+            files.append(os.path.join(pdir, "data.parquet"))
+            continue
+        best = -1
+        for f in os.listdir(pdir):
+            if f.startswith("data@") and f.endswith(".parquet"):
+                v = int(f[len("data@"):-len(".parquet")])
+                if v <= version and v > best:
+                    best = v
+        if best >= 0:
+            files.append(os.path.join(pdir, f"data@{best}.parquet"))
+    if not files:
+        raise ValueError(f"no partitions in {out_dir} visible at version {version}")
+    ds = rd.read_parquet(files)
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds

@@ -164,3 +164,53 @@ def test_update_partitioned_incremental_merge(ray_session, tmp_path):
     with pytest.raises(ValueError):
         update_partitioned(delta_ds2, out_incr, num_partitions=8,
                            config_hash="cfgU", key="subj", dedup_keys=None)
+
+
+def test_read_store_asof_time_travel(ray_session, tmp_path):
+    import pytest
+    import ray.data as rd
+
+    from ontology_time_machine_ray.sources.writers import (
+        read_store_asof,
+        update_partitioned,
+        write_partitioned,
+    )
+
+    kw = dict(
+        num_partitions=4,
+        config_hash="cfgT",
+        key="subj",
+        dedup_keys=["subj", "pred", "obj"],
+        dedup_order=["doc_id"],
+    )
+    out = str(tmp_path / "tt")
+
+    def mk(subjs, doc):
+        df = pd.DataFrame(
+            {"subj": subjs, "pred": ["p"] * len(subjs),
+             "obj": ["o"] * len(subjs), "doc_id": [doc] * len(subjs)}
+        )
+        return rd.from_pandas(df), df
+
+    base_ds, base_df = mk([f"s{i}" for i in range(20)], "dA")
+    write_partitioned(base_ds, out, **kw)
+    d1, _ = mk([f"s{i}" for i in range(10, 30)], "dB")  # overlap + new keys
+    update_partitioned(d1, out, **kw)
+    d2, _ = mk([f"s{i}" for i in range(25, 40)], "dC")
+    update_partitioned(d2, out, **kw)
+
+    def subjects(version):
+        return set(
+            read_store_asof(out, version=version, columns=["subj"])
+            .to_pandas()["subj"]
+        )
+
+    assert subjects(0) == {f"s{i}" for i in range(20)}
+    assert subjects(1) == {f"s{i}" for i in range(30)}
+    assert subjects(2) == {f"s{i}" for i in range(40)}
+    assert subjects(None) == subjects(2)
+    # version 0 rows keep their original lineage (dedup kept dA rows)
+    v1 = read_store_asof(out, version=1).to_pandas()
+    assert set(v1[v1["subj"] == "s10"]["doc_id"]) == {"dA"}
+    with pytest.raises(ValueError):
+        read_store_asof(str(tmp_path / "absent"))
