@@ -117,6 +117,25 @@ def run_bench() -> dict:
     extras["raw_triples_per_sec"] = round(raw_triples / queries["kg_link_raw"], 1)
 
     if not ONLY_KG:
+        # incremental ingest: untimed base build over 98% of the corpus,
+        # timed merge of the 2% delta -- the point is update cost ∝ delta
+        # (compare against kg_build, the full-rebuild cost)
+        import pyarrow.parquet as pq
+
+        ids = sorted(
+            pq.read_table(paths.documents, columns=["doc_id"])["doc_id"].to_pylist()
+        )
+        cut = ids[int(len(ids) * 0.98)]
+        inc_out = "/tmp/otm_bench_incr"
+        if os.path.isdir(inc_out):
+            shutil.rmtree(inc_out)
+        type(pipe)(paths=paths, doc_id_range=(None, cut)).materialize(
+            inc_out, canonical=False
+        )
+        delta_pipe = type(pipe)(paths=paths, doc_id_range=(cut, None))
+        upd = timed("kg_update_2pct", lambda: delta_pipe.update(inc_out))
+        extras["update_rows_added"] = int(sum(upd["added"].values()))
+
         timed("rel_q1_lineitem", lambda: relational.q1_lineitem(SF_DIR))
         timed("events_hourly", lambda: relational.events_hourly(SF_DIR))
         timed("events_asof_join", lambda: relational.events_asof_join(SF_DIR))

@@ -321,3 +321,32 @@ def read_store_asof(out_dir: str, version: int | None = None, columns: list[str]
     if columns is not None:
         ds = ds.select_columns(columns)
     return ds
+
+
+def vacuum_store(out_dir: str, keep_versions: int = 1) -> dict:
+    """Retention for time-travel files: drop preserved ``data@v.parquet``
+    files older than the newest ``keep_versions`` distinct versions per
+    partition (0 = current only).  Purely local per-partition metadata,
+    so it can run partition-parallel at scale; here a driver loop over
+    the manifest directory is plenty (one stat per file).  Returns
+    {partition: [versions removed]}."""
+    if keep_versions < 0:
+        raise ValueError("keep_versions must be >= 0")
+    removed: dict[int, list[int]] = {}
+    if not os.path.isdir(out_dir):
+        raise ValueError(f"{out_dir} is not a store directory")
+    for name in sorted(os.listdir(out_dir)):
+        if not name.startswith("part="):
+            continue
+        pdir = os.path.join(out_dir, name)
+        versions = sorted(
+            int(f[len("data@"):-len(".parquet")])
+            for f in os.listdir(pdir)
+            if f.startswith("data@") and f.endswith(".parquet")
+        )
+        drop = versions[: max(0, len(versions) - keep_versions)]
+        for v in drop:
+            os.remove(os.path.join(pdir, f"data@{v}.parquet"))
+        if drop:
+            removed[int(name.split("=")[1])] = drop
+    return removed

@@ -214,3 +214,34 @@ def test_read_store_asof_time_travel(ray_session, tmp_path):
     assert set(v1[v1["subj"] == "s10"]["doc_id"]) == {"dA"}
     with pytest.raises(ValueError):
         read_store_asof(str(tmp_path / "absent"))
+
+
+def test_vacuum_store_retention(ray_session, tmp_path):
+    import ray.data as rd
+
+    from ontology_time_machine_ray.sources.writers import (
+        read_store_asof,
+        update_partitioned,
+        vacuum_store,
+        write_partitioned,
+    )
+
+    kw = dict(num_partitions=2, config_hash="cfgV", key="subj",
+              dedup_keys=["subj"], dedup_order=["doc_id"])
+    out = str(tmp_path / "vac")
+
+    def mk(subjs, doc):
+        return rd.from_pandas(pd.DataFrame(
+            {"subj": subjs, "doc_id": [doc] * len(subjs)}))
+
+    write_partitioned(mk([f"s{i}" for i in range(8)], "dA"), out, **kw)
+    update_partitioned(mk([f"s{i}" for i in range(8, 12)], "dB"), out, **kw)
+    update_partitioned(mk([f"s{i}" for i in range(12, 16)], "dC"), out, **kw)
+
+    removed = vacuum_store(out, keep_versions=1)
+    assert removed  # something older than the newest preserved version went
+    # newest time-travel point survives; older ones are gone
+    assert len(read_store_asof(out, version=1).to_pandas()) == 12
+    import pytest
+    with pytest.raises(ValueError):
+        vacuum_store(out, keep_versions=-1)
