@@ -15,6 +15,13 @@ Or run any registry operator standalone (the engine-as-a-tool surface)::
 
     python -m ontology_time_machine_ray query text_stats \
         --sf-dir /root/testdata/sf0.01 [--out /tmp/out.parquet] [--limit N]
+
+Store lifecycle (time travel + retention)::
+
+    python -m ontology_time_machine_ray read --store /tmp/otm_store \
+        [--version K] [--out /tmp/out.parquet] [--limit N]
+    python -m ontology_time_machine_ray vacuum --store /tmp/otm_store \
+        [--keep-versions N]
 """
 
 from __future__ import annotations
@@ -79,10 +86,59 @@ def _run_query(argv) -> int:
     return 0
 
 
+def _run_read(argv) -> int:
+    ap = argparse.ArgumentParser(prog="ontology_time_machine_ray read")
+    ap.add_argument("--store", required=True, help="partitioned store directory")
+    ap.add_argument("--version", type=int, default=None,
+                    help="time-travel to this store version (default: current)")
+    ap.add_argument("--out", default=None, help="write result parquet here instead of printing")
+    ap.add_argument("--limit", type=int, default=20)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from ontology_time_machine_ray.sources.writers import read_store_asof
+
+    ds = read_store_asof(args.store, version=args.version)
+    if args.out:
+        ds.write_parquet(args.out)
+        print(json.dumps({"store": args.store, "version": args.version, "out": args.out}))
+    else:
+        print(ds.limit(args.limit).to_pandas().to_string(index=False))
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
+def _run_vacuum(argv) -> int:
+    ap = argparse.ArgumentParser(prog="ontology_time_machine_ray vacuum")
+    ap.add_argument("--store", required=True)
+    ap.add_argument("--keep-versions", type=int, default=1)
+    args = ap.parse_args(argv)
+    from ontology_time_machine_ray.sources.writers import vacuum_store
+
+    removed = vacuum_store(args.store, keep_versions=args.keep_versions)
+    print(json.dumps({"store": args.store, "removed": {str(k): v for k, v in removed.items()}}))
+    return 0
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "query":
         return _run_query(argv[1:])
+    if argv and argv[0] == "read":
+        return _run_read(argv[1:])
+    if argv and argv[0] == "vacuum":
+        return _run_vacuum(argv[1:])
     ap = argparse.ArgumentParser(prog="ontology_time_machine_ray")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--out", default="/tmp/otm_store")

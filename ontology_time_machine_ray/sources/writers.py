@@ -319,8 +319,10 @@ def read_store_asof(out_dir: str, version: int | None = None, columns: list[str]
         raise ValueError(f"no partitions in {out_dir} visible at version {version}")
     ds = rd.read_parquet(files)
     if columns is not None:
-        ds = ds.select_columns(columns)
-    return ds
+        return ds.select_columns(columns)
+    # drop the hive-style 'part' column read_parquet infers from the
+    # part=NNNNN directory names -- a layout artifact, not store data
+    return ds.drop_columns(["part"])
 
 
 def vacuum_store(out_dir: str, keep_versions: int = 1) -> dict:
