@@ -136,6 +136,8 @@ def write_partitioned(
             "config_hash": config_hash,
             "num_partitions": num_partitions,
             "partition_key": key,
+            "version": 0,
+            "created_version": 0,
         }
         with open(_manifest_path(out_dir, part), "w") as f:
             json.dump(manifest, f)
@@ -209,6 +211,7 @@ def update_partitioned(
         old_path = os.path.join(pdir, "data.parquet")
         n_old = 0
         old_version = 0
+        created_version = new_version  # partition born in this update
         old = None
         if os.path.exists(old_path):
             old = pd.read_parquet(old_path)
@@ -216,7 +219,9 @@ def update_partitioned(
             g = pd.concat([old, g], ignore_index=True)
             mpath = os.path.join(pdir, "_manifest.json")
             if os.path.exists(mpath):
-                old_version = int(json.load(open(mpath)).get("version", 0))
+                m_old = json.load(open(mpath))
+                old_version = int(m_old.get("version", 0))
+                created_version = int(m_old.get("created_version", 0))
         g = g.sort_values(dedup_keys + order, kind="stable").drop_duplicates(
             dedup_keys, keep="first"
         )
@@ -242,6 +247,7 @@ def update_partitioned(
             "num_partitions": num_partitions,
             "partition_key": key,
             "version": new_version,
+            "created_version": created_version,
         }
         with open(os.path.join(tmp, "_manifest.json"), "w") as f:
             json.dump(manifest, f)
@@ -315,6 +321,15 @@ def read_store_asof(out_dir: str, version: int | None = None, columns: list[str]
                     best = v
         if best >= 0:
             files.append(os.path.join(pdir, f"data@{best}.parquet"))
+        elif int(m.get("created_version", 0)) <= version:
+            # the partition EXISTED at this version but its file was
+            # vacuumed: raising beats silently returning partial data
+            raise ValueError(
+                f"{pdir}: version {version} no longer available "
+                "(removed by vacuum_store)"
+            )
+        # else: partition first created after `version` -- legitimately
+        # contributes nothing
     if not files:
         raise ValueError(f"no partitions in {out_dir} visible at version {version}")
     ds = rd.read_parquet(files)

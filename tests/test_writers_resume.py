@@ -243,5 +243,9 @@ def test_vacuum_store_retention(ray_session, tmp_path):
     # newest time-travel point survives; older ones are gone
     assert len(read_store_asof(out, version=1).to_pandas()) == 12
     import pytest
+
+    # a vacuumed version RAISES rather than silently returning partial data
+    with pytest.raises(ValueError, match="vacuum"):
+        read_store_asof(out, version=0)
     with pytest.raises(ValueError):
         vacuum_store(out, keep_versions=-1)
