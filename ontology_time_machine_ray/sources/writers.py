@@ -151,7 +151,14 @@ def write_partitioned(
     for part, rows in lineage.itertuples(index=False):
         summary["partitions"][int(part)] = int(rows)
     summary["skipped"] = sorted(done)
-    with open(os.path.join(out_dir, "_lineage.json"), "w") as f:
+    lpath = os.path.join(out_dir, "_lineage.json")
+    if done and os.path.exists(lpath):
+        # a RESUMED write must not erase update history: version numbering
+        # (update_partitioned) is derived from the "updates" list
+        prev = json.load(open(lpath))
+        if prev.get("updates"):
+            summary["updates"] = prev["updates"]
+    with open(lpath, "w") as f:
         json.dump(summary, f, indent=1)
     return summary
 
