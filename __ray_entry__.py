@@ -28,8 +28,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB equivalents for the SQL-expressible queries (the approximate
-    operators -- minhash/simhash/LSH -- are rows-only by design).  Calling
+    """DuckDB equivalents for EVERY registry query -- including the
+    iterative ones (PageRank in fixed-point, k-means / IVF via unrolled
+    Lloyd CTEs) and the md5-replayed sketch/minhash chains.  Calling
     this materializes the fixture parquet the KG statements read."""
     from ontology_time_machine_ray.pipelines.queries import oracle_sql_for
 
