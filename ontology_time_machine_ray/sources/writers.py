@@ -244,8 +244,14 @@ def update_partitioned(
         if old is not None:
             old.to_parquet(os.path.join(tmp, f"data@{old_version}.parquet"), index=False)
         for name in os.listdir(pdir):
-            if name.startswith("data@"):
-                shutil.copy2(os.path.join(pdir, name), os.path.join(tmp, name))
+            if name.startswith("data@") and not os.path.exists(os.path.join(tmp, name)):
+                # hardlink (no data copy) -- preserved versions are
+                # immutable, so shared inodes are safe; fall back to a
+                # copy on filesystems without link support
+                try:
+                    os.link(os.path.join(pdir, name), os.path.join(tmp, name))
+                except OSError:
+                    shutil.copy2(os.path.join(pdir, name), os.path.join(tmp, name))
         manifest = {
             "status": "DONE",
             "partition": part,
