@@ -231,6 +231,13 @@ class KgPipeline:
         """
         if canonical:
             deduped = self.triples().materialize()
+            # the dedup can shrink a replicated corpus 1000x, leaving
+            # hundreds of near-empty blocks; every downstream stage then
+            # pays per-block scheduling for no data.  Coalesce a small
+            # pinned store before the canonicalize + write tail (cheap:
+            # the data is vocabulary-scale by construction here).
+            if deduped.count() <= 1_000_000 and deduped.num_blocks() > 64:
+                deduped = deduped.repartition(16).materialize()
             ds = canonicalize_triples(deduped)
         else:
             ds = self.triples_raw().map_batches(_local_dedup, batch_format="pandas")
