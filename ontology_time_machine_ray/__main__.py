@@ -168,6 +168,13 @@ def main(argv=None) -> int:
         "--no-canonical semantics)",
     )
     ap.add_argument(
+        "--update-canonical",
+        action="store_true",
+        help="incrementally merge this corpus slice into an EXISTING "
+        "CANONICAL store at --out: repairs the persisted sameAs mapping "
+        "with the delta's edges and rewrites moved representatives",
+    )
+    ap.add_argument(
         "--doc-id-from", default=None,
         help="restrict the corpus to doc_id >= this (delta slice lower bound)",
     )
@@ -222,7 +229,18 @@ def main(argv=None) -> int:
     )
     pipe = type(pipe)(paths=pipe.paths, config=config, doc_id_range=doc_range)
 
-    if args.update:
+    if args.update_canonical:
+        summary = pipe.update_canonical(args.out)
+        print(
+            json.dumps(
+                {
+                    "out": args.out,
+                    "moved_representatives": summary["moved_representatives"],
+                    "partitions": summary.get("updated") or summary.get("partitions"),
+                }
+            )
+        )
+    elif args.update:
         summary = pipe.update(args.out)
         print(
             json.dumps(

@@ -229,7 +229,14 @@ class KgPipeline:
             canonical=True:  stream -> dedup shuffle (pinned) -> mapping
                              -> rewrite -> ONE shuffle (partition+dedup+write)
         """
+        mapping_df = None
         if canonical:
+            from ontology_time_machine_ray.stages.canonicalize import (
+                canonicalize_with_mapping,
+                connected_components,
+                sameas_edges,
+            )
+
             deduped = self.triples().materialize()
             # the dedup can shrink a replicated corpus 1000x, leaving
             # hundreds of near-empty blocks; every downstream stage then
@@ -238,10 +245,12 @@ class KgPipeline:
             # the data is vocabulary-scale by construction here).
             if deduped.count() <= 1_000_000 and deduped.num_blocks() > 64:
                 deduped = deduped.repartition(16).materialize()
-            ds = canonicalize_triples(deduped)
+            mapping_ds = connected_components(sameas_edges(deduped)).materialize()
+            mapping_df = mapping_ds.to_pandas()  # vocabulary-scale, persisted
+            ds = canonicalize_with_mapping(deduped, mapping_ds)
         else:
             ds = self.triples_raw().map_batches(_local_dedup, batch_format="pandas")
-        return write_partitioned(
+        summary = write_partitioned(
             ds,
             out_dir,
             num_partitions=self.config.output_partitions,
@@ -257,6 +266,11 @@ class KgPipeline:
                 self.paths.snapshot_status,
             ],
         )
+        if mapping_df is not None:
+            from ontology_time_machine_ray.sources.writers import write_mapping
+
+            write_mapping(out_dir, mapping_df)
+        return summary
 
     def update(self, out_dir: str) -> dict:
         """Incrementally merge THIS pipeline's triples into an existing
@@ -284,6 +298,102 @@ class KgPipeline:
             dedup_keys=["subj", "pred", "obj"],
             dedup_order=["doc_id", "ontology_version", "format"],
         )
+
+    def update_canonical(self, out_dir: str) -> dict:
+        """Incremental update of a CANONICAL store: repair the sameAs
+        component mapping with the delta's edges, then merge.
+
+        Connected components are MONOTONE under edge addition (components
+        can only merge, never split), so the repair is exact: project the
+        delta's equivalence edges through the persisted mapping, run CC
+        over that (delta-scale) projected graph, and compose.  The min-id
+        representative of a merged component equals the min over all its
+        nodes -- each old representative is already its part's min -- so
+        the repaired mapping is IDENTICAL to a full-rebuild mapping, and
+        the merged store equals a one-shot canonical build (the
+        kg_incremental_canonical query shares kg_triples_canonical's
+        oracle).
+
+        Cost: detect+link runs over the DELTA only, always.  When no old
+        representative moves (the common steady-state case) the merge
+        touches only the delta's partitions (``update_partitioned``).
+        When delta edges merge previously-separate old components, the
+        affected rows' canonical subj/obj change -- rows can even move
+        hash partitions -- so that path rewrites the store through one
+        distributed pass (read store + broadcast moved-rep rewrite +
+        COW overwrite); still no re-linking of old documents.
+        """
+        import pandas as pd
+        import ray as _ray
+
+        from ontology_time_machine_ray.stages.canonicalize import (
+            connected_components,
+            make_rewriter,
+            sameas_edges,
+        )
+        from ontology_time_machine_ray.sources.writers import (
+            read_mapping,
+            read_store_asof,
+            update_partitioned,
+            write_mapping,
+            write_partitioned,
+        )
+
+        m_df = read_mapping(out_dir)
+        m = dict(zip(m_df.get("node", []), m_df.get("component", [])))
+
+        delta_tr = self.triples().materialize()
+
+        # delta equivalence edges, projected through the existing mapping
+        def project(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "u": df["u"].map(lambda x: m.get(x, x)),
+                    "v": df["v"].map(lambda x: m.get(x, x)),
+                }
+            )
+
+        proj = sameas_edges(delta_tr).map_batches(project, batch_format="pandas")
+        mp_df = connected_components(proj).to_pandas()  # delta-scale
+        mp = dict(zip(mp_df.get("node", []), mp_df.get("component", [])))
+
+        # composed mapping over old and new nodes
+        final = {n: mp.get(r, r) for n, r in m.items()}
+        for n, r in mp.items():
+            final.setdefault(n, r)
+        moved = {
+            k: v for k, v in mp.items() if k != v and m.get(k, k) == k
+        }  # canonical values in the store that change representative
+
+        delta_canon = delta_tr.map_batches(
+            make_rewriter(_ray.put(final)), batch_format="pandas"
+        )
+        wkw = dict(
+            num_partitions=self.config.output_partitions,
+            config_hash=self.config_hash(),
+            key="subj",
+            dedup_keys=["subj", "pred", "obj"],
+            dedup_order=["doc_id", "ontology_version", "format"],
+        )
+        if not moved:
+            summary = update_partitioned(delta_canon, out_dir, **wkw)
+        else:
+            cols = ["subj", "pred", "obj", "doc_id", "ontology_version", "format"]
+            old = read_store_asof(out_dir, columns=cols)
+            old_rw = old.map_batches(
+                make_rewriter(_ray.put(moved)), batch_format="pandas"
+            )
+            summary = write_partitioned(
+                old_rw.union(delta_canon), out_dir, overwrite=True, **wkw
+            )
+        write_mapping(
+            out_dir,
+            pd.DataFrame(
+                {"node": list(final.keys()), "component": list(final.values())}
+            ),
+        )
+        summary["moved_representatives"] = len(moved)
+        return summary
 
     def with_policy(self, policy, **kw) -> "KgPipeline":
         cfg = replace(self.config, onto_version=policy, per_row_policy=False, **kw)

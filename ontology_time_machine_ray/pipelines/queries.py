@@ -418,6 +418,33 @@ def _incremental_store(sf_dir: str) -> tuple:
     return out, mid
 
 
+def kg_incremental_canonical(sf_dir: str):
+    """Incremental CANONICAL store update: build the canonical store from
+    the first half of the corpus, then merge the second half with
+    ``KgPipeline.update_canonical`` -- the persisted sameAs mapping is
+    repaired with the delta's edges (components only ever merge), moved
+    representatives are rewritten through the store, and the result is
+    provably identical to a one-shot canonical build, so it shares
+    kg_triples_canonical's SQL oracle."""
+    import shutil
+
+    from ontology_time_machine_ray.sources.writers import read_store_asof
+
+    paths = ensure_fixtures(sf_dir)
+    key = ("canon", paths.root)
+    if key not in _INCR_STORE:
+        mid = incremental_split_mid(sf_dir)
+        base = KgPipeline(paths=paths, doc_id_range=(None, mid))
+        out = os.path.join("/tmp/otm_incr_canon", base.config_hash())
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+        base.materialize(out, canonical=True)
+        KgPipeline(paths=paths, doc_id_range=(mid, None)).update_canonical(out)
+        _INCR_STORE[key] = (out, mid)
+    out, _ = _INCR_STORE[key]
+    return read_store_asof(out, version=None, columns=_STORE_COLS)
+
+
 def kg_incremental(sf_dir: str):
     """Incremental store update (time-machine continuous ingest): build
     the non-canonical store from the first half of the corpus, merge the
@@ -643,6 +670,7 @@ QUERIES = {
     "kg_formats_complete": kg_formats_complete,
     "kg_spans_passthrough": kg_spans_passthrough,
     "kg_incremental": kg_incremental,
+    "kg_incremental_canonical": kg_incremental_canonical,
     "kg_store_asof": kg_store_asof,
     "kg_dependency_closure": kg_dependency_closure,
     "kg_pagerank": kg_pagerank,          # fixed-point: unrolled SQL oracle
@@ -728,6 +756,7 @@ _KG_ORACLE_NAMES = (
     "kg_dependency_closure_ttl",
     "kg_pagerank",
     "kg_incremental",
+    "kg_incremental_canonical",
     "kg_intercept_archivo",
     "kg_intercept_modes",
     "kg_doc_stats",

@@ -435,6 +435,25 @@ def kg_sql(name: str, fixture_root: str, timestamp: str = "2021-06-01") -> str:
         # shares the kg_triples statement -- the equality IS the claim
         "kg_incremental": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES}\n"
         "SELECT subj, pred, obj, doc_id, ontology_version, format FROM dedup",
+        # likewise the incremental CANONICAL update (mapping repair +
+        # moved-representative rewrite) must equal the one-shot canonical
+        # build, so it shares kg_triples_canonical's statement verbatim
+        "kg_incremental_canonical": f"WITH RECURSIVE {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},{_COMPONENT_CTES},\n"
+        f"""  rewritten AS (
+    SELECT coalesce(c1.component, d.subj) AS subj, d.pred,
+           coalesce(c2.component, d.obj) AS obj,
+           d.doc_id, d.ontology_version, d.format
+    FROM dedup d
+    LEFT JOIN comp c1 ON c1.node = d.subj
+    LEFT JOIN comp c2 ON c2.node = d.obj
+  ),
+  no_loops AS (
+    SELECT * FROM rewritten
+    WHERE NOT (pred IN ('{SAME_AS}', '{EQUIV_CLASS}') AND subj = obj)
+  )
+SELECT * FROM no_loops
+QUALIFY row_number() OVER (
+  PARTITION BY subj, pred, obj ORDER BY doc_id, ontology_version, format) = 1""",
         "kg_components": f"WITH RECURSIVE {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},{_COMPONENT_CTES}\n"
         "SELECT node, component FROM comp",
         "kg_triples_canonical": f"WITH RECURSIVE {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},{_COMPONENT_CTES},\n"

@@ -84,6 +84,7 @@ def write_partitioned(
     dedup_keys: list[str] | None = None,
     dedup_order: list[str] | None = None,
     inputs: list[str] | None = None,
+    overwrite: bool = False,
 ) -> dict:
     """Materialize a Dataset into the partitioned layout, skipping
     partitions already complete for the same config (resume semantics).
@@ -94,12 +95,23 @@ def write_partitioned(
     correct whenever ``key`` is one of ``dedup_keys`` (all duplicates of a
     key share its hash partition).
 
+    ``overwrite=True`` REPLACES the content of every written partition
+    (no resume skip) while keeping time travel intact: the superseded
+    file is preserved copy-on-write like ``update_partitioned`` and the
+    store version advances.  Used by the incremental CANONICAL update,
+    whose component merges rewrite rows in place.
+
     Returns a summary lineage dict (also written to ``_lineage.json``).
     """
     if dedup_keys is not None:
         assert key in dedup_keys, "fused dedup requires the partition key in dedup_keys"
     os.makedirs(out_dir, exist_ok=True)
-    done = completed_partitions(out_dir, config_hash, num_partitions, key)
+    done = set() if overwrite else completed_partitions(
+        out_dir, config_hash, num_partitions, key
+    )
+    lpath0 = os.path.join(out_dir, "_lineage.json")
+    lin0 = json.load(open(lpath0)) if os.path.exists(lpath0) else {}
+    new_version = len(lin0.get("updates", [])) + 1 if overwrite else 0
 
     with_part = ds.map_batches(
         lambda df: add_partition_column(df, num_partitions, key),
@@ -126,6 +138,34 @@ def write_partitioned(
             shutil.rmtree(tmp)
         os.makedirs(tmp, exist_ok=True)
         g.drop(columns=["partition"]).to_parquet(os.path.join(tmp, "data.parquet"), index=False)
+        version = 0
+        created_version = 0
+        if overwrite and os.path.isdir(pdir):
+            # copy-on-write replacement: preserve the superseded file and
+            # carry forward older preserved versions (same contract as
+            # update_partitioned._merge_group)
+            version = new_version
+            mpath0 = os.path.join(pdir, "_manifest.json")
+            old_version = 0
+            if os.path.exists(mpath0):
+                m_old = json.load(open(mpath0))
+                old_version = int(m_old.get("version", 0))
+                created_version = int(m_old.get("created_version", 0))
+            old_data = os.path.join(pdir, "data.parquet")
+            if os.path.exists(old_data):
+                try:
+                    os.link(old_data, os.path.join(tmp, f"data@{old_version}.parquet"))
+                except OSError:
+                    shutil.copy2(old_data, os.path.join(tmp, f"data@{old_version}.parquet"))
+            for name in os.listdir(pdir):
+                if name.startswith("data@") and not os.path.exists(os.path.join(tmp, name)):
+                    try:
+                        os.link(os.path.join(pdir, name), os.path.join(tmp, name))
+                    except OSError:
+                        shutil.copy2(os.path.join(pdir, name), os.path.join(tmp, name))
+        elif overwrite:
+            version = new_version
+            created_version = new_version
         if os.path.isdir(pdir):
             shutil.rmtree(pdir)
         os.rename(tmp, pdir)
@@ -136,8 +176,8 @@ def write_partitioned(
             "config_hash": config_hash,
             "num_partitions": num_partitions,
             "partition_key": key,
-            "version": 0,
-            "created_version": 0,
+            "version": version,
+            "created_version": created_version,
         }
         with open(_manifest_path(out_dir, part), "w") as f:
             json.dump(manifest, f)
@@ -151,13 +191,51 @@ def write_partitioned(
     for part, rows in lineage.itertuples(index=False):
         summary["partitions"][int(part)] = int(rows)
     summary["skipped"] = sorted(done)
+    if overwrite:
+        # a partition whose every row moved elsewhere received no group:
+        # it must be REPLACED by an empty partition at the new version,
+        # or its stale rows would survive the rewrite
+        written = set(summary["partitions"])
+        stale = completed_partitions(out_dir, config_hash, num_partitions, key) - written
+        for part in stale:
+            pdir = os.path.join(out_dir, f"part={part:05d}")
+            old_data = os.path.join(pdir, "data.parquet")
+            m_old = json.load(open(_manifest_path(out_dir, part)))
+            import pyarrow.parquet as _pq
+
+            schema = _pq.read_schema(old_data)
+            tmp = pdir + ".tmp"
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
+            os.makedirs(tmp, exist_ok=True)
+            _pq.write_table(schema.empty_table(), os.path.join(tmp, "data.parquet"))
+            old_version = int(m_old.get("version", 0))
+            try:
+                os.link(old_data, os.path.join(tmp, f"data@{old_version}.parquet"))
+            except OSError:
+                shutil.copy2(old_data, os.path.join(tmp, f"data@{old_version}.parquet"))
+            for name in os.listdir(pdir):
+                if name.startswith("data@") and not os.path.exists(os.path.join(tmp, name)):
+                    try:
+                        os.link(os.path.join(pdir, name), os.path.join(tmp, name))
+                    except OSError:
+                        shutil.copy2(os.path.join(pdir, name), os.path.join(tmp, name))
+            with open(os.path.join(tmp, "_manifest.json"), "w") as f:
+                json.dump(dict(m_old, rows=0, version=new_version), f)
+            shutil.rmtree(pdir)
+            os.rename(tmp, pdir)
+            summary["partitions"][int(part)] = 0
     lpath = os.path.join(out_dir, "_lineage.json")
-    if done and os.path.exists(lpath):
-        # a RESUMED write must not erase update history: version numbering
-        # (update_partitioned) is derived from the "updates" list
+    if os.path.exists(lpath):
+        # neither a RESUMED write nor an OVERWRITE may erase update
+        # history: version numbering is derived from the "updates" list
         prev = json.load(open(lpath))
-        if prev.get("updates"):
+        if prev.get("updates") and (done or overwrite):
             summary["updates"] = prev["updates"]
+    if overwrite:
+        summary.setdefault("updates", []).append(
+            {"overwrite": True, "partitions": sorted(summary["partitions"])}
+        )
     with open(lpath, "w") as f:
         json.dump(summary, f, indent=1)
     return summary
@@ -380,3 +458,23 @@ def vacuum_store(out_dir: str, keep_versions: int = 1) -> dict:
         if drop:
             removed[int(name.split("=")[1])] = drop
     return removed
+
+
+def write_mapping(out_dir: str, mapping_df: pd.DataFrame) -> None:
+    """Persist the (node, component) canonicalization mapping next to the
+    store (atomic tmp+rename).  The canonical store cannot reconstruct
+    its own mapping (rewrites drop the original sameAs edges), so the
+    incremental canonical update needs this file.  Vocabulary-scale."""
+    tmp = os.path.join(out_dir, "_mapping.parquet.tmp")
+    mapping_df.to_parquet(tmp, index=False)
+    os.replace(tmp, os.path.join(out_dir, "_mapping.parquet"))
+
+
+def read_mapping(out_dir: str) -> pd.DataFrame:
+    path = os.path.join(out_dir, "_mapping.parquet")
+    if not os.path.exists(path):
+        raise ValueError(
+            f"{out_dir} has no _mapping.parquet -- not a canonical store "
+            "written by this engine (or written before mapping persistence)"
+        )
+    return pd.read_parquet(path)

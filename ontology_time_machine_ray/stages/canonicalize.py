@@ -300,6 +300,24 @@ def _canonicalize_partitioned(triples_ds, mapping_ds):
     return j2.map_batches(apply_obj, batch_format="pandas")
 
 
+def canonicalize_with_mapping(triples_ds, mapping_ds,
+                              broadcast_limit: int | None = None):
+    """Rewrite the triple stream through a PRECOMPUTED (node, component)
+    mapping Dataset: broadcast lookup when the mapping fits a worker,
+    two bucketed joins otherwise.  Shared by the one-shot build and the
+    incremental canonical update (which repairs the mapping first)."""
+    if broadcast_limit is None:
+        broadcast_limit = MAX_BROADCAST_NODES
+    n_nodes = mapping_ds.count()
+    if n_nodes == 0:
+        return triples_ds
+    if n_nodes > broadcast_limit:
+        return _canonicalize_partitioned(triples_ds, mapping_ds)
+    pdf = mapping_ds.to_pandas()
+    mapping_ref = ray.put(dict(zip(pdf["node"], pdf["component"])))
+    return triples_ds.map_batches(make_rewriter(mapping_ref), batch_format="pandas")
+
+
 def canonicalize_triples(triples_ds, concurrency: int | None = None,
                          broadcast_limit: int | None = None):
     """Rewrite the triple stream through sameAs components; caller should
@@ -309,14 +327,5 @@ def canonicalize_triples(triples_ds, concurrency: int | None = None,
     ``map_batches`` (one corpus pass, no shuffle).  Above it: the
     partitioned-join fallback (two bucketed joins) -- degrades instead of
     dying when the equivalence graph outgrows a worker's heap."""
-    if broadcast_limit is None:
-        broadcast_limit = MAX_BROADCAST_NODES
     mapping_ds = connected_components(sameas_edges(triples_ds)).materialize()
-    n_nodes = mapping_ds.count()
-    if n_nodes == 0:
-        return triples_ds
-    if n_nodes > broadcast_limit:
-        return _canonicalize_partitioned(triples_ds, mapping_ds)
-    pdf = mapping_ds.to_pandas()
-    mapping_ref = ray.put(dict(zip(pdf["node"], pdf["component"])))
-    return triples_ds.map_batches(make_rewriter(mapping_ref), batch_format="pandas")
+    return canonicalize_with_mapping(triples_ds, mapping_ds, broadcast_limit)

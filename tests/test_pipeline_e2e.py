@@ -100,3 +100,42 @@ def test_mentions_cover_all_ranks(pipeline):
     # grandparent(+/) truncation forms plus the not-in-index route
     assert {-1, 0, 1}.issubset(set(m["match_rank"].unique()))
     assert (m["match_rank"] >= -1).all() and (m["match_rank"] <= 5).all()
+
+
+def test_incremental_canonical_equals_one_shot(ray_session, sf_dir, tmp_path):
+    """Canonical build from the first half + update_canonical with the
+    second half must equal the one-shot canonical store exactly --
+    including the component-merge (moved-representative) path -- and a
+    re-applied delta must be a no-op (moved == 0 path)."""
+    import pyarrow.parquet as _pq
+
+    from ontology_time_machine_ray.sources.writers import read_store_asof
+
+    paths = ensure_fixtures(sf_dir)
+    ids = sorted(_pq.read_table(paths.documents, columns=["doc_id"])["doc_id"].to_pylist())
+    mid = ids[len(ids) // 2]
+
+    full_out = str(tmp_path / "full")
+    incr_out = str(tmp_path / "incr")
+    cols = ["subj", "pred", "obj", "doc_id", "ontology_version", "format"]
+
+    KgPipeline(paths=paths).materialize(full_out, canonical=True)
+    KgPipeline(paths=paths, doc_id_range=(None, mid)).materialize(incr_out, canonical=True)
+    delta = KgPipeline(paths=paths, doc_id_range=(mid, None))
+    summary = delta.update_canonical(incr_out)
+
+    full = (read_store_asof(full_out, columns=cols).to_pandas()
+            .sort_values(cols).reset_index(drop=True))
+    incr = (read_store_asof(incr_out, columns=cols).to_pandas()
+            .sort_values(cols).reset_index(drop=True))
+    pd.testing.assert_frame_equal(full, incr)
+
+    # idempotency: the repaired mapping already covers the delta, so the
+    # re-application takes the touched-partitions-only path and changes
+    # nothing
+    again = KgPipeline(paths=paths, doc_id_range=(mid, None)).update_canonical(incr_out)
+    assert again["moved_representatives"] == 0
+    incr2 = (read_store_asof(incr_out, columns=cols).to_pandas()
+             .sort_values(cols).reset_index(drop=True))
+    pd.testing.assert_frame_equal(incr, incr2)
+    print("first-update moved representatives:", summary["moved_representatives"])
