@@ -138,4 +138,14 @@ def test_incremental_canonical_equals_one_shot(ray_session, sf_dir, tmp_path):
     incr2 = (read_store_asof(incr_out, columns=cols).to_pandas()
              .sort_values(cols).reset_index(drop=True))
     pd.testing.assert_frame_equal(incr, incr2)
+
+    # the COW overwrite path must keep time travel exact: version 0 of
+    # the incrementally-updated store == a fresh base-half canonical build
+    base_out = str(tmp_path / "base")
+    KgPipeline(paths=paths, doc_id_range=(None, mid)).materialize(base_out, canonical=True)
+    v0 = (read_store_asof(incr_out, version=0, columns=cols).to_pandas()
+          .sort_values(cols).reset_index(drop=True))
+    base = (read_store_asof(base_out, columns=cols).to_pandas()
+            .sort_values(cols).reset_index(drop=True))
+    pd.testing.assert_frame_equal(v0, base)
     print("first-update moved representatives:", summary["moved_representatives"])
