@@ -688,6 +688,7 @@ QUERIES = {
     "rel_rank_parts_by_brand": relational.rank_parts_by_brand,
     "rel_orders_by_nation": relational.orders_by_nation,
     "rel_order_lineitem_join": relational.order_lineitem_join,
+    "rel_full_outer": relational.customer_order_outer,
     "rel_brand_revenue": relational.brand_revenue,
     "rel_customers_no_urgent": relational.customers_no_urgent_orders,
     "rel_suppliers_with_returns": relational.suppliers_with_returns,

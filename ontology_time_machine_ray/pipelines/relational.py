@@ -761,3 +761,64 @@ def rollup_lineitem(sf_dir: str) -> pd.DataFrame:
     )
     out = pd.concat([base, lvl1, total], ignore_index=True)
     return out[["l_returnflag", "l_linestatus", "sum_qty"]].astype({"sum_qty": "int64"})
+
+
+def customer_order_outer(sf_dir: str) -> rd.Dataset:
+    """FULL OUTER hash join: customers (custkey % 3 <> 0 slice) vs
+    per-customer order counts.  Both single-sided populations occur
+    naturally -- TPC-H leaves ~1/3 of customers orderless (left-only) and
+    the slice removes some customers who do have orders (right-only) --
+    so the query proves genuine outer semantics, not just a left join.
+    One bucketed shuffle (both sides co-located on hash(custkey)), pandas
+    outer merge per bucket; NULL payloads are coalesced to sentinels so
+    the hash compare is engine-neutral, and a ``side`` column pins the
+    provenance of every row."""
+    from ontology_time_machine_ray.stages.groupagg import bucketed_join, grouped_aggregate
+
+    def cust_batch(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_custkey"] % 3 != 0]
+        return pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"].astype("int64"),
+                "acctbal_cents": (df["c_acctbal"] * 100.0).round().astype("int64"),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        cust_batch, batch_format="pandas"
+    )
+    # the %5 slice on the orders side manufactures LEFT-ONLY customers
+    # (the synthetic corpus gives every customer orders, unlike TPC-H)
+    orders = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"c_custkey": df.loc[df["o_custkey"] % 5 != 0, "o_custkey"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+    counts = grouped_aggregate(
+        orders.map_batches(
+            lambda df: df.groupby("c_custkey", as_index=False).agg(n=("c_custkey", "size")),
+            batch_format="pandas",
+        ),
+        ["c_custkey"],
+        {"n_orders": ("n", "sum")},
+    )
+    joined = bucketed_join(cust, counts, on=["c_custkey"], how="outer")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        left_null = df["acctbal_cents"].isna()
+        right_null = df["n_orders"].isna()
+        return pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"].astype("int64"),
+                "acctbal_cents": df["acctbal_cents"].fillna(-1).astype("int64"),
+                "n_orders": df["n_orders"].fillna(0).astype("int64"),
+                "side": pd.Series(
+                    np.where(left_null, "right_only",
+                             np.where(right_null, "left_only", "both")),
+                    index=df.index, dtype="string",
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")

@@ -595,6 +595,20 @@ SELECT o.o_orderpriority, count(*) AS n_items,
       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY 1""",
+    "rel_full_outer": """
+WITH c AS (
+  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+  FROM customer WHERE c_custkey % 3 <> 0
+),
+o AS (SELECT o_custkey AS c_custkey, count(*) AS n_orders FROM orders
+      WHERE o_custkey % 5 <> 0 GROUP BY 1)
+SELECT COALESCE(c.c_custkey, o.c_custkey) AS c_custkey,
+       COALESCE(c.acctbal_cents, -1) AS acctbal_cents,
+       CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+       CASE WHEN c.c_custkey IS NULL THEN 'right_only'
+            WHEN o.c_custkey IS NULL THEN 'left_only'
+            ELSE 'both' END AS side
+FROM c FULL OUTER JOIN o ON o.c_custkey = c.c_custkey""",
     "rel_price_quantiles": """
 WITH c AS (SELECT round(o_totalprice * 100) / 100.0 AS p FROM orders)
 SELECT 0.25 AS q, quantile_disc(p, 0.25) AS price FROM c
