@@ -696,6 +696,7 @@ QUERIES = {
     "rel_segment_quantiles": relational.segment_quantiles,
     "rel_pivot_orders": relational.pivot_orders,
     "rel_rollup_lineitem": relational.rollup_lineitem,
+    "rel_cube_lineitem": relational.cube_lineitem,
     "rel_distinct_customers": relational.distinct_customers,
     "rel_distinct_sketch": _distinct_sketch,
     "sample_docs_hash": relational.sample_docs_hash,

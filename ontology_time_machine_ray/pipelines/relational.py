@@ -763,6 +763,45 @@ def rollup_lineitem(sf_dir: str) -> pd.DataFrame:
     return out[["l_returnflag", "l_linestatus", "sum_qty"]].astype({"sum_qty": "int64"})
 
 
+def cube_lineitem(sf_dir: str) -> pd.DataFrame:
+    """CUBE (all grouping subsets): quantity totals for every subset of
+    {returnflag, linestatus} -- the 2^k generalization of ROLLUP.  Same
+    scale shape: only the finest grain runs distributed; all 2^k - 1
+    coarser levels are derived from that small base on the driver and
+    never rescan the fact table."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+            }
+        )
+        return (
+            tt.group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("qty", "sum")])
+            .rename_columns(["l_returnflag", "l_linestatus", "qty"])
+        )
+
+    base = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("qty", alias_name="sum_qty"))
+        .to_pandas()
+    )
+    by_rf = base.groupby("l_returnflag", as_index=False).agg(sum_qty=("sum_qty", "sum"))
+    by_rf["l_linestatus"] = None
+    by_ls = base.groupby("l_linestatus", as_index=False).agg(sum_qty=("sum_qty", "sum"))
+    by_ls["l_returnflag"] = None
+    total = pd.DataFrame(
+        {"l_returnflag": [None], "l_linestatus": [None], "sum_qty": [base["sum_qty"].sum()]}
+    )
+    out = pd.concat([base, by_rf, by_ls, total], ignore_index=True)
+    return out[["l_returnflag", "l_linestatus", "sum_qty"]].astype({"sum_qty": "int64"})
+
+
 def customer_order_outer(sf_dir: str) -> rd.Dataset:
     """FULL OUTER hash join: customers (custkey % 3 <> 0 slice) vs
     per-customer order counts.  Both single-sided populations occur

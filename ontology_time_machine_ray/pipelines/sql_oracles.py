@@ -856,6 +856,10 @@ SELECT c_mktsegment, 0.95, quantile_disc(bal, 0.95) FROM c GROUP BY 1""",
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "rel_cube_lineitem": """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "rel_pivot_orders": """
 SELECT o_orderpriority,
   count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
