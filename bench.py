@@ -164,6 +164,7 @@ def run_bench() -> dict:
         timed("events_hourly", lambda: relational.events_hourly(SF_DIR))
         timed("events_asof_join", lambda: relational.events_asof_join(SF_DIR))
         timed("events_range_join", lambda: relational.events_range_join(SF_DIR))
+        timed("events_window_funcs", lambda: relational.events_window_funcs(SF_DIR))
         timed("dedup_minhash", lambda: minhash_clusters(SF_DIR))
         timed("ann_bruteforce", lambda: similarity.ann_bruteforce(SF_DIR))
         from ontology_time_machine_ray.stages.textops import top_terms

@@ -697,6 +697,7 @@ QUERIES = {
     "rel_pivot_orders": relational.pivot_orders,
     "rel_rollup_lineitem": relational.rollup_lineitem,
     "rel_cube_lineitem": relational.cube_lineitem,
+    "events_window_funcs": relational.events_window_funcs,
     "rel_distinct_customers": relational.distinct_customers,
     "rel_distinct_sketch": _distinct_sketch,
     "sample_docs_hash": relational.sample_docs_hash,

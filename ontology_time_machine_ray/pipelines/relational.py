@@ -763,6 +763,41 @@ def rollup_lineitem(sf_dir: str) -> pd.DataFrame:
     return out[["l_returnflag", "l_linestatus", "sum_qty"]].astype({"sum_qty": "int64"})
 
 
+def events_window_funcs(sf_dir: str) -> rd.Dataset:
+    """Per-key SQL window functions in one key-partitioned pass:
+    row_number, lag-gap (microseconds since the user's previous event)
+    and a running value sum, all OVER (PARTITION BY user_id ORDER BY ts,
+    event_id).  One hash(user_id) bucket shuffle co-locates each user;
+    inside the bucket everything is vectorized pandas (sort + groupby
+    cumcount/shift/cumsum) -- never a per-row loop, never a global sort.
+    Values are cent-scaled int64 so the running sum is associative and
+    hash-exact vs the SQL window oracle."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        grp = g.groupby("user_id", sort=False)
+        value_c = (g["value"] * 100.0).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64"),
+                "event_id": g["event_id"].astype("int64"),
+                "row_num": (grp.cumcount() + 1).astype("int64"),
+                "gap_us": (g["ts"] - grp["ts"].shift(1))
+                .dt.total_seconds()
+                .mul(1_000_000)
+                .round()
+                .fillna(-1)
+                .astype("int64"),
+                "running_value_c": value_c.groupby(g["user_id"], sort=False)
+                .cumsum()
+                .astype("int64"),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return grouped_apply(ds, ["user_id"], per_bucket)
+
+
 def cube_lineitem(sf_dir: str) -> pd.DataFrame:
     """CUBE (all grouping subsets): quantity totals for every subset of
     {returnflag, linestatus} -- the 2^k generalization of ROLLUP.  Same

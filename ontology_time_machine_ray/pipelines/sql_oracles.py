@@ -860,6 +860,15 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "events_window_funcs": """
+SELECT user_id, event_id,
+  CAST(row_number() OVER w AS BIGINT) AS row_num,
+  CAST(COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS BIGINT) AS gap_us,
+  CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_value_c
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     "rel_pivot_orders": """
 SELECT o_orderpriority,
   count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
