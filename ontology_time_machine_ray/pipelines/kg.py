@@ -229,7 +229,7 @@ class KgPipeline:
             canonical=True:  stream -> dedup shuffle (pinned) -> mapping
                              -> rewrite -> ONE shuffle (partition+dedup+write)
         """
-        mapping_df = None
+        mapping_ds = None
         if canonical:
             from ontology_time_machine_ray.stages.canonicalize import (
                 canonicalize_with_mapping,
@@ -246,7 +246,6 @@ class KgPipeline:
             if deduped.count() <= 1_000_000 and deduped.num_blocks() > 64:
                 deduped = deduped.repartition(16).materialize()
             mapping_ds = connected_components(sameas_edges(deduped)).materialize()
-            mapping_df = mapping_ds.to_pandas()  # vocabulary-scale, persisted
             ds = canonicalize_with_mapping(deduped, mapping_ds)
         else:
             ds = self.triples_raw().map_batches(_local_dedup, batch_format="pandas")
@@ -266,10 +265,21 @@ class KgPipeline:
                 self.paths.snapshot_status,
             ],
         )
-        if mapping_df is not None:
-            from ontology_time_machine_ray.sources.writers import write_mapping
+        if mapping_ds is not None:
+            from ontology_time_machine_ray.stages.canonicalize import MAX_BROADCAST_NODES
+            from ontology_time_machine_ray.sources.writers import (
+                write_mapping,
+                write_mapping_ds,
+            )
 
-            write_mapping(out_dir, mapping_df)
+            # the mapping only touches the driver when it FITS there; a
+            # bigger-than-broadcast equivalence graph is persisted as a
+            # distributed parquet directory (same fallback threshold the
+            # rewrite itself uses)
+            if mapping_ds.count() <= MAX_BROADCAST_NODES:
+                write_mapping(out_dir, mapping_ds.to_pandas())
+            else:
+                write_mapping_ds(out_dir, mapping_ds)
         return summary
 
     def update(self, out_dir: str) -> dict:
@@ -282,12 +292,22 @@ class KgPipeline:
         (re-applying a delta is a no-op) -- pinned by pytest and by the
         kg_incremental query sharing kg_triples' SQL oracle.
 
-        Canonical stores are different: owl:sameAs components are global,
-        so an incremental canonical update would need mapping repair;
-        rebuild (or re-canonicalize periodically) for those.
+        Canonical stores (those with a persisted ``_mapping.parquet``)
+        must use ``update_canonical`` instead -- merging raw triples into
+        a canonical store would silently reintroduce non-canonical IRIs,
+        so that direction raises here.
         """
+        import os as _os
+
         from ontology_time_machine_ray.sources.writers import update_partitioned
 
+        if _os.path.exists(_os.path.join(out_dir, "_mapping.parquet")) or _os.path.isdir(
+            _os.path.join(out_dir, "_mapping_parquet")
+        ):
+            raise ValueError(
+                f"{out_dir} is a CANONICAL store (it has a persisted sameAs "
+                "mapping) -- use update_canonical, not update"
+            )
         ds = self.triples_raw().map_batches(_local_dedup, batch_format="pandas")
         return update_partitioned(
             ds,
@@ -314,12 +334,16 @@ class KgPipeline:
         kg_incremental_canonical query shares kg_triples_canonical's
         oracle).
 
-        Cost: detect+link runs over the DELTA only, always.  When no old
-        representative moves (the common steady-state case) the merge
-        touches only the delta's partitions (``update_partitioned``).
-        When delta edges merge previously-separate old components, the
-        affected rows' canonical subj/obj change -- rows can even move
-        hash partitions -- so that path rewrites the store through one
+        Cost: detect+link runs over the DELTA only, always.  Changed
+        representatives are first PROBED against the store with one
+        pruned (subj, obj) column scan against the broadcast candidate
+        set; when none actually occur (the common steady-state case --
+        new entities forming new components) the merge touches only the
+        delta's partitions (``update_partitioned``).  Only when a
+        changed value really appears in stored rows -- delta edges merged
+        previously-separate old components -- does the rewrite path run:
+        the affected rows' canonical subj/obj change (rows can even move
+        hash partitions), so that path rewrites the store through one
         distributed pass (read store + broadcast moved-rep rewrite +
         COW overwrite); still no re-linking of old documents.
         """
@@ -339,7 +363,12 @@ class KgPipeline:
             write_partitioned,
         )
 
-        m_df = read_mapping(out_dir)
+        from ontology_time_machine_ray.stages.canonicalize import MAX_BROADCAST_NODES
+
+        # the repair composes mappings on the driver, so refuse (via
+        # parquet metadata, before loading) a mapping the driver can't
+        # hold -- above that scale rebuild the store instead
+        m_df = read_mapping(out_dir, max_rows=MAX_BROADCAST_NODES)
         m = dict(zip(m_df.get("node", []), m_df.get("component", [])))
 
         delta_tr = self.triples().materialize()
@@ -361,9 +390,30 @@ class KgPipeline:
         final = {n: mp.get(r, r) for n, r in m.items()}
         for n, r in mp.items():
             final.setdefault(n, r)
-        moved = {
-            k: v for k, v in mp.items() if k != v and m.get(k, k) == k
-        }  # canonical values in the store that change representative
+        # candidate moved values: projected nodes whose representative
+        # changed.  Most are brand-new delta entities that never appear
+        # in the store; probe the store with ONE pruned (subj, obj)
+        # column scan against the broadcast candidate set -- far cheaper
+        # than a full rewrite -- and rewrite only if a candidate is
+        # actually present.
+        candidates = {k: v for k, v in mp.items() if k != v}
+        moved: dict = {}
+        if candidates:
+            cand_ref = _ray.put(set(candidates))
+
+            def probe(df: pd.DataFrame) -> pd.DataFrame:
+                from ontology_time_machine_ray.functions.broadcast import cached_get
+
+                cand = cached_get(cand_ref)
+                hit = set(df["subj"]) & cand | set(df["obj"]) & cand
+                return pd.DataFrame({"node": sorted(hit)})
+
+            found = (
+                read_store_asof(out_dir, columns=["subj", "obj"])
+                .map_batches(probe, batch_format="pandas")
+                .to_pandas()  # bounded by |candidates| x blocks
+            )
+            moved = {k: candidates[k] for k in set(found["node"])}
 
         delta_canon = delta_tr.map_batches(
             make_rewriter(_ray.put(final)), batch_format="pandas"

@@ -407,9 +407,14 @@ def _incremental_store(sf_dir: str) -> tuple:
     paths = ensure_fixtures(sf_dir)
     if paths.root in _INCR_STORE:
         return _INCR_STORE[paths.root]
+    import hashlib
+
     mid = incremental_split_mid(sf_dir)
     base = KgPipeline(paths=paths, doc_id_range=(None, mid))
-    out = os.path.join("/tmp/otm_incr", base.config_hash())
+    # keyed by CORPUS as well as config: two sf_dirs with the same default
+    # config must not clobber each other's store under a live cache entry
+    tag = hashlib.sha1(paths.root.encode()).hexdigest()[:8]
+    out = os.path.join("/tmp/otm_incr", f"{tag}_{base.config_hash()}")
     if os.path.isdir(out):
         shutil.rmtree(out)
     base.materialize(out, canonical=False)
@@ -433,9 +438,12 @@ def kg_incremental_canonical(sf_dir: str):
     paths = ensure_fixtures(sf_dir)
     key = ("canon", paths.root)
     if key not in _INCR_STORE:
+        import hashlib
+
         mid = incremental_split_mid(sf_dir)
         base = KgPipeline(paths=paths, doc_id_range=(None, mid))
-        out = os.path.join("/tmp/otm_incr_canon", base.config_hash())
+        tag = hashlib.sha1(paths.root.encode()).hexdigest()[:8]
+        out = os.path.join("/tmp/otm_incr_canon", f"{tag}_{base.config_hash()}")
         if os.path.isdir(out):
             shutil.rmtree(out)
         base.materialize(out, canonical=True)

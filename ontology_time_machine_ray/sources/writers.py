@@ -57,7 +57,7 @@ def completed_partitions(
     if not os.path.isdir(out_dir):
         return done
     for name in os.listdir(out_dir):
-        if not name.startswith("part="):
+        if not name.startswith("part=") or name.endswith(".tmp"):
             continue
         mpath = os.path.join(out_dir, name, "_manifest.json")
         if os.path.exists(mpath):
@@ -392,7 +392,7 @@ def read_store_asof(out_dir: str, version: int | None = None, columns: list[str]
         raise ValueError(f"{out_dir} is not a store directory")
     files: list[str] = []
     for name in sorted(os.listdir(out_dir)):
-        if not name.startswith("part="):
+        if not name.startswith("part=") or name.endswith(".tmp"):
             continue
         pdir = os.path.join(out_dir, name)
         mpath = os.path.join(pdir, "_manifest.json")
@@ -444,7 +444,7 @@ def vacuum_store(out_dir: str, keep_versions: int = 1) -> dict:
     if not os.path.isdir(out_dir):
         raise ValueError(f"{out_dir} is not a store directory")
     for name in sorted(os.listdir(out_dir)):
-        if not name.startswith("part="):
+        if not name.startswith("part=") or name.endswith(".tmp"):
             continue
         pdir = os.path.join(out_dir, name)
         versions = sorted(
@@ -464,17 +464,60 @@ def write_mapping(out_dir: str, mapping_df: pd.DataFrame) -> None:
     """Persist the (node, component) canonicalization mapping next to the
     store (atomic tmp+rename).  The canonical store cannot reconstruct
     its own mapping (rewrites drop the original sameAs edges), so the
-    incremental canonical update needs this file.  Vocabulary-scale."""
+    incremental canonical update needs this file.  This is the
+    vocabulary-scale (driver-fits) path; above the broadcast limit use
+    ``write_mapping_ds`` -- the mapping never touches the driver."""
+    if "node" not in mapping_df.columns:  # empty CC output has no columns
+        mapping_df = pd.DataFrame({"node": pd.Series(dtype="object"),
+                                   "component": pd.Series(dtype="object")})
     tmp = os.path.join(out_dir, "_mapping.parquet.tmp")
     mapping_df.to_parquet(tmp, index=False)
     os.replace(tmp, os.path.join(out_dir, "_mapping.parquet"))
+    dir_form = os.path.join(out_dir, "_mapping_parquet")
+    if os.path.isdir(dir_form):
+        shutil.rmtree(dir_form)
 
 
-def read_mapping(out_dir: str) -> pd.DataFrame:
+def write_mapping_ds(out_dir: str, mapping_ds) -> None:
+    """Distributed mapping persistence (directory of parquet shards,
+    atomic dir rename): for equivalence graphs too large to pull to the
+    driver.  ``read_mapping`` accepts either form."""
+    tmp = os.path.join(out_dir, "_mapping_parquet.tmp")
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    mapping_ds.write_parquet(tmp)
+    final = os.path.join(out_dir, "_mapping_parquet")
+    if os.path.isdir(final):
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+    file_form = os.path.join(out_dir, "_mapping.parquet")
+    if os.path.exists(file_form):
+        os.remove(file_form)
+
+
+def read_mapping(out_dir: str, max_rows: int | None = None) -> pd.DataFrame:
+    """Load the persisted mapping (file or sharded-dir form).  With
+    ``max_rows``, refuse (via parquet metadata, before reading) to pull a
+    mapping larger than the caller can hold on the driver."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
     path = os.path.join(out_dir, "_mapping.parquet")
-    if not os.path.exists(path):
+    paths = [path] if os.path.exists(path) else sorted(
+        _glob.glob(os.path.join(out_dir, "_mapping_parquet", "*.parquet"))
+    )
+    if not paths:
         raise ValueError(
-            f"{out_dir} has no _mapping.parquet -- not a canonical store "
+            f"{out_dir} has no persisted mapping -- not a canonical store "
             "written by this engine (or written before mapping persistence)"
         )
-    return pd.read_parquet(path)
+    if max_rows is not None:
+        n = sum(_pq.ParquetFile(p).metadata.num_rows for p in paths)
+        if n > max_rows:
+            raise ValueError(
+                f"mapping has {n} nodes > driver limit {max_rows}; the "
+                "broadcast mapping repair cannot hold it -- rebuild the "
+                "store (or raise OTM_MAX_BROADCAST_NODES on a bigger driver)"
+            )
+    return pd.concat([pd.read_parquet(p) for p in paths], ignore_index=True)

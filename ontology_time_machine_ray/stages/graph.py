@@ -191,18 +191,23 @@ def pagerank(edges_ds, iters: int = 5) -> rd.Dataset:
             lambda df: pd.DataFrame({"node": df["dst"], "s": df["s"]}),
             batch_format="pandas",
         )
+        # dangling-in nodes (no in-edges) get s = 0 via an ANTI join +
+        # union rather than a left join: a pandas left join floats the
+        # int64 sum column to carry NaN, silently rounding sums above
+        # 2^53 -- the anti/union path keeps every value int64 end-to-end,
+        # preserving the documented ~1e8-node exactness headroom
+        no_in = bucketed_join(nodes, sums, on=["node"], how="anti").map_batches(
+            lambda df: pd.DataFrame({"node": df["node"]}).assign(s=0),
+            batch_format="pandas",
+        )
         ranks = (
-            bucketed_join(nodes, sums, on=["node"], how="left")
+            sums.union(no_in)
             .map_batches(
                 lambda df: pd.DataFrame(
                     {
                         "node": df["node"],
                         "rank_nanos": base
-                        + (
-                            PR_D_NUM
-                            * df["s"].fillna(0).astype("int64")
-                        )
-                        // PR_D_DEN,
+                        + (PR_D_NUM * df["s"].astype("int64")) // PR_D_DEN,
                     }
                 ),
                 batch_format="pandas",
