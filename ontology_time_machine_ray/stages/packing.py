@@ -168,7 +168,7 @@ def global_shuffle_index(
     import ray
 
     from ontology_time_machine_ray.functions.broadcast import cached_get
-    from ontology_time_machine_ray.functions.hashing import content_md5_series
+    from ontology_time_machine_ray.functions.hashing import md5_hex_and_prefix
     from ontology_time_machine_ray.stages.groupagg import grouped_apply
 
     if not 1 <= num_buckets <= 65536:
@@ -176,8 +176,7 @@ def global_shuffle_index(
     # bucket = integer value of the first 4 hex chars, scaled down: keeps
     # bucket order == hash order so offsets concatenate correctly
     def keyed(df: pd.DataFrame) -> pd.DataFrame:
-        key = content_md5_series(df["doc_id"].astype("string").map(lambda s: seed + s))
-        prefix = key.str.slice(0, 4).map(lambda h: int(h, 16))
+        key, prefix = md5_hex_and_prefix(seed + df["doc_id"].astype("string"), 4)
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].astype("int64"),

@@ -14,7 +14,10 @@ import os
 import pandas as pd
 import ray.data as rd
 
-from ontology_time_machine_ray.functions.hashing import content_md5_series
+from ontology_time_machine_ray.functions.hashing import (
+    content_md5_series,
+    md5_prefix_int_series,
+)
 
 #: marker words per language for the n-gram/keyword language heuristic.
 LANG_MARKERS = {
@@ -229,12 +232,7 @@ def winnow_fingerprints(sf_dir: str, k: int = 3, w: int = 4) -> rd.Dataset:
         ok_sh = doc_idx[:n_sh] == doc_idx[k - 1 :]
         # 13 hex chars = 52 bits: exactly representable in the float64 the
         # C rolling-min goes through, so no precision loss
-        h = (
-            content_md5_series(shingle)
-            .map(lambda x: int(x[:13], 16))
-            .astype("int64")
-            .to_numpy()
-        )
+        h = md5_prefix_int_series(shingle, 13)
         # windows of w shingle hashes; valid iff entirely inside one doc
         if n_sh < w:
             return empty
@@ -328,11 +326,8 @@ def sample_stratified(sf_dir: str) -> rd.Dataset:
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         lang = lang_id_batch(df)["lang_pred"]
         cut = lang.map(STRATA_KEEP).astype("int64")
-        bucket = (
-            content_md5_series(df["text"].fillna(""))
-            .str[0]
-            .map(lambda c: int(c, 16))
-            .astype("int64")
+        bucket = pd.Series(
+            md5_prefix_int_series(df["text"].fillna(""), 1), index=df.index
         )
         keep = bucket < cut
         return pd.DataFrame(
@@ -481,12 +476,7 @@ def dup_ngrams(sf_dir: str, n: int = 5, docs_ds: rd.Dataset | None = None) -> rd
                     "gram": pd.Series([], dtype="int64"),
                 }
             )
-        h = (
-            content_md5_series(grams)
-            .map(lambda x: int(x[:13], 16))
-            .astype("int64")
-            .to_numpy()
-        )
+        h = md5_prefix_int_series(grams, 13)
         return pd.DataFrame(
             {"doc_id": df["doc_id"].to_numpy()[doc_i], "gram": h}
         ).drop_duplicates()
