@@ -433,9 +433,14 @@ class KgPipeline:
             old_rw = old.map_batches(
                 make_rewriter(_ray.put(moved)), batch_format="pandas"
             )
-            summary = write_partitioned(
-                old_rw.union(delta_canon), out_dir, overwrite=True, **wkw
-            )
+            # materialize BEFORE the overwrite: write_partitioned(overwrite)
+            # replaces the very partition dirs the lazy read sources from,
+            # and Ray lineage reconstruction (object-store eviction
+            # re-running the read tasks mid-write) would re-read replaced
+            # or missing files.  Pinning the rewritten blocks first makes
+            # the read immune to the destination mutating under it.
+            combined = old_rw.union(delta_canon).materialize()
+            summary = write_partitioned(combined, out_dir, overwrite=True, **wkw)
         write_mapping(
             out_dir,
             pd.DataFrame(

@@ -111,7 +111,12 @@ def write_partitioned(
     )
     lpath0 = os.path.join(out_dir, "_lineage.json")
     lin0 = json.load(open(lpath0)) if os.path.exists(lpath0) else {}
-    new_version = len(lin0.get("updates", [])) + 1 if overwrite else 0
+    # current store version = number of lineage updates; an overwrite
+    # advances it, a resumed fill-in write stamps new partitions AT the
+    # current version (never 0 -- a partition first written after N
+    # updates must not be visible to as-of reads of versions < N)
+    store_version = len(lin0.get("updates", []))
+    new_version = store_version + 1 if overwrite else store_version
 
     with_part = ds.map_batches(
         lambda df: add_partition_column(df, num_partitions, key),
@@ -128,6 +133,18 @@ def write_partitioned(
     # directory atomically and returns one lineage row
     def _write_group(g: pd.DataFrame) -> pd.DataFrame:
         part = int(g["partition"].iloc[0])
+        mpath_pre = os.path.join(out_dir, f"part={part:05d}", "_manifest.json")
+        if overwrite and os.path.exists(mpath_pre):
+            m_prev = json.load(open(mpath_pre))
+            if int(m_prev.get("version", -1)) == new_version:
+                # Ray task retry after a completed-but-unreported write:
+                # the rename+manifest already landed at this version.
+                # Re-writing would preserve the just-written file as a
+                # spurious data@{new_version}.parquet; inputs are
+                # deterministic, so short-circuit to the recorded result.
+                return pd.DataFrame(
+                    {"partition": [part], "rows": [int(m_prev.get("rows", 0))]}
+                )
         if dedup_keys is not None:
             g = g.sort_values(dedup_keys + (dedup_order or []), kind="stable").drop_duplicates(
                 dedup_keys, keep="first"
@@ -138,8 +155,8 @@ def write_partitioned(
             shutil.rmtree(tmp)
         os.makedirs(tmp, exist_ok=True)
         g.drop(columns=["partition"]).to_parquet(os.path.join(tmp, "data.parquet"), index=False)
-        version = 0
-        created_version = 0
+        version = new_version
+        created_version = new_version
         if overwrite and os.path.isdir(pdir):
             # copy-on-write replacement: preserve the superseded file and
             # carry forward older preserved versions (same contract as
@@ -293,6 +310,20 @@ def update_partitioned(
         part = int(g["partition"].iloc[0])
         g = g.drop(columns=["partition"])
         pdir = os.path.join(out_dir, f"part={part:05d}")
+        mpath_pre = os.path.join(pdir, "_manifest.json")
+        if os.path.exists(mpath_pre):
+            m_prev = json.load(open(mpath_pre))
+            if int(m_prev.get("version", -1)) == new_version:
+                # Ray task retry after a completed-but-unreported merge:
+                # re-merging would treat the just-merged data.parquet as
+                # "old", preserving a spurious data@{new_version}.parquet
+                # and double-counting 'added'.  The merge is deterministic
+                # and already durable -- return the recorded result.
+                return pd.DataFrame(
+                    {"partition": [part],
+                     "rows": [int(m_prev.get("rows", 0))],
+                     "added": [0]}
+                )
         old_path = os.path.join(pdir, "data.parquet")
         n_old = 0
         old_version = 0
@@ -518,6 +549,8 @@ def read_mapping(out_dir: str, max_rows: int | None = None) -> pd.DataFrame:
             raise ValueError(
                 f"mapping has {n} nodes > driver limit {max_rows}; the "
                 "broadcast mapping repair cannot hold it -- rebuild the "
-                "store (or raise OTM_MAX_BROADCAST_NODES on a bigger driver)"
+                "store (or raise the OTM_MAX_BROADCAST_NODES env override "
+                "of stages/canonicalize.MAX_BROADCAST_NODES on a bigger "
+                "driver)"
             )
     return pd.concat([pd.read_parquet(p) for p in paths], ignore_index=True)

@@ -40,8 +40,9 @@ from ontology_time_machine_ray.functions.hashing import stable_hash64_series
 from ontology_time_machine_ray.schema import OWL_EQUIVALENT_CLASS, OWL_SAME_AS
 from ontology_time_machine_ray.stages.groupagg import grouped_apply
 
-#: guard for the broadcast assumption (nodes in the equivalence graph).
-MAX_BROADCAST_NODES = 5_000_000
+#: guard for the broadcast assumption (nodes in the equivalence graph);
+#: overridable for bigger driver heaps via OTM_MAX_BROADCAST_NODES.
+MAX_BROADCAST_NODES = int(os.environ.get("OTM_MAX_BROADCAST_NODES", "5000000"))
 
 #: below this edge count the driver-side union-find fast path runs.
 SMALL_GRAPH_LIMIT = int(os.environ.get("OTM_SMALL_GRAPH_LIMIT", "100000"))
