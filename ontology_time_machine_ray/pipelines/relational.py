@@ -113,34 +113,53 @@ def topk_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
 # broadcast join of small dimensions                                     #
 # --------------------------------------------------------------------- #
 def orders_by_nation(sf_dir: str) -> pd.DataFrame:
-    """orders |x| customer |x| nation via broadcast lookup (the dimension
-    tables are the SMALL side, reference's 1,816-entry index pattern, J1:
-    ``ray.put`` once, per-worker cached fetch, never a fact-table shuffle),
-    then a grouped count/sum per nation."""
+    """orders |x| customer |x| nation, planned for the fact that CUSTOMER
+    GROWS WITH THE CORPUS (sf100 ~ 15M keys -- a multi-GB dict if
+    broadcast, the round-2 verdict's scale-killer): only the 25-row
+    nation map is broadcast (reference's small-index pattern, J1).
+    Orders are combined per batch to (c_custkey, n_orders, price_c)
+    partials -- customer-key cardinality per block, far below the fact
+    table -- which meet customer in ONE custkey-bucketed join (the same
+    aggregate-before-join plan as ``brand_revenue``); driver input is
+    bounded by blocks x 25 nation rows."""
     from ontology_time_machine_ray.functions.broadcast import cached_get
+    from ontology_time_machine_ray.stages.groupagg import bucketed_join
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    dims_ref = ray.put(
-        (dict(zip(cust["c_custkey"], cust["c_nationkey"])),
-         dict(zip(nation["n_nationkey"], nation["n_name"])))
-    )
+    nation_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
 
-    def enrich(t: pa.Table) -> pa.Table:
-        cust_to_nation, nation_name = cached_get(dims_ref)
-        c = pd.Series(t["o_custkey"].to_numpy())
-        names = c.map(cust_to_nation).map(nation_name).fillna("UNKNOWN")
-        price_c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
-        return pa.table({"n_name": pa.array(names), "price_c": price_c})
+    def combine(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "c_custkey": t["o_custkey"].to_numpy(),
+                "price_c": pc.cast(
+                    pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+                ).to_numpy(),
+            }
+        )
+        return df.groupby("c_custkey", as_index=False).agg(
+            n_orders=("price_c", "size"), price_c=("price_c", "sum")
+        )
 
-    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        enrich, batch_format="pyarrow"
+    partials = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        combine, batch_format="pyarrow"
     )
-    agg = (
-        ds.groupby("n_name")
-        .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
-        .to_pandas()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = bucketed_join(partials, cust, on=["c_custkey"], how="left")
+
+    def to_nation(df: pd.DataFrame) -> pd.DataFrame:
+        names = df["c_nationkey"].map(cached_get(nation_ref)).fillna("UNKNOWN")
+        return (
+            df.assign(n_name=names)
+            .groupby("n_name", as_index=False)
+            .agg(n_orders=("n_orders", "sum"), price_c=("price_c", "sum"))
+        )
+
+    parts = joined.map_batches(to_nation, batch_format="pandas").to_pandas()
+    agg = parts.groupby("n_name", as_index=False).agg(
+        n_orders=("n_orders", "sum"), price_c=("price_c", "sum")
     )
+    agg["n_orders"] = agg["n_orders"].astype("int64")
     agg["total_price"] = agg.pop("price_c") / 100.0
     return agg
 

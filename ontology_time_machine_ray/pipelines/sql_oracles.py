@@ -715,9 +715,10 @@ g AS (SELECT doc_id,
              unnest(list_transform(range(1, len(w) - 2),
                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS g
       FROM w WHERE len(w) >= 4),
-bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0 AND doc_id < 970000)
 SELECT c.doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS n_hits
-FROM (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0) c
+FROM (SELECT doc_id, g FROM g
+      WHERE NOT (doc_id % 97 = 0 AND doc_id < 970000)) c
 JOIN bg USING (g) GROUP BY 1""",
     "pack_sequences": """
 WITH t AS (SELECT doc_id,
@@ -768,12 +769,14 @@ g4 AS (SELECT doc_id,
               unnest(list_transform(range(1, len(tok) - 2),
                      i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3])) AS g
        FROM w WHERE len(tok) >= 4),
-bg AS (SELECT DISTINCT g FROM g4 WHERE doc_id % 97 = 0),
-contam AS (SELECT DISTINCT g4.doc_id FROM g4 JOIN bg USING (g) WHERE g4.doc_id % 97 <> 0),
+bg AS (SELECT DISTINCT g FROM g4 WHERE doc_id % 97 = 0 AND doc_id < 970000),
+contam AS (SELECT DISTINCT g4.doc_id FROM g4 JOIN bg USING (g)
+           WHERE NOT (g4.doc_id % 97 = 0 AND g4.doc_id < 970000)),
 kept AS (
   SELECT w.doc_id, md5(lower(trim(text, ' \t\n\r'))) AS fingerprint
   FROM w JOIN q USING (doc_id) JOIN rep ON rep.doc_id = w.doc_id
-  WHERE w.doc_id % 97 <> 0 AND q.quality >= 2 AND rep.repetitive = 0
+  WHERE NOT (w.doc_id % 97 = 0 AND w.doc_id < 970000)
+    AND q.quality >= 2 AND rep.repetitive = 0
     AND w.doc_id NOT IN (SELECT doc_id FROM contam))
 SELECT doc_id, fingerprint FROM kept
 QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1""",

@@ -354,7 +354,7 @@ def lm_coverage(sf_dir: str, top_k: int = 1000) -> rd.Dataset:
     import ray
 
     from ontology_time_machine_ray.functions.broadcast import cached_get
-    from ontology_time_machine_ray.stages.sketch import mg_merge, mg_partial
+    from ontology_time_machine_ray.stages.sketch import mg_partial
 
     def bigrams_of(df: pd.DataFrame):
         toks = df["text"].fillna("").str.lower().str.findall(r"\S+")
@@ -377,16 +377,29 @@ def lm_coverage(sf_dir: str, top_k: int = 1000) -> rd.Dataset:
         s = mg_partial(bg.value_counts(), K_COUNTERS)
         return pd.DataFrame({"bg": s.index, "n": s.to_numpy().astype("int64")})
 
-    parts = (
-        _read_docs(sf_dir)
-        .map_batches(partial_counts, batch_format="pandas")
-        .to_pandas()
-    )
-    merged = mg_merge([parts.set_index("bg")["n"]], K_COUNTERS)
+    # one bucketed reduce round between the per-block MG partials and the
+    # driver cut (round-2 verdict: a flat driver concat is linear in block
+    # count -- tens of GB of pandas at 100x blocks).  A bigram lives in
+    # exactly one bucket, so per-bucket exact sums of the partials + a
+    # per-bucket (n desc, bg asc) top_k cut lose no global top-k candidate;
+    # the driver merges <= buckets x top_k rows, bounded by BUCKETS not
+    # blocks.  Below per-block counter saturation (the oracle-checkable
+    # regime) this equals the old mg_merge exactly; at saturation the
+    # per-block MG undercount bound is unchanged.
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply
+
+    parts_ds = _read_docs(sf_dir).map_batches(partial_counts, batch_format="pandas")
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("bg", as_index=False)["n"].sum()
+        s["n"] = s["n"].astype("int64")
+        return s.sort_values(["n", "bg"], ascending=[False, True], kind="stable").head(
+            top_k
+        )
+
+    cand = grouped_apply(parts_ds, ["bg"], bucket_top).to_pandas()
     top = (
-        merged.rename_axis("bg")
-        .reset_index(name="n")
-        .sort_values(["n", "bg"], ascending=[False, True], kind="stable")
+        cand.sort_values(["n", "bg"], ascending=[False, True], kind="stable")
         .head(top_k)["bg"]
         .tolist()
     )
@@ -560,10 +573,29 @@ def text_repetition(sf_dir: str) -> rd.Dataset:
     return _read_docs(sf_dir).map_batches(text_repetition_batch, batch_format="pandas")
 
 
-#: every doc whose id is divisible by this is "benchmark" (the held-out
-#: eval suite a training corpus must be decontaminated against).
+#: every doc whose id is divisible by this AND below the fixed-size cap
+#: is "benchmark" (the held-out eval suite a training corpus must be
+#: decontaminated against).
 DECONTAM_MODULUS = 97
 DECONTAM_NGRAM = 4
+#: eval suites are FIXED-SIZE in reality -- they do NOT grow with the
+#: corpus.  Capping the synthetic benchmark keeps the "small side"
+#: genuinely small at any SF (the round-2 verdict's scale-killer: an
+#: uncapped 1% of a 100 TB corpus is ~1 TB of n-grams on the driver).
+DECONTAM_MAX_BENCH_DOCS = 10_000
+#: distinct benchmark n-grams above this broadcast the Bloom/bucketed
+#: fallback instead of the ray.put set (env-tunable per driver heap).
+DECONTAM_BROADCAST_BUDGET = int(
+    os.environ.get("OTM_DECONTAM_BROADCAST_NGRAMS", "5000000")
+)
+
+
+def _is_bench(df: pd.DataFrame, modulus: int) -> pd.Series:
+    """Benchmark-suite membership predicate (mirrored verbatim by the SQL
+    oracles): divisible by ``modulus`` and under the fixed-size doc cap."""
+    return (df["doc_id"] % modulus == 0) & (
+        df["doc_id"] < modulus * DECONTAM_MAX_BENCH_DOCS
+    )
 
 
 def decontaminate(
@@ -571,55 +603,110 @@ def decontaminate(
     n: int = DECONTAM_NGRAM,
     modulus: int = DECONTAM_MODULUS,
     docs_ds: rd.Dataset | None = None,
+    broadcast_budget: int | None = None,
 ) -> rd.Dataset:
     """Benchmark decontamination (GPT-3 / The Pile style): flag corpus
     documents sharing any word ``n``-gram with the benchmark suite.
     Returns (doc_id, n_hits) for contaminated documents only.
 
-    Scale shape: the benchmark side is SMALL by definition (an eval suite
-    is ~1e5 docs against a 1e12-doc corpus), so its distinct n-gram set is
-    collected once, ``ray.put`` once, and membership-checked inside the
-    stream -- a broadcast semi-join, never a shuffle.  The corpus side is
-    one vectorized ``map_batches`` pass (explode -> shifted-slice n-grams
-    -> isin -> per-doc distinct-hit count)."""
+    Scale shape: the benchmark side is SMALL and FIXED-SIZE by definition
+    (an eval suite is ~1e4 docs against a 1e12-doc corpus; the cap is
+    ``DECONTAM_MAX_BENCH_DOCS``), so its distinct n-gram set is collected
+    once, ``ray.put`` once, and membership-checked inside the stream -- a
+    broadcast semi-join, never a shuffle.  The corpus side is one
+    vectorized ``map_batches`` pass (explode -> shifted-slice n-grams ->
+    isin -> per-doc distinct-hit count).  If the benchmark's gram set
+    still exceeds ``broadcast_budget`` (pathologically long eval docs),
+    the operator falls back to a gram-bucketed distributed semi-join --
+    one gram shuffle + one doc_id reduce -- with identical output."""
     import ray
 
     from ontology_time_machine_ray.functions.broadcast import cached_get
 
+    budget = DECONTAM_BROADCAST_BUDGET if broadcast_budget is None else broadcast_budget
     docs = docs_ds or _read_docs(sf_dir)
     bench_df = docs.map_batches(
-        lambda df: df[df["doc_id"] % modulus == 0], batch_format="pandas"
-    ).to_pandas()  # benchmark suite: small side by definition
+        lambda df: df[_is_bench(df, modulus)], batch_format="pandas"
+    ).to_pandas()  # bounded by DECONTAM_MAX_BENCH_DOCS, not the corpus
     _, bench_grams = ngram_rows(bench_df, n)
-    gram_ref = ray.put(frozenset(bench_grams.tolist()))
+    bench_set = frozenset(bench_grams.tolist())
 
-    def flag(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["doc_id"] % modulus != 0].reset_index(drop=True)
-        empty = pd.DataFrame(
-            {"doc_id": pd.Series(dtype="int64"), "n_hits": pd.Series(dtype="int64")}
-        )
-        if len(df) == 0:
-            return empty
+    if len(bench_set) <= budget:
+        gram_ref = ray.put(bench_set)
+
+        def flag(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[~_is_bench(df, modulus)].reset_index(drop=True)
+            empty = pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"), "n_hits": pd.Series(dtype="int64")}
+            )
+            if len(df) == 0:
+                return empty
+            doc_i, grams = ngram_rows(df, n)
+            if len(grams) == 0:
+                return empty
+            bset = cached_get(gram_ref)
+            sub = pd.DataFrame({"i": doc_i, "g": grams}).drop_duplicates()
+            sub = sub[sub["g"].isin(bset)]
+            if len(sub) == 0:
+                return empty
+            agg = sub.groupby("i").size()
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy()[agg.index.to_numpy()],
+                    "n_hits": agg.to_numpy().astype("int64"),
+                }
+            )
+
+        return docs.map_batches(flag, batch_format="pandas")
+
+    # over-budget fallback: gram-bucketed semi-join.  Benchmark grams
+    # become rows tagged doc_id = -1; a gram lives in exactly one bucket,
+    # so per-bucket membership is exact, and per-doc hit counts reduce
+    # through one doc_id-bucketed sum.
+    from ontology_time_machine_ray.stages.groupagg import (
+        grouped_aggregate,
+        grouped_apply,
+    )
+
+    def corpus_gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[~_is_bench(df, modulus)].reset_index(drop=True)
         doc_i, grams = ngram_rows(df, n)
-        if len(grams) == 0:
-            return empty
-        bset = cached_get(gram_ref)
-        sub = pd.DataFrame({"i": doc_i, "g": grams}).drop_duplicates()
-        sub = sub[sub["g"].isin(bset)]
-        if len(sub) == 0:
-            return empty
-        agg = sub.groupby("i").size()
         return pd.DataFrame(
             {
-                "doc_id": df["doc_id"].to_numpy()[agg.index.to_numpy()],
-                "n_hits": agg.to_numpy().astype("int64"),
+                "doc_id": pd.Series(
+                    df["doc_id"].to_numpy()[doc_i] if len(grams) else [],
+                    dtype="int64",
+                ),
+                "g": pd.Series(grams.to_numpy() if len(grams) else [], dtype="object"),
+            }
+        ).drop_duplicates()  # batch == doc grain, so per-batch distinct is exact
+
+    corpus_rows = docs.map_batches(corpus_gram_rows, batch_format="pandas")
+    bench_rows = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": pd.Series(-1, index=range(len(bench_set)), dtype="int64"),
+                "g": pd.Series(sorted(bench_set), dtype="object"),
             }
         )
+    )
 
-    return docs.map_batches(flag, batch_format="pandas")
+    def hits_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        bench_g = set(g.loc[g["doc_id"] == -1, "g"])
+        sub = g[(g["doc_id"] != -1) & g["g"].isin(bench_g)]
+        out = sub.groupby("doc_id", as_index=False).agg(n_hits=("g", "size"))
+        out["n_hits"] = out["n_hits"].astype("int64")
+        return out
+
+    partial = grouped_apply(corpus_rows.union(bench_rows), ["g"], hits_in_bucket)
+    return grouped_aggregate(partial, ["doc_id"], {"n_hits": ("n_hits", "sum")})
 
 
-def corpus_clean(sf_dir: str, docs_ds: rd.Dataset | None = None) -> rd.Dataset:
+def corpus_clean(
+    sf_dir: str,
+    docs_ds: rd.Dataset | None = None,
+    broadcast_budget: int | None = None,
+) -> rd.Dataset:
     """Flagship training-data cleaning pipeline: one composition of the
     quality gate (score >= 2), the Gopher repetition filter, benchmark
     decontamination (any shared 4-gram, and the benchmark docs themselves
@@ -637,15 +724,18 @@ def corpus_clean(sf_dir: str, docs_ds: rd.Dataset | None = None) -> rd.Dataset:
     from ontology_time_machine_ray.functions.broadcast import cached_get
     from ontology_time_machine_ray.stages.groupagg import grouped_head1
 
+    budget = DECONTAM_BROADCAST_BUDGET if broadcast_budget is None else broadcast_budget
     docs = docs_ds or _read_docs(sf_dir)
     bench_df = docs.map_batches(
-        lambda df: df[df["doc_id"] % DECONTAM_MODULUS == 0], batch_format="pandas"
-    ).to_pandas()  # benchmark suite: small side by definition
+        lambda df: df[_is_bench(df, DECONTAM_MODULUS)], batch_format="pandas"
+    ).to_pandas()  # bounded by DECONTAM_MAX_BENCH_DOCS, not the corpus
     _, bench_grams = ngram_rows(bench_df, DECONTAM_NGRAM)
-    gram_ref = ray.put(frozenset(bench_grams.tolist()))
+    bench_set = frozenset(bench_grams.tolist())
+    over_budget = len(bench_set) > budget
+    gram_ref = None if over_budget else ray.put(bench_set)
 
     def keep_and_fingerprint(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["doc_id"] % DECONTAM_MODULUS != 0].reset_index(drop=True)
+        df = df[~_is_bench(df, DECONTAM_MODULUS)].reset_index(drop=True)
         if len(df) == 0:
             return pd.DataFrame(
                 {"doc_id": pd.Series(dtype="int64"),
@@ -654,14 +744,28 @@ def corpus_clean(sf_dir: str, docs_ds: rd.Dataset | None = None) -> rd.Dataset:
         quality = quality_score_batch(df)["quality"].to_numpy()
         repetitive = text_repetition_batch(df)["repetitive"].to_numpy()
         contaminated = np.zeros(len(df), dtype=bool)
-        doc_i, grams = ngram_rows(df, DECONTAM_NGRAM)
-        if len(grams):
-            bset = cached_get(gram_ref)
-            contaminated[pd.unique(doc_i[grams.isin(bset).to_numpy()])] = True
+        if gram_ref is not None:
+            doc_i, grams = ngram_rows(df, DECONTAM_NGRAM)
+            if len(grams):
+                bset = cached_get(gram_ref)
+                contaminated[pd.unique(doc_i[grams.isin(bset).to_numpy()])] = True
         kept = df[(quality >= 2) & (repetitive == 0) & ~contaminated]
         return fingerprint_batch(kept)
 
     surviving = docs.map_batches(keep_and_fingerprint, batch_format="pandas")
+    if over_budget:
+        # contamination could not ride the one-scan broadcast: compute it
+        # through decontaminate's gram-bucketed semi-join and drop the
+        # flagged docs with a Bloom-prefiltered ANTI join (shuffle volume
+        # ~ the contaminated fraction, not the corpus)
+        from ontology_time_machine_ray.stages.groupagg import bloom_semi_anti_join
+
+        contaminated_ids = decontaminate(
+            sf_dir, docs_ds=docs, broadcast_budget=budget
+        ).select_columns(["doc_id"])
+        surviving = bloom_semi_anti_join(
+            surviving, contaminated_ids, on="doc_id", how="anti"
+        )
     return grouped_head1(surviving, keys=["fingerprint"], order_by=["doc_id"])
 
 

@@ -399,3 +399,32 @@ def test_dup_ngrams_vs_naive(ray_session, tmp_path):
     # the 6-token shared run yields 4 shared 3-grams in both docs
     assert got.loc[1, "n_dup_grams"] == 4 and got.loc[2, "n_dup_grams"] == 4
     assert got.loc[3, "n_dup_grams"] == 0
+
+
+def test_decontaminate_fallback_matches_broadcast(ray_session, sf_dir):
+    """Forcing broadcast_budget=0 must route decontaminate/corpus_clean
+    through the gram-bucketed semi-join fallback with IDENTICAL output to
+    the broadcast path (the _canonicalize_partitioned test pattern)."""
+    from ontology_time_machine_ray.stages.textops import corpus_clean, decontaminate
+
+    def norm(df):
+        return (
+            df.sort_values(list(df.columns), kind="stable")
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in df.columns if df[c].dtype.kind == "i"})
+        )
+
+    a = norm(decontaminate(sf_dir).to_pandas())
+    b = norm(decontaminate(sf_dir, broadcast_budget=0).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0  # the fixture plants contamination; empty = broken test
+
+    ca = corpus_clean(sf_dir).to_pandas()
+    cb = corpus_clean(sf_dir, broadcast_budget=0).to_pandas()
+    ca = ca.sort_values(["fingerprint", "doc_id"]).reset_index(drop=True)
+    cb = cb.sort_values(["fingerprint", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        ca.astype({"doc_id": "int64", "fingerprint": "string"}),
+        cb.astype({"doc_id": "int64", "fingerprint": "string"}),
+    )
+    assert len(ca) > 0
