@@ -51,7 +51,7 @@ GENERATOR_VERSION = "otm-fixtures-v2"
 #: embeddings_aug/client_auth).  Bumping this rewrites only those tables
 #: (<1 s) and leaves the expensive documents corpus untouched -- bench
 #: corpora at x800/x1600 stay valid across small-table semantic changes.
-SMALL_TABLES_VERSION = "small-v4"
+SMALL_TABLES_VERSION = "small-v5"
 FIXTURE_ROOT = "/tmp/otm_fixtures"
 
 N_INDEX = 48  # in-index ontologies O000..O047
@@ -210,6 +210,10 @@ class FixturePaths:
         return os.path.join(self.root, "snapshot_status.parquet")
 
     @property
+    def snapshot_rdf(self) -> str:
+        return os.path.join(self.root, "snapshot_rdf.parquet")
+
+    @property
     def dependencies(self) -> str:
         return os.path.join(self.root, "dependencies.parquet")
 
@@ -326,6 +330,71 @@ def build_snapshots() -> tuple[pa.Table, pa.Table]:
     return (
         pa.table(content, schema=SNAPSHOT_CONTENT_SCHEMA),
         pa.table(status, schema=SNAPSHOT_STATUS_SCHEMA),
+    )
+
+
+def build_snapshot_rdf(content: pa.Table) -> pa.Table:
+    """Every snapshot serialized as a REAL Turtle document -- the input a
+    user of the reference actually has (serialized ontology files, parsed
+    by rapper in experiments/parse_ontologies.py:49-76), addressed by the
+    (ontology_id, version) metadata a snapshot file carries externally.
+
+    The serialization deliberately mixes Turtle forms so the distributed
+    parser (``sources.readers.parse_snapshot_rdf_batch``) is exercised on
+    real grammar, not one fixed line shape: ``a`` vs ``rdf:type``,
+    ``;`` predicate lists, ``,`` object groups, plus an
+    ``rdfs:isDefinedBy`` statement the parser must SKIP (unknown
+    predicates are not snapshot content)."""
+    out_id: list[str] = []
+    out_ver: list[str] = []
+    out_ttl: list[str] = []
+    for r in content.to_pylist():
+        lines = [
+            "@prefix owl: <http://www.w3.org/2002/07/owl#> .",
+            "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .",
+            "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .",
+            "",
+        ]
+        sa_by: dict[str, list[str]] = {}
+        for a, b in zip(r["same_as_a"], r["same_as_b"]):
+            sa_by.setdefault(a, []).append(b)
+        eq_by: dict[str, list[str]] = {}
+        for a, b in zip(r["equiv_a"], r["equiv_b"]):
+            eq_by.setdefault(a, []).append(b)
+        for i, c in enumerate(r["classes"]):
+            parts = [("a" if i % 2 == 0 else "rdf:type") + " owl:Class"]
+            if i == 0:
+                parts.append("rdfs:isDefinedBy <https://example.org/provenance>")
+            if c in sa_by:
+                parts.append(
+                    "owl:sameAs " + ", ".join(f"<{o}>" for o in sa_by.pop(c))
+                )
+            if c in eq_by:
+                parts.append(
+                    "owl:equivalentClass "
+                    + ", ".join(f"<{o}>" for o in eq_by.pop(c))
+                )
+            lines.append(f"<{c}> " + " ;\n    ".join(parts) + " .")
+        for p_iri in r["properties"]:
+            lines.append(f"<{p_iri}> a owl:ObjectProperty .")
+        # edges whose subject is not a class of this snapshot (defensive;
+        # the fixture never produces them, a real ontology could)
+        for a, bs in sa_by.items():
+            lines.append(
+                f"<{a}> owl:sameAs " + ", ".join(f"<{o}>" for o in bs) + " ."
+            )
+        for a, bs in eq_by.items():
+            lines.append(
+                f"<{a}> owl:equivalentClass " + ", ".join(f"<{o}>" for o in bs) + " ."
+            )
+        out_id.append(r["ontology_id"])
+        out_ver.append(r["version"])
+        out_ttl.append("\n".join(lines) + "\n")
+    return pa.table(
+        {"ontology_id": out_id, "version": out_ver, "ttl": out_ttl},
+        schema=pa.schema(
+            [("ontology_id", pa.string()), ("version", pa.string()), ("ttl", pa.string())]
+        ),
     )
 
 
@@ -534,6 +603,7 @@ def _write_small_tables(paths: FixturePaths, sf_dir: str) -> None:
     content, status = build_snapshots()
     pq.write_table(content, paths.snapshot_content)
     pq.write_table(status, paths.snapshot_status)
+    pq.write_table(build_snapshot_rdf(content), paths.snapshot_rdf)
     pq.write_table(build_embeddings_aug(sf_dir), paths.embeddings_aug)
     pq.write_table(build_client_auth(), paths.client_auth)
     pq.write_table(build_documents_pii(sf_dir), paths.documents_pii)

@@ -14,7 +14,7 @@ from dataclasses import replace
 import pandas as pd
 
 from ontology_time_machine_ray.config import DEFAULT_CONFIG
-from ontology_time_machine_ray.fixtures import ensure_fixtures
+from ontology_time_machine_ray.fixtures import FixturePaths, ensure_fixtures
 from ontology_time_machine_ray.pipelines import relational, sql_oracles
 from ontology_time_machine_ray.pipelines.kg import KgPipeline
 from ontology_time_machine_ray.stages import dedup_docs, media, similarity, textops
@@ -46,6 +46,57 @@ def kg_triples(sf_dir: str):
 
 def kg_triples_canonical(sf_dir: str):
     return _pipe(sf_dir).triples_canonical()
+
+
+class _RdfParsedPaths(FixturePaths):
+    """FixturePaths whose snapshot content comes from the DISTRIBUTED RDF
+    parse output instead of the table-driven fixture."""
+
+    @property
+    def snapshot_content(self) -> str:
+        return os.path.join(self.root, "snapshot_content_from_rdf.parquet")
+
+
+def kg_triples_from_rdf(sf_dir: str):
+    """Triples built from SERIALIZED RDF snapshot files: a distributed
+    ``map_batches`` Turtle parse (sources.readers.parse_snapshot_rdf_batch
+    -- the engine analog of the reference's rapper parse stage,
+    experiments/parse_ontologies.py:49-76) reconstructs the pinned
+    snapshot-content table from snapshot_rdf.parquet, then the IDENTICAL
+    pipeline runs on it.  Sharing kg_triples' SQL oracle makes the
+    equality the parser-correctness claim: a single dropped or misread
+    statement changes the emitted triples."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ontology_time_machine_ray.sources.readers import parse_snapshot_rdf_batch
+
+    p = _pipe(sf_dir)
+    parsed = rd.read_parquet(p.paths.snapshot_rdf).map_batches(
+        parse_snapshot_rdf_batch, batch_format="pandas"
+    )
+    # the parsed content table is the linker's pinned per-actor state --
+    # vocabulary-scale by design (SnapshotStore loads it whole), so a
+    # driver collect + single-file atomic write is the right shape
+    schema = pa.schema(
+        [
+            ("ontology_id", pa.string()),
+            ("version", pa.string()),
+            ("classes", pa.list_(pa.string())),
+            ("properties", pa.list_(pa.string())),
+            ("same_as_a", pa.list_(pa.string())),
+            ("same_as_b", pa.list_(pa.string())),
+            ("equiv_a", pa.list_(pa.string())),
+            ("equiv_b", pa.list_(pa.string())),
+        ]
+    )
+    tbl = pa.Table.from_pandas(parsed.to_pandas(), schema=schema, preserve_index=False)
+    rdf_paths = _RdfParsedPaths(root=p.paths.root)
+    tmp = rdf_paths.snapshot_content + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, rdf_paths.snapshot_content)
+    return replace(p, paths=rdf_paths).triples()
 
 
 def kg_components(sf_dir: str) -> pd.DataFrame:
@@ -672,6 +723,7 @@ QUERIES = {
     "kg_status": kg_status,
     "kg_report": kg_report,
     "kg_triples": kg_triples,
+    "kg_triples_from_rdf": kg_triples_from_rdf,
     "kg_triples_canonical": kg_triples_canonical,
     "kg_components": kg_components,
     "kg_restricted_denied": kg_restricted_denied,
@@ -806,4 +858,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["kg_store_asof"] = (
         out["kg_triples"] + f"\nWHERE doc_id < '{incremental_split_mid(sf_dir)}'"
     )
+    # RDF-parsed snapshot ingestion must equal the table-driven build --
+    # sharing the statement IS the parser-correctness claim
+    out["kg_triples_from_rdf"] = out["kg_triples"]
     return out

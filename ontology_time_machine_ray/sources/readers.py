@@ -136,6 +136,123 @@ def read_dependency_ttl(ttl_path: str, index_path: str) -> pa.Table:
     )
 
 
+#: Turtle tokens: an IRI in <>, a prefixed name, or the bare `a` keyword.
+_TTL_TOKEN_RE = None  # compiled lazily per process (map_batches workers)
+_TTL_PREFIX_RE = None
+
+
+def _ttl_regexes():
+    global _TTL_TOKEN_RE, _TTL_PREFIX_RE
+    if _TTL_TOKEN_RE is None:
+        import re
+
+        _TTL_TOKEN_RE = re.compile(r"<[^>]*>|[A-Za-z][\w-]*:[^\s,;]+|\ba\b")
+        _TTL_PREFIX_RE = re.compile(r"@prefix\s+([A-Za-z][\w-]*)?:\s*<([^>]*)>\s*\.")
+    return _TTL_TOKEN_RE, _TTL_PREFIX_RE
+
+
+def parse_snapshot_ttl(text: str):
+    """Parse ONE serialized ontology snapshot (Turtle subset) into its
+    content lists ``(classes, properties, same_as_a, same_as_b, equiv_a,
+    equiv_b)``.
+
+    Grammar subset (everything the snapshot fixtures and the reference's
+    manifests use): ``@prefix`` declarations, ``<IRI>`` terms, prefixed
+    names, the ``a`` keyword, ``;`` predicate lists, ``,`` object lists,
+    ``.`` statement terminators.  Unknown predicates are skipped (they are
+    provenance, not snapshot content).  The engine analog of the
+    reference's rapper-based parse stage
+    (experiments/parse_ontologies.py:49-76), minus the subprocess."""
+    import re
+
+    from ontology_time_machine_ray.schema import (
+        OWL_CLASS,
+        OWL_EQUIVALENT_CLASS,
+        OWL_OBJECT_PROPERTY,
+        OWL_SAME_AS,
+        RDF_TYPE,
+    )
+
+    tok_re, prefix_re = _ttl_regexes()
+    prefixes = {m.group(1) or "": m.group(2) for m in prefix_re.finditer(text)}
+
+    def expand(tok: str) -> str:
+        if tok == "a":
+            return RDF_TYPE
+        if tok.startswith("<") and tok.endswith(">"):
+            return tok[1:-1]
+        if ":" in tok:
+            p, local = tok.split(":", 1)
+            if p in prefixes:
+                return prefixes[p] + local
+        return tok
+
+    body = "\n".join(
+        ln for ln in text.splitlines() if not ln.strip().startswith("@prefix")
+    )
+    classes: list[str] = []
+    props: list[str] = []
+    sa: list[str] = []
+    sb: list[str] = []
+    ea: list[str] = []
+    eb: list[str] = []
+    for stmt in re.split(r"\s\.\s|\s\.$", body):
+        stmt = stmt.strip()
+        if not stmt:
+            continue
+        first = tok_re.search(stmt)
+        if first is None:
+            continue
+        subject = expand(first.group(0))
+        for po in stmt[first.end():].split(";"):
+            toks = tok_re.findall(po)
+            if len(toks) < 2:
+                continue
+            pred = expand(toks[0])
+            objs = [expand(t) for t in toks[1:]]
+            if pred == RDF_TYPE:
+                for o in objs:
+                    if o == OWL_CLASS:
+                        classes.append(subject)
+                    elif o == OWL_OBJECT_PROPERTY:
+                        props.append(subject)
+            elif pred == OWL_SAME_AS:
+                for o in objs:
+                    sa.append(subject)
+                    sb.append(o)
+            elif pred == OWL_EQUIVALENT_CLASS:
+                for o in objs:
+                    ea.append(subject)
+                    eb.append(o)
+    return classes, props, sa, sb, ea, eb
+
+
+def parse_snapshot_rdf_batch(df) -> "pd.DataFrame":
+    """Distributed RDF snapshot ingestion stage: ``map_batches`` over a
+    (ontology_id, version, ttl) table of serialized Turtle snapshots,
+    emitting the snapshot-content rows the entity linker pins per actor.
+
+    Each row is one ontology snapshot FILE at scale (ontology_id/version
+    are the file-address metadata); the stage is embarrassingly parallel
+    -- vocabulary-scale input, never corpus-scale -- and the compiled
+    grammar regexes are per-process state."""
+    import pandas as pd
+
+    parsed = [parse_snapshot_ttl(t or "") for t in df["ttl"]]
+    return pd.DataFrame(
+        {
+            "ontology_id": df["ontology_id"].to_numpy(),
+            "version": df["version"].to_numpy(),
+            "classes": [p[0] for p in parsed],
+            "properties": [p[1] for p in parsed],
+            "same_as_a": [p[2] for p in parsed],
+            "same_as_b": [p[3] for p in parsed],
+            "equiv_a": [p[4] for p in parsed],
+            "equiv_b": [p[5] for p in parsed],
+        }
+    )
+
+
 def read_conformance_tsv(path: str) -> pa.Table:
     """S7: tab-separated conformance corpus with the reference's columns
     (enable_testcase, iri, error_dimension, expected_error, iri_type,

@@ -83,3 +83,23 @@ def test_classify_status_buckets():
     assert classify_status(301, None, False) == "redirect"
     assert classify_status(404, None, False) == "client-error-404"
     assert classify_status(503, None, False) == "server-error-503"
+
+
+def test_snapshot_rdf_roundtrip():
+    """build_snapshot_rdf -> parse_snapshot_rdf_batch reconstructs the
+    snapshot-content lists EXACTLY (order included), across every Turtle
+    form the serializer mixes in (a/rdf:type, ';' lists, ',' groups,
+    skipped rdfs:isDefinedBy statements)."""
+    from ontology_time_machine_ray.fixtures import build_snapshot_rdf, build_snapshots
+    from ontology_time_machine_ray.sources.readers import parse_snapshot_rdf_batch
+
+    content, _ = build_snapshots()
+    rdf = build_snapshot_rdf(content)
+    parsed = parse_snapshot_rdf_batch(rdf.to_pandas())
+    orig = content.to_pandas()
+    assert list(parsed["ontology_id"]) == list(orig["ontology_id"])
+    assert list(parsed["version"]) == list(orig["version"])
+    for col in ("classes", "properties", "same_as_a", "same_as_b", "equiv_a", "equiv_b"):
+        got = [list(x) for x in parsed[col]]
+        want = [list(x) for x in orig[col]]
+        assert got == want, col
