@@ -51,7 +51,7 @@ GENERATOR_VERSION = "otm-fixtures-v2"
 #: embeddings_aug/client_auth).  Bumping this rewrites only those tables
 #: (<1 s) and leaves the expensive documents corpus untouched -- bench
 #: corpora at x800/x1600 stay valid across small-table semantic changes.
-SMALL_TABLES_VERSION = "small-v5"
+SMALL_TABLES_VERSION = "small-v6"
 FIXTURE_ROOT = "/tmp/otm_fixtures"
 
 N_INDEX = 48  # in-index ontologies O000..O047
@@ -294,8 +294,16 @@ def build_snapshots() -> tuple[pa.Table, pa.Table]:
             content["ontology_id"].append(ont_id(k))
             content["version"].append(ver)
             content["version_ts"].append(ts)
-            content["classes"].append([f"{cbase}#C{i}" for i in range(2 + j)])
-            content["properties"].append([f"{cbase}#p{i}" for i in range(1 + (j + k) % 3)])
+            # NIR-check plant (A4, aggregate_results_NIRcheck.py:133-138):
+            # some FIRST versions carry FOREIGN content -- a snapshot that
+            # parses fine but does not describe the requested ontology
+            # (the misconfigured-origin case the NIR check measures).
+            # j == 0 is never served under any default policy (as-of and
+            # latest both resolve to later versions), so every other
+            # oracle is unaffected.
+            tbase = term_base((k + 7) % N_INDEX) if (j == 0 and k % 13 == 9) else cbase
+            content["classes"].append([f"{tbase}#C{i}" for i in range(2 + j)])
+            content["properties"].append([f"{tbase}#p{i}" for i in range(1 + (j + k) % 3)])
             sa, sb = [], []
             ea, eb = [], []
             if j >= 1:  # equivalence edges appear from the second version on

@@ -44,8 +44,103 @@ def kg_triples(sf_dir: str):
     return _pipe(sf_dir).triples()
 
 
+def kg_report_ab(sf_dir: str) -> pd.DataFrame:
+    """Proxy-vs-direct A/B comparison report (the reference's two-scenario
+    side-by-side table, experiments/aggregate_results.py:22-35,167-187):
+    the SAME corpus routed under policy ``original`` (direct-to-origin)
+    and ``originalFailoverLiveLatest`` (proxy with Archivo failover),
+    category x format counts side by side.  Each leg is the distributed
+    kg_report pipeline; only the two ~28-row aggregates meet on the
+    driver."""
+    from ontology_time_machine_ray.config import OntoVersion
+
+    p = _pipe(sf_dir)
+    a = (
+        p.with_policy(OntoVersion.ORIGINAL)
+        .report()
+        .to_pandas()
+        .rename(columns={"count()": "n_original"})
+    )
+    b = (
+        p.with_policy(OntoVersion.ORIGINAL_FAILOVER_LIVE_LATEST)
+        .report()
+        .to_pandas()
+        .rename(columns={"count()": "n_failover"})
+    )
+    out = a.merge(b, on=["category", "format"], how="outer")  # NaN keys match
+    for c in ("n_original", "n_failover"):
+        out[c] = out[c].fillna(0).astype("int64")
+    return out.sort_values(["category", "format"]).reset_index(drop=True)
+
+
 def kg_triples_canonical(sf_dir: str):
     return _pipe(sf_dir).triples_canonical()
+
+
+def kg_nir_report(sf_dir: str) -> pd.DataFrame:
+    """A4 NIR-check aggregate (aggregate_results_NIRcheck.py:133-138): per
+    parsed snapshot FILE, does the requested ontology's IRI occur in
+    subject position of its triples, and how many triples parsed?  Runs
+    over the SERIALIZED RDF snapshots through the distributed Turtle
+    parse (the reference's rapper + uri_in_subject_position pass); the
+    fixture plants foreign-content snapshots (classes describing another
+    ontology) so the predicate genuinely splits.  The oracle restates it
+    over the equivalent snapshot-content table -- equality revalidates
+    the parser too."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ontology_time_machine_ray.functions.broadcast import cached_get
+    from ontology_time_machine_ray.sources.readers import parse_snapshot_rdf_batch
+
+    p = _pipe(sf_dir)
+    idx = pq.read_table(p.paths.ontology_index, columns=["ontology_id", "iri"])
+    base_ref = ray.put(
+        dict(
+            zip(
+                idx["ontology_id"].to_pylist(),
+                (i.rstrip("/") for i in idx["iri"].to_pylist()),
+            )
+        )
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        bases = cached_get(base_ref)
+        nir, n_triples = [], []
+        for oid, cls, props, sa, ea in zip(
+            df["ontology_id"], df["classes"], df["properties"],
+            df["same_as_a"], df["equiv_a"],
+        ):
+            subs = {s.split("#")[0] for s in (*cls, *props, *sa, *ea)}
+            nir.append(bases.get(oid) in subs)
+            n_triples.append(len(cls) + len(props) + len(sa) + len(ea))
+        return pd.DataFrame(
+            {
+                "uri_in_subject_position": pd.Series(nir, dtype="bool"),
+                "parsed_triples": pd.Series(n_triples, dtype="int64"),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(p.paths.snapshot_rdf)
+        .map_batches(parse_snapshot_rdf_batch, batch_format="pandas")
+        .map_batches(score, batch_format="pandas")
+        .map_batches(
+            lambda df: df.groupby("uri_in_subject_position", as_index=False).agg(
+                n_snapshots=("parsed_triples", "size"),
+                parsed_triples=("parsed_triples", "sum"),
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()  # <= 2 rows per block partial
+    )
+    out = parts.groupby("uri_in_subject_position", as_index=False).agg(
+        n_snapshots=("n_snapshots", "sum"), parsed_triples=("parsed_triples", "sum")
+    )
+    return out.astype(
+        {"n_snapshots": "int64", "parsed_triples": "int64"}
+    ).sort_values("uri_in_subject_position").reset_index(drop=True)
 
 
 class _RdfParsedPaths(FixturePaths):
@@ -722,6 +817,8 @@ QUERIES = {
     "kg_mentions": kg_mentions,
     "kg_status": kg_status,
     "kg_report": kg_report,
+    "kg_report_ab": kg_report_ab,
+    "kg_nir_report": kg_nir_report,
     "kg_triples": kg_triples,
     "kg_triples_from_rdf": kg_triples_from_rdf,
     "kg_triples_canonical": kg_triples_canonical,
@@ -861,4 +958,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     # RDF-parsed snapshot ingestion must equal the table-driven build --
     # sharing the statement IS the parser-correctness claim
     out["kg_triples_from_rdf"] = out["kg_triples"]
+    out["kg_report_ab"] = sql_oracles.kg_report_ab_sql(
+        paths.root, DEFAULT_CONFIG.timestamp
+    )
+    out["kg_nir_report"] = sql_oracles.kg_nir_report_sql(paths.root)
     return out

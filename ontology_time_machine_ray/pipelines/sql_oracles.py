@@ -568,6 +568,60 @@ FROM s CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) t""",
     return bodies[name].replace("__ROOT__", fixture_root).replace("__T__", timestamp)
 
 
+def kg_nir_report_sql(fixture_root: str) -> str:
+    """NIR-check oracle over the TABLE-DRIVEN snapshot content (the Ray
+    side parses the serialized RDF -- equality also revalidates the
+    parser)."""
+    return f"""
+WITH content AS (SELECT * FROM read_parquet('{fixture_root}/snapshot_content.parquet')),
+idx AS (SELECT * FROM read_parquet('{fixture_root}/ontology_index.parquet')),
+per AS (
+  SELECT c.ontology_id, c.version,
+         CAST(len(c.classes) + len(c.properties) + len(c.same_as_a)
+              + len(c.equiv_a) AS BIGINT) AS parsed_triples,
+         list_contains(
+           [split_part(x, '#', 1)
+            FOR x IN list_concat(list_concat(c.classes, c.properties),
+                                 list_concat(c.same_as_a, c.equiv_a))],
+           rtrim(i.iri, '/')) AS uri_in_subject_position
+  FROM content c JOIN idx i USING (ontology_id))
+SELECT uri_in_subject_position,
+       CAST(count(*) AS BIGINT) AS n_snapshots,
+       CAST(sum(parsed_triples) AS BIGINT) AS parsed_triples
+FROM per GROUP BY 1"""
+
+
+def kg_report_ab_sql(fixture_root: str, timestamp: str = "2021-06-01") -> str:
+    """A/B policy report: the kg_report chain evaluated TWICE with the
+    per-row policy column overridden to a fixed policy (exactly what
+    KgPipeline.with_policy does -- per_row_policy=False), full-outer
+    joined on (category, format) with NULL-safe key equality."""
+
+    def fixed(policy: str) -> str:
+        body = (
+            f"WITH {_MENTIONS_CTES},{_ROUTING_CTES}\n"
+            "SELECT category, report_fmt AS format, count(*) AS n "
+            "FROM outcome GROUP BY 1, 2"
+        )
+        forced = body.replace(
+            "SELECT doc_id, accept, policy,\n",
+            f"SELECT doc_id, accept, '{policy}' AS policy,\n",
+            1,
+        )
+        assert forced != body, "raw_spans policy projection not found"
+        return forced.replace("__ROOT__", fixture_root).replace("__T__", timestamp)
+
+    return f"""
+WITH a AS ({fixed('original')}),
+     b AS ({fixed('originalFailoverLiveLatest')})
+SELECT coalesce(a.category, b.category) AS category,
+       coalesce(a.format, b.format) AS format,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_original,
+       CAST(coalesce(b.n, 0) AS BIGINT) AS n_failover
+FROM a FULL OUTER JOIN b
+  ON a.category = b.category AND a.format IS NOT DISTINCT FROM b.format"""
+
+
 #: testdata-view queries (driver pre-registers the views).
 STOP_RE = "|".join(("the", "a", "and", "of", "to", "in", "is"))
 
