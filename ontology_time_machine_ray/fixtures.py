@@ -51,7 +51,7 @@ GENERATOR_VERSION = "otm-fixtures-v2"
 #: embeddings_aug/client_auth).  Bumping this rewrites only those tables
 #: (<1 s) and leaves the expensive documents corpus untouched -- bench
 #: corpora at x800/x1600 stay valid across small-table semantic changes.
-SMALL_TABLES_VERSION = "small-v6"
+SMALL_TABLES_VERSION = "small-v7"
 FIXTURE_ROOT = "/tmp/otm_fixtures"
 
 N_INDEX = 48  # in-index ontologies O000..O047
@@ -214,6 +214,10 @@ class FixturePaths:
         return os.path.join(self.root, "snapshot_rdf.parquet")
 
     @property
+    def media_assets(self) -> str:
+        return os.path.join(self.root, "media_assets.parquet")
+
+    @property
     def dependencies(self) -> str:
         return os.path.join(self.root, "dependencies.parquet")
 
@@ -338,6 +342,64 @@ def build_snapshots() -> tuple[pa.Table, pa.Table]:
     return (
         pa.table(content, schema=SNAPSHOT_CONTENT_SCHEMA),
         pa.table(status, schema=SNAPSHOT_STATUS_SCHEMA),
+    )
+
+
+#: media-asset store size (vocabulary-scale object store, NOT corpus-
+#: scale: payloads live behind refs at 100 TB, the engine decodes bytes).
+N_MEDIA_ASSETS = 512
+
+
+def build_media_assets() -> pa.Table:
+    """REAL binary media payloads -- P6 PPM images and RIFF/PCM WAV audio
+    built byte-by-byte from their published file formats (no codec lib
+    needed to write OR read them), so ``MediaDecoder(fake=False)`` has a
+    genuine decode path in-container.  Every ~17th asset is truncated
+    (decode must flag it as unparseable, not crash -- errors are data).
+
+    The metadata is a deterministic function of the asset index embedded
+    in the ref, which is what makes the decode ORACLE-checkable: the SQL
+    side replays the generator formulas + ``octet_length(payload)``, the
+    Ray side derives everything from the BYTES -- two independent
+    derivations that must agree."""
+    import struct
+
+    refs: list[str] = []
+    payloads: list[bytes] = []
+    for i in range(N_MEDIA_ASSETS):
+        if i % 2 == 0:
+            w = 4 + (i % 13)
+            h = 3 + ((i * 7) % 11)
+            payload = f"P6\n{w} {h}\n255\n".encode() + bytes(
+                (i + p) % 256 for p in range(w * h * 3)
+            )
+            refs.append(f"media://asset/{i:05d}.ppm")
+        else:
+            channels = 1 + ((i // 2) % 2)
+            rate = 8000 * (1 + (i % 3))
+            n_frames = 50 + ((i * 11) % 200)
+            block_align = channels * 2  # 16-bit PCM
+            data = bytes((i * 3 + p) % 256 for p in range(n_frames * block_align))
+            payload = (
+                b"RIFF"
+                + struct.pack("<I", 36 + len(data))
+                + b"WAVE"
+                + b"fmt "
+                + struct.pack(
+                    "<IHHIIHH", 16, 1, channels, rate, rate * block_align,
+                    block_align, 16,
+                )
+                + b"data"
+                + struct.pack("<I", len(data))
+                + data
+            )
+            refs.append(f"media://asset/{i:05d}.wav")
+        if i % 17 == 0:
+            payload = payload[:5]  # corrupted asset
+        payloads.append(payload)
+    return pa.table(
+        {"media_ref": refs, "payload": payloads},
+        schema=pa.schema([("media_ref", pa.string()), ("payload", pa.binary())]),
     )
 
 
@@ -612,6 +674,7 @@ def _write_small_tables(paths: FixturePaths, sf_dir: str) -> None:
     pq.write_table(content, paths.snapshot_content)
     pq.write_table(status, paths.snapshot_status)
     pq.write_table(build_snapshot_rdf(content), paths.snapshot_rdf)
+    pq.write_table(build_media_assets(), paths.media_assets)
     pq.write_table(build_embeddings_aug(sf_dir), paths.embeddings_aug)
     pq.write_table(build_client_auth(), paths.client_auth)
     pq.write_table(build_documents_pii(sf_dir), paths.documents_pii)

@@ -663,6 +663,23 @@ def media_frames(sf_dir: str):
     return media.media_pipeline(paths.documents)
 
 
+def media_decode(sf_dir: str):
+    """REAL byte-level media decode (no codec library: P6 PPM and RIFF
+    PCM WAV parsed from their published formats, truncated payloads
+    flagged not crashed).  Oracle: the generator formulas +
+    octet_length(payload) -- two independent derivations of the same
+    metadata, one from bytes, one from the recipe."""
+    paths = ensure_fixtures(sf_dir)
+    return media.media_decode_assets(paths.media_assets)
+
+
+def media_decode_frames(sf_dir: str):
+    """Frame sampling over REAL decoded PCM frame counts (the fake=False
+    FrameSampler path)."""
+    paths = ensure_fixtures(sf_dir)
+    return media.media_decode_frames(paths.media_assets)
+
+
 # --------------------------- training-data ops ------------------------ #
 def pii_scrub(sf_dir: str):
     """PII redaction over the planted-PII documents fixture (the raw
@@ -839,6 +856,8 @@ QUERIES = {
     "kg_doc_stats": kg_doc_stats,
     "media_catalog": media_catalog,
     "media_frames": media_frames,
+    "media_decode": media_decode,
+    "media_decode_frames": media_decode_frames,
     # relational / events engine ops
     "rel_q1_lineitem": relational.q1_lineitem,
     "rel_topk_orders": relational.topk_orders,
@@ -962,4 +981,6 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         paths.root, DEFAULT_CONFIG.timestamp
     )
     out["kg_nir_report"] = sql_oracles.kg_nir_report_sql(paths.root)
+    out["media_decode"] = sql_oracles.media_decode_sql(paths.root)
+    out["media_decode_frames"] = sql_oracles.media_decode_frames_sql(paths.root)
     return out

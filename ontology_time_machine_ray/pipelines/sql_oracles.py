@@ -568,6 +568,44 @@ FROM s CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) t""",
     return bodies[name].replace("__ROOT__", fixture_root).replace("__T__", timestamp)
 
 
+def media_decode_sql(fixture_root: str) -> str:
+    """Decode oracle: the ASSET GENERATOR's formulas (index embedded in
+    the ref) + octet_length of the actual payload.  The Ray side parses
+    the BYTES -- agreement proves the decoder extracts exactly what the
+    generator encoded."""
+    return f"""
+WITH a AS (
+  SELECT media_ref, payload,
+         CAST(regexp_extract(media_ref, '([0-9]+)', 1) AS BIGINT) AS i
+  FROM read_parquet('{fixture_root}/media_assets.parquet'))
+SELECT media_ref,
+       CASE WHEN i % 2 = 0 THEN 'ppm' ELSE 'wav' END AS media_type,
+       i % 17 <> 0 AS parse_ok,
+       CAST(CASE WHEN i % 2 = 0 AND i % 17 <> 0 THEN 4 + (i % 13) ELSE 0 END AS BIGINT) AS width,
+       CAST(CASE WHEN i % 2 = 0 AND i % 17 <> 0 THEN 3 + ((i * 7) % 11) ELSE 0 END AS BIGINT) AS height,
+       CAST(CASE WHEN i % 2 = 1 AND i % 17 <> 0 THEN 1 + ((i // 2) % 2) ELSE 0 END AS BIGINT) AS channels,
+       CAST(CASE WHEN i % 2 = 1 AND i % 17 <> 0 THEN 8000 * (1 + (i % 3)) ELSE 0 END AS BIGINT) AS sample_rate,
+       CAST(CASE WHEN i % 2 = 1 AND i % 17 <> 0 THEN 50 + ((i * 11) % 200) ELSE 0 END AS BIGINT) AS n_frames,
+       CAST(octet_length(payload) AS BIGINT) AS n_bytes
+FROM a"""
+
+
+def media_decode_frames_sql(fixture_root: str, k: int = 3) -> str:
+    """Frame-sample oracle over the real decoded WAV frame counts."""
+    return f"""
+WITH a AS (
+  SELECT media_ref,
+         CAST(regexp_extract(media_ref, '([0-9]+)', 1) AS BIGINT) AS i
+  FROM read_parquet('{fixture_root}/media_assets.parquet')),
+w AS (
+  SELECT media_ref, 50 + ((i * 11) % 200) AS n_frames
+  FROM a WHERE i % 2 = 1 AND i % 17 <> 0),
+s AS (SELECT media_ref, n_frames, greatest(1, n_frames // {k}) AS step FROM w)
+SELECT media_ref,
+       CAST(least(j * step, n_frames - 1) AS BIGINT) AS frame_idx
+FROM s CROSS JOIN (SELECT unnest(range({k})) AS j) t"""
+
+
 def kg_nir_report_sql(fixture_root: str) -> str:
     """NIR-check oracle over the TABLE-DRIVEN snapshot content (the Ray
     side parses the serialized RDF -- equality also revalidates the

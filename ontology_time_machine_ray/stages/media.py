@@ -49,29 +49,129 @@ def explode_media(batch: pa.Table) -> pa.Table:
     )
 
 
+import re as _re
+import struct as _struct
+
+#: P6 (binary) PPM header: magic, whitespace, width, height, maxval 255.
+_PPM_HDR = _re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+255\s")
+
+
+def decode_ppm(payload: bytes):
+    """Parse a binary PPM (P6) image from BYTES: header dims + an exact
+    pixel-buffer length check.  Returns ``(width, height)`` or ``None``
+    (malformed/truncated)."""
+    m = _PPM_HDR.match(payload)
+    if m is None:
+        return None
+    w, h = int(m.group(1)), int(m.group(2))
+    if w <= 0 or h <= 0 or len(payload) != m.end() + w * h * 3:
+        return None
+    return w, h
+
+
+def decode_wav(payload: bytes):
+    """Parse a RIFF/PCM WAV header from BYTES.  Returns ``(channels,
+    sample_rate, n_frames)`` or ``None`` (malformed/truncated/non-PCM)."""
+    b = payload
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE" or b[12:16] != b"fmt ":
+        return None
+    fmt_size, audio_fmt, channels, rate = _struct.unpack_from("<IHHI", b, 16)
+    _, block_align, bits = _struct.unpack_from("<IHH", b, 28)
+    data_off = 20 + fmt_size
+    if (
+        audio_fmt != 1  # PCM only
+        or bits != 16
+        or block_align == 0
+        or len(b) < data_off + 8
+        or b[data_off : data_off + 4] != b"data"
+    ):
+        return None
+    (data_size,) = _struct.unpack_from("<I", b, data_off + 4)
+    if len(b) < data_off + 8 + data_size:
+        return None
+    return channels, rate, data_size // block_align
+
+
 class MediaDecoder:
     """Actor-pool decode/feature stage for media assets.
 
-    Real deployments pass ``fake=False`` and implement ``_decode`` with the
-    codec of choice; batches must stay SMALL (``batch_size<=64``) because
-    each row may carry megabytes of binary payload -- the map_batches
-    caller sets that, not this class.
+    Two modes:
+
+    * ``fake=True`` (doc-side catalog plumbing): deterministic
+      ref-derived metadata -- the batch carries only refs, payloads stay
+      in the object store.
+    * ``fake=False`` (REAL decode): the batch carries a binary
+      ``payload`` column; PPM (P6) and RIFF/PCM WAV are parsed from
+      bytes in-container (published file formats, no codec library --
+      the seam where PIL/libav plug in for other containers).  Malformed
+      payloads set ``parse_ok=False`` instead of raising: errors are
+      data (the reference's error-chain idea, download_ontologies.py).
+
+    Batches must stay SMALL (``batch_size<=64``) because each row may
+    carry megabytes of binary payload -- the map_batches caller sets
+    that, not this class.
     """
 
     def __init__(self, fake: bool = True):
         self.fake = fake
 
     def _decode(self, ref: str) -> tuple[int, int, int]:
-        if not self.fake:
-            raise NotImplementedError(
-                "real media decode requires an image/audio codec library; "
-                "not available in this container"
-            )
         # deterministic fake: dimensions derived from the ref string
         n = len(ref)
         return 64 + (n % 128), 64 + ((n * 7) % 128), n
 
+    def _decode_payloads(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = {
+            "media_ref": [], "media_type": [], "parse_ok": [],
+            "width": [], "height": [], "channels": [], "sample_rate": [],
+            "n_frames": [], "n_bytes": [],
+        }
+        for ref, payload in zip(df["media_ref"], df["payload"]):
+            b = bytes(payload) if payload is not None else b""
+            mtype = ref.rsplit(".", 1)[-1]  # container routing by extension
+            w = h = ch = rate = nf = 0
+            ok = False
+            if mtype == "ppm":
+                dims = decode_ppm(b)
+                if dims is not None:
+                    w, h = dims
+                    ok = True
+            elif mtype == "wav":
+                wav = decode_wav(b)
+                if wav is not None:
+                    ch, rate, nf = wav
+                    ok = True
+            out["media_ref"].append(ref)
+            out["media_type"].append(mtype)
+            out["parse_ok"].append(ok)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["channels"].append(ch)
+            out["sample_rate"].append(rate)
+            out["n_frames"].append(nf)
+            out["n_bytes"].append(len(b))
+        return pd.DataFrame(
+            {
+                "media_ref": pd.Series(out["media_ref"], dtype="object"),
+                "media_type": pd.Series(out["media_type"], dtype="object"),
+                "parse_ok": pd.Series(out["parse_ok"], dtype="bool"),
+                "width": pd.Series(out["width"], dtype="int64"),
+                "height": pd.Series(out["height"], dtype="int64"),
+                "channels": pd.Series(out["channels"], dtype="int64"),
+                "sample_rate": pd.Series(out["sample_rate"], dtype="int64"),
+                "n_frames": pd.Series(out["n_frames"], dtype="int64"),
+                "n_bytes": pd.Series(out["n_bytes"], dtype="int64"),
+            }
+        )
+
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if not self.fake:
+            if "payload" not in df.columns:
+                raise ValueError(
+                    "MediaDecoder(fake=False) decodes BYTES: the batch "
+                    "must carry a binary 'payload' column"
+                )
+            return self._decode_payloads(df)
         dims = [self._decode(r) for r in df["media_ref"]]
         w, h, nb = zip(*dims) if dims else ((), (), ())
         return pd.DataFrame(
@@ -119,7 +219,21 @@ class FrameSampler:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if not self.fake:
-            raise NotImplementedError("real frame sampling requires a video codec library")
+            # REAL path: n_frames comes from an actual decode (e.g. WAV
+            # PCM frame count), not a payload-size heuristic
+            rows = {"media_ref": [], "frame_idx": []}
+            for ref, nf in zip(df["media_ref"], df["n_frames"]):
+                n_frames = int(nf)
+                if n_frames <= 0:
+                    continue
+                step = max(1, n_frames // self.k)
+                for i in range(self.k):
+                    rows["media_ref"].append(ref)
+                    rows["frame_idx"].append(min(i * step, n_frames - 1))
+            return pd.DataFrame(
+                {"media_ref": pd.Series(rows["media_ref"], dtype="object"),
+                 "frame_idx": pd.Series(rows["frame_idx"], dtype="int64")}
+            )
         rows = {"doc_id": [], "media_ref": [], "frame_idx": []}
         for did, ref, nb in zip(df["doc_id"], df["media_ref"], df["n_bytes"]):
             n_frames = 10 + (int(nb) % 90)  # deterministic fake frame count
@@ -155,6 +269,33 @@ def media_pipeline(documents_path: str, concurrency: int | None = None) -> rd.Da
         media_catalog(documents_path, concurrency=c)
         .map_batches(MediaResizer, batch_format="pandas", batch_size=64, concurrency=c)
         .map_batches(FrameSampler, batch_format="pandas", batch_size=64, concurrency=c)
+    )
+
+
+def media_decode_assets(assets_path: str, concurrency: int | None = None) -> rd.Dataset:
+    """REAL byte-level decode of the media-asset store: binary payloads ->
+    typed metadata (PPM dims / WAV audio params / parse_ok), an actor
+    pool over small batches (each row carries the payload)."""
+    return rd.read_parquet(assets_path).map_batches(
+        MediaDecoder,
+        fn_constructor_kwargs={"fake": False},
+        batch_format="pandas",
+        batch_size=64,
+        concurrency=concurrency or _media_pool_size(),
+    )
+
+
+def media_decode_frames(assets_path: str, k: int = 3, concurrency: int | None = None) -> rd.Dataset:
+    """Frame sampling over REAL decoded frame counts: decode the WAV
+    assets, then sample ``k`` evenly spaced frame indices from the actual
+    PCM frame count (parse failures and images contribute nothing)."""
+    c = concurrency or _media_pool_size()
+    return media_decode_assets(assets_path, concurrency=c).map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"k": k, "fake": False},
+        batch_format="pandas",
+        batch_size=64,
+        concurrency=c,
     )
 
 

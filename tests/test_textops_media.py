@@ -67,10 +67,57 @@ def test_media_explode_and_decode(ray_session, sf_dir):
     assert (cat["height"] == 64 + (cat["n_bytes"] * 7) % 128).all()
 
 
-def test_media_decoder_real_path_is_stubbed():
+def test_media_decoder_real_path_needs_payload():
     dec = MediaDecoder(fake=False)
-    with pytest.raises(NotImplementedError):
-        dec._decode("media://x")
+    with pytest.raises(ValueError):
+        dec(pd.DataFrame({"media_ref": ["media://x.ppm"]}))  # no payload col
+
+
+def test_decode_ppm_real_bytes():
+    from ontology_time_machine_ray.stages.media import decode_ppm
+
+    good = b"P6\n5 4\n255\n" + bytes(range(5 * 4 * 3))
+    assert decode_ppm(good) == (5, 4)
+    assert decode_ppm(good[:-1]) is None  # short pixel buffer
+    assert decode_ppm(b"P5\n5 4\n255\n") is None  # wrong magic
+    assert decode_ppm(b"P6\n5") is None  # truncated header
+
+
+def test_decode_wav_real_bytes():
+    import struct
+
+    from ontology_time_machine_ray.stages.media import decode_wav
+
+    channels, rate, n_frames = 2, 16000, 7
+    block = channels * 2
+    data = bytes(n_frames * block)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate, rate * block, block, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    assert decode_wav(wav) == (channels, rate, n_frames)
+    assert decode_wav(wav[:-1]) is None  # truncated data
+    assert decode_wav(b"RIFX" + wav[4:]) is None  # wrong magic
+    # non-PCM audio format rejected
+    bad = bytearray(wav)
+    bad[20] = 3
+    assert decode_wav(bytes(bad)) is None
+
+
+def test_media_decoder_flags_corrupted_assets(ray_session, sf_dir):
+    from ontology_time_machine_ray.fixtures import ensure_fixtures
+    from ontology_time_machine_ray.stages.media import media_decode_assets
+
+    paths = ensure_fixtures(sf_dir)
+    out = media_decode_assets(paths.media_assets).to_pandas()
+    assert len(out) == 512
+    bad = out[~out["parse_ok"]]
+    assert len(bad) > 0 and (bad["n_bytes"] == 5).all()
+    ppm = out[(out["media_type"] == "ppm") & out["parse_ok"]]
+    assert (ppm["width"] > 0).all() and (ppm["channels"] == 0).all()
+    wav = out[(out["media_type"] == "wav") & out["parse_ok"]]
+    assert (wav["n_frames"] > 0).all() and (wav["width"] == 0).all()
 
 
 def test_explode_media_empty_batch():
