@@ -57,15 +57,38 @@ PREWARM_BUDGET_S = float(os.environ.get("OTM_BENCH_PREWARM_BUDGET_S", "30"))
 
 
 def _prewarm_memory(gb: int, budget_s: float = PREWARM_BUDGET_S) -> None:
+    """Touch pages in PARALLEL: the hypervisor services concurrent faults
+    ~6x faster than a single toucher (measured 6 MB/s single vs 37 MB/s
+    at 8 processes on the cold box), so the same budget warms 6x more."""
+    import multiprocessing as mp
+
+    if gb <= 0:
+        return
+    nproc = min(8, max(1, NUM_CPUS // 2))
+    per = max(1, gb // nproc)
+    deadline = time.time() + budget_s
+    with mp.Pool(nproc) as pool:
+        results = [pool.apply_async(_touch_gb, (per,)) for _ in range(nproc)]
+        for r in results:
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                break
+            try:
+                r.get(timeout=remaining)
+            except mp.TimeoutError:
+                break
+        pool.terminate()
+
+
+def _touch_gb(gb: float) -> float:
+    """Allocate and HOLD ``gb`` GiB while touching it: freed pages are
+    recycled warm by the next allocation, so a touch-and-free loop would
+    spin on the same physical pages -- only simultaneously-resident
+    memory extends the warmed set."""
     import numpy as np
 
-    deadline = time.time() + budget_s
-    quarter = (1 << 30) // 4 // 8  # 256 MiB of float64 per touch
-    for _ in range(max(0, gb) * 4):
-        if time.time() >= deadline:
-            break
-        a = np.ones(quarter, dtype=np.float64)
-        del a
+    a = np.ones((int(gb * (1 << 30)) // 8,), dtype=np.float64)
+    return float(a[::4096].sum())
 
 
 def run_bench() -> dict:

@@ -240,10 +240,16 @@ class KgPipeline:
             deduped = self.triples().materialize()
             # the dedup can shrink a replicated corpus 1000x, leaving
             # hundreds of near-empty blocks; every downstream stage then
-            # pays per-block scheduling for no data.  Coalesce a small
-            # pinned store before the canonicalize + write tail (cheap:
-            # the data is vocabulary-scale by construction here).
-            if deduped.count() <= 1_000_000 and deduped.num_blocks() > 64:
+            # pays per-block scheduling for no data.  A VOCABULARY-scale
+            # store (guarded threshold, same family as the CC driver fast
+            # path) takes one driver bounce into a single block -- cheaper
+            # than the repartition round it replaces, and the three tail
+            # consumers (edge extraction, rewrite, write shuffle) each
+            # read one block instead of hundreds.  Above the threshold
+            # the distributed repartition coalesce runs instead.
+            if deduped.count() <= 1_000_000 and deduped.num_blocks() > 16:
+                deduped = rd.from_pandas(deduped.to_pandas())
+            elif deduped.num_blocks() > 64:
                 deduped = deduped.repartition(16).materialize()
             mapping_ds = connected_components(sameas_edges(deduped)).materialize()
             ds = canonicalize_with_mapping(deduped, mapping_ds)
