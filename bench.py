@@ -52,8 +52,8 @@ OUT_DIR = "/tmp/otm_bench_out"
 #: fault tax.  STRICTLY TIME-BOXED: the hypervisor also reclaims free
 #: pages over time, so on a fully-cold box the touch itself crawls --
 #: warm what fits in the budget and move on.  ~1-2 s on a healthy host.
-PREWARM_GB = int(os.environ.get("OTM_BENCH_PREWARM_GB", "16"))
-PREWARM_BUDGET_S = float(os.environ.get("OTM_BENCH_PREWARM_BUDGET_S", "30"))
+PREWARM_GB = int(os.environ.get("OTM_BENCH_PREWARM_GB", "24"))
+PREWARM_BUDGET_S = float(os.environ.get("OTM_BENCH_PREWARM_BUDGET_S", "120"))
 
 
 def _prewarm_memory(gb: int, budget_s: float = PREWARM_BUDGET_S) -> None:
