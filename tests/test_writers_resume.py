@@ -249,3 +249,108 @@ def test_vacuum_store_retention(ray_session, tmp_path):
         read_store_asof(out, version=0)
     with pytest.raises(ValueError):
         vacuum_store(out, keep_versions=-1)
+
+
+def test_update_retry_short_circuits(ray_session, tmp_path):
+    """Task-retry idempotency: re-applying an update whose merge already
+    landed at the SAME target version (lineage append lost, e.g. crash
+    between rename and lineage write) must short-circuit -- no spurious
+    data@{v} preservation, no inflated 'added' counts."""
+    import ray.data as rd
+
+    from ontology_time_machine_ray.sources.writers import (
+        update_partitioned,
+        write_partitioned,
+    )
+
+    def mk(lo, hi, doc):
+        df = pd.DataFrame(
+            {
+                "subj": [f"s{i % 40}" for i in range(lo, hi)],
+                "pred": ["p"] * (hi - lo),
+                "obj": [f"o{i % 60}" for i in range(lo, hi)],
+                "doc_id": [doc] * (hi - lo),
+            }
+        )
+        return rd.from_pandas(df)
+
+    kw = dict(num_partitions=8, config_hash="cfgR", key="subj",
+              dedup_keys=["subj", "pred", "obj"], dedup_order=["doc_id"])
+    out = str(tmp_path / "store")
+    write_partitioned(mk(0, 80, "dA"), out, **kw)
+    update_partitioned(mk(40, 120, "dB"), out, **kw)
+
+    before = _read_all(out)
+    preserved_before = {
+        name: sorted(f for f in os.listdir(os.path.join(out, name)) if f.startswith("data@"))
+        for name in os.listdir(out) if name.startswith("part=")
+    }
+
+    # simulate the crash: drop the lineage record of the completed update
+    lpath = os.path.join(out, "_lineage.json")
+    lin = json.load(open(lpath))
+    lin["updates"] = lin["updates"][:-1]
+    json.dump(lin, open(lpath, "w"))
+
+    # the "retry": same delta, recomputed new_version == manifest version
+    again = update_partitioned(mk(40, 120, "dB"), out, **kw)
+    assert all(a == 0 for a in again["added"].values())
+    after = _read_all(out)
+    cols = ["subj", "pred", "obj", "doc_id"]
+    pd.testing.assert_frame_equal(
+        before[cols].sort_values(cols).reset_index(drop=True),
+        after[cols].sort_values(cols).reset_index(drop=True),
+    )
+    preserved_after = {
+        name: sorted(f for f in os.listdir(os.path.join(out, name)) if f.startswith("data@"))
+        for name in os.listdir(out) if name.startswith("part=")
+    }
+    assert preserved_before == preserved_after  # no spurious data@v files
+
+
+def test_resumed_fill_in_stamps_current_version(ray_session, tmp_path):
+    """A partition first written AFTER the store accumulated updates is
+    stamped at the CURRENT store version, so as-of reads of older
+    versions exclude it instead of silently including later data."""
+    import ray.data as rd
+
+    from ontology_time_machine_ray.sources.writers import (
+        read_store_asof,
+        update_partitioned,
+        write_partitioned,
+    )
+
+    def mk(rows, doc):
+        df = pd.DataFrame(
+            {
+                "subj": [f"s{i}" for i in rows],
+                "pred": ["p"] * len(rows),
+                "obj": [f"o{i}" for i in rows],
+                "doc_id": [doc] * len(rows),
+            }
+        )
+        return rd.from_pandas(df)
+
+    kw = dict(num_partitions=4, config_hash="cfgV", key="subj",
+              dedup_keys=["subj", "pred", "obj"], dedup_order=["doc_id"])
+    out = str(tmp_path / "store")
+    write_partitioned(mk(range(40), "dA"), out, **kw)   # version 0
+    update_partitioned(mk(range(40, 60), "dB"), out, **kw)  # version 1
+    v0_rows = len(read_store_asof(out, version=0).to_pandas())
+
+    # simulate a lost partition dir, then a resumed fill-in write
+    victim = sorted(n for n in os.listdir(out) if n.startswith("part="))[0]
+    shutil.rmtree(os.path.join(out, victim))
+    write_partitioned(mk(range(60), "dC"), out, **kw)  # resume fills victim only
+
+    m = json.load(open(os.path.join(out, victim, "_manifest.json")))
+    assert m["version"] == 1 and m["created_version"] == 1
+    # as-of 0 treats the refilled partition as BORN at version 1 (a
+    # resumed partition was never DONE at v0), so it contributes nothing
+    # to v0 -- in particular none of the post-update dC rows leak back
+    v0_after = read_store_asof(out, version=0).to_pandas()
+    assert len(v0_after) < v0_rows  # victim's rows gone from v0 ...
+    assert "dC" not in set(v0_after["doc_id"])  # ... and no later data leaked
+    # the current version serves the refilled partition
+    cur = read_store_asof(out).to_pandas()
+    assert "dC" in set(cur["doc_id"])
