@@ -51,7 +51,7 @@ GENERATOR_VERSION = "otm-fixtures-v2"
 #: embeddings_aug/client_auth).  Bumping this rewrites only those tables
 #: (<1 s) and leaves the expensive documents corpus untouched -- bench
 #: corpora at x800/x1600 stay valid across small-table semantic changes.
-SMALL_TABLES_VERSION = "small-v7"
+SMALL_TABLES_VERSION = "small-v8"
 FIXTURE_ROOT = "/tmp/otm_fixtures"
 
 N_INDEX = 48  # in-index ontologies O000..O047
@@ -218,6 +218,10 @@ class FixturePaths:
         return os.path.join(self.root, "media_assets.parquet")
 
     @property
+    def download_log(self) -> str:
+        return os.path.join(self.root, "download_log.parquet")
+
+    @property
     def dependencies(self) -> str:
         return os.path.join(self.root, "dependencies.parquet")
 
@@ -342,6 +346,56 @@ def build_snapshots() -> tuple[pa.Table, pa.Table]:
     return (
         pa.table(content, schema=SNAPSHOT_CONTENT_SCHEMA),
         pa.table(status, schema=SNAPSHOT_STATUS_SCHEMA),
+    )
+
+
+def build_download_log() -> pa.Table:
+    """Nested download-log records in the reference's EXACT JSON shape
+    (experiments/download_ontologies.py:53-148: ``{url, downloads: {fmt:
+    {status_code, request_duration, content_length, error: {type,
+    type_chain, chain_details: [...]}}}}``) -- the input the M16 JSON
+    flattener consumes.  One JSON document per ontology; field values are
+    deterministic in (k, fmt); failed formats carry a nested error chain
+    of varying depth."""
+    import json as _json
+
+    rows_url: list[str] = []
+    rows_json: list[str] = []
+    for k in range(N_INDEX):
+        downloads: dict = {}
+        for fi, fmt in enumerate(FORMATS):
+            status = 200
+            if k % 7 == 3 and fmt == "owl":
+                status = 500
+            elif k % 9 == 5 and fmt == "nt":
+                status = 404
+            entry: dict = {
+                "status_code": status,
+                "request_duration_ms": 20 + (k * 13 + fi * 7) % 480,
+                "content_length": 0 if status != 200 else 1000 + (k * 37 + fi) % 9000,
+                "content_type": "text/turtle" if fmt == "ttl" else (
+                    "application/n-triples" if fmt == "nt" else "application/rdf+xml"
+                ),
+                "error": None,
+            }
+            if status != 200:
+                depth = 1 + (k % 3)
+                entry["error"] = {
+                    "type": "HTTPError" if status == 500 else "NotFoundError",
+                    "type_chain": ["RequestException"] * depth,
+                    "chain_details": [
+                        {"type": "RequestException", "message": f"hop {d} for {fmt}"}
+                        for d in range(depth)
+                    ],
+                }
+            downloads[fmt] = entry
+        rows_url.append(ont_iri(k))
+        rows_json.append(
+            _json.dumps({"url": ont_iri(k), "downloads": downloads}, sort_keys=False)
+        )
+    return pa.table(
+        {"url": rows_url, "log_json": rows_json},
+        schema=pa.schema([("url", pa.string()), ("log_json", pa.string())]),
     )
 
 
@@ -675,6 +729,7 @@ def _write_small_tables(paths: FixturePaths, sf_dir: str) -> None:
     pq.write_table(status, paths.snapshot_status)
     pq.write_table(build_snapshot_rdf(content), paths.snapshot_rdf)
     pq.write_table(build_media_assets(), paths.media_assets)
+    pq.write_table(build_download_log(), paths.download_log)
     pq.write_table(build_embeddings_aug(sf_dir), paths.embeddings_aug)
     pq.write_table(build_client_auth(), paths.client_auth)
     pq.write_table(build_documents_pii(sf_dir), paths.documents_pii)

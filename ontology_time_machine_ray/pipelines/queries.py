@@ -77,6 +77,56 @@ def kg_triples_canonical(sf_dir: str):
     return _pipe(sf_dir).triples_canonical()
 
 
+def kg_download_log(sf_dir: str):
+    """M16 JSON flattener, on the reference's REAL record shape: the
+    nested download-log documents (experiments/download_ontologies.py:
+    53-148) flattened to one typed row per (url, format) -- status,
+    timing, length, error type and error-chain depth -- in a distributed
+    ``map_batches`` pass (a log document lives in one row; the parse is
+    embarrassingly parallel).  Oracle: DuckDB's JSON functions over the
+    same documents."""
+    import json as _json
+
+    import ray.data as rd
+
+    paths = ensure_fixtures(sf_dir)
+
+    def flatten(df: pd.DataFrame) -> pd.DataFrame:
+        out = {
+            "url": [], "fmt": [], "status_code": [],
+            "request_duration_ms": [], "content_length": [],
+            "error_type": [], "error_chain_len": [],
+        }
+        for j in df["log_json"]:
+            rec = _json.loads(j)
+            for fmt, d in rec["downloads"].items():
+                err = d.get("error") or {}
+                out["url"].append(rec["url"])
+                out["fmt"].append(fmt)
+                out["status_code"].append(int(d["status_code"]))
+                out["request_duration_ms"].append(int(d["request_duration_ms"]))
+                out["content_length"].append(int(d["content_length"]))
+                out["error_type"].append(err.get("type"))
+                out["error_chain_len"].append(len(err.get("chain_details", [])))
+        return pd.DataFrame(
+            {
+                "url": pd.Series(out["url"], dtype="object"),
+                "fmt": pd.Series(out["fmt"], dtype="object"),
+                "status_code": pd.Series(out["status_code"], dtype="int64"),
+                "request_duration_ms": pd.Series(
+                    out["request_duration_ms"], dtype="int64"
+                ),
+                "content_length": pd.Series(out["content_length"], dtype="int64"),
+                "error_type": pd.Series(out["error_type"], dtype="object"),
+                "error_chain_len": pd.Series(out["error_chain_len"], dtype="int64"),
+            }
+        )
+
+    return rd.read_parquet(paths.download_log).map_batches(
+        flatten, batch_format="pandas"
+    )
+
+
 def kg_nir_report(sf_dir: str) -> pd.DataFrame:
     """A4 NIR-check aggregate (aggregate_results_NIRcheck.py:133-138): per
     parsed snapshot FILE, does the requested ontology's IRI occur in
@@ -836,6 +886,7 @@ QUERIES = {
     "kg_report": kg_report,
     "kg_report_ab": kg_report_ab,
     "kg_nir_report": kg_nir_report,
+    "kg_download_log": kg_download_log,
     "kg_triples": kg_triples,
     "kg_triples_from_rdf": kg_triples_from_rdf,
     "kg_triples_canonical": kg_triples_canonical,
@@ -981,6 +1032,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         paths.root, DEFAULT_CONFIG.timestamp
     )
     out["kg_nir_report"] = sql_oracles.kg_nir_report_sql(paths.root)
+    out["kg_download_log"] = sql_oracles.kg_download_log_sql(paths.root)
     out["media_decode"] = sql_oracles.media_decode_sql(paths.root)
     out["media_decode_frames"] = sql_oracles.media_decode_frames_sql(paths.root)
     return out

@@ -568,6 +568,26 @@ FROM s CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) t""",
     return bodies[name].replace("__ROOT__", fixture_root).replace("__T__", timestamp)
 
 
+def kg_download_log_sql(fixture_root: str) -> str:
+    """M16 oracle: DuckDB's native JSON functions flatten the same nested
+    download-log documents the Ray stage parses."""
+    return f"""
+WITH src AS (
+  SELECT log_json AS j FROM read_parquet('{fixture_root}/download_log.parquet')),
+fmts AS (
+  SELECT j, unnest(json_keys(j, '$.downloads')) AS fmt FROM src)
+SELECT j->>'$.url' AS url,
+       fmt,
+       CAST(json_extract(j, '$.downloads.' || fmt || '.status_code') AS BIGINT) AS status_code,
+       CAST(json_extract(j, '$.downloads.' || fmt || '.request_duration_ms') AS BIGINT) AS request_duration_ms,
+       CAST(json_extract(j, '$.downloads.' || fmt || '.content_length') AS BIGINT) AS content_length,
+       json_extract_string(j, '$.downloads.' || fmt || '.error.type') AS error_type,
+       CAST(coalesce(json_array_length(
+         json_extract(j, '$.downloads.' || fmt || '.error.chain_details')), 0) AS BIGINT)
+         AS error_chain_len
+FROM fmts"""
+
+
 def media_decode_sql(fixture_root: str) -> str:
     """Decode oracle: the ASSET GENERATOR's formulas (index embedded in
     the ref) + octet_length of the actual payload.  The Ray side parses
