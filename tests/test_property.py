@@ -254,3 +254,99 @@ def test_ngram_rows_matches_naive(texts, n):
         for j in range(len(w) - n + 1):
             expected.append((i, " ".join(w[j : j + n])))
     assert got == expected
+
+
+_IRI_CHARS = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Ll", "Lu", "Nd"), whitelist_characters="/._-#"
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@st.composite
+def _snapshot_content(draw):
+    """Random snapshot-content rows inside the serializer's documented
+    Turtle subset (IRIs without whitespace/<>/,/;)."""
+    n = draw(st.integers(1, 4))
+    rows = []
+    for i in range(n):
+        base = "https://ex.org/" + draw(_IRI_CHARS).strip("#") .replace("#", "")
+        classes = [f"{base}#C{j}" for j in range(draw(st.integers(0, 4)))]
+        props = [f"{base}#p{j}" for j in range(draw(st.integers(0, 3)))]
+        n_sa = draw(st.integers(0, 3))
+        sa = [draw(st.sampled_from(classes)) if classes else f"{base}#X{j}" for j in range(n_sa)]
+        sb = [f"https://other.org/o{draw(st.integers(0, 9))}#C0" for _ in range(n_sa)]
+        n_eq = draw(st.integers(0, 2))
+        ea = [f"{base}#E{j}" for j in range(n_eq)]
+        eb = [f"https://other.org/e{draw(st.integers(0, 9))}#C2" for _ in range(n_eq)]
+        rows.append(
+            {
+                "ontology_id": f"R{i:03d}",
+                "version": f"2020-0{1 + i}-01",
+                "version_ts": pd.Timestamp("2020-01-01"),
+                "classes": classes,
+                "properties": props,
+                "same_as_a": sa,
+                "same_as_b": sb,
+                "equiv_a": ea,
+                "equiv_b": eb,
+            }
+        )
+    return rows
+
+
+@given(_snapshot_content())
+@settings(max_examples=40, deadline=None)
+def test_snapshot_rdf_roundtrip_property(rows):
+    """serialize -> parse reconstructs arbitrary in-subset snapshot
+    content exactly, including empty lists and repeated subjects."""
+    import pyarrow as pa
+
+    from ontology_time_machine_ray.fixtures import build_snapshot_rdf
+    from ontology_time_machine_ray.sources.readers import parse_snapshot_rdf_batch
+
+    content = pa.Table.from_pylist(rows)
+    parsed = parse_snapshot_rdf_batch(build_snapshot_rdf(content).to_pandas())
+    orig = content.to_pandas()
+    # classes/properties: exact order (document order == list order)
+    for col in ("classes", "properties"):
+        assert [list(x) for x in parsed[col]] == [list(x) for x in orig[col]], col
+    # edges: subject-grouped serialization reorders pairs ACROSS subjects;
+    # downstream consumers (CC, triple emission) are set-semantics, so the
+    # contract is multiset equality of (a, b) pairs
+    for a_col, b_col in (("same_as_a", "same_as_b"), ("equiv_a", "equiv_b")):
+        for row_p_a, row_p_b, row_o_a, row_o_b in zip(
+            parsed[a_col], parsed[b_col], orig[a_col], orig[b_col]
+        ):
+            assert sorted(zip(row_p_a, row_p_b)) == sorted(
+                zip(list(row_o_a), list(row_o_b))
+            ), a_col
+
+
+@given(st.integers(1, 64), st.integers(1, 64))
+@settings(max_examples=30, deadline=None)
+def test_decode_ppm_property(w, h):
+    from ontology_time_machine_ray.stages.media import decode_ppm
+
+    payload = f"P6\n{w} {h}\n255\n".encode() + bytes((w + h + p) % 256 for p in range(w * h * 3))
+    assert decode_ppm(payload) == (w, h)
+    assert decode_ppm(payload + b"x") is None  # over-long buffer rejected
+
+
+@given(st.integers(1, 4), st.sampled_from([8000, 16000, 44100]), st.integers(0, 300))
+@settings(max_examples=30, deadline=None)
+def test_decode_wav_property(channels, rate, n_frames):
+    import struct
+
+    from ontology_time_machine_ray.stages.media import decode_wav
+
+    block = channels * 2
+    data = bytes((n_frames * block) % 251 for _ in range(n_frames * block))
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate, rate * block, block, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    assert decode_wav(wav) == (channels, rate, n_frames)
