@@ -146,6 +146,40 @@ def get_format_from_accept_header(headers: Optional[dict]) -> Optional[str]:
     return map_mime_to_format(selected)
 
 
+def patch_decision(
+    accept: Optional[str],
+    fmt_conf: OntoFormatConfig,
+    onto_version: OntoVersion,
+) -> bool:
+    """Whether the patch policy REPLACES the Accept header with the
+    configured mime (the branch structure of utils.py:60-100).  Split out
+    of :func:`patch_accept_header` so the config-grid sweep can report the
+    decision itself -- a string comparison of patched-vs-original cannot
+    distinguish "policy forced text/turtle" from "client already sent
+    text/turtle"."""
+    if onto_version == OntoVersion.ORIGINAL and not fmt_conf.patch_accept_upstream:
+        return False
+
+    mime_type = get_mime_type(fmt_conf.format.value)
+    parsed = parse_accept_header_with_priority(accept or "")
+    req_mimes = [m for m, _ in parsed]
+    soft = fmt_conf.precedence in (OntoPrecedence.DEFAULT, OntoPrecedence.ENFORCED_PRIORITY)
+
+    if not req_mimes and soft:
+        return True
+    if len(req_mimes) == 1 and req_mimes[0] == "*/*" and soft:
+        return True
+    if (
+        len(req_mimes) > 1
+        and mime_type in req_mimes
+        and fmt_conf.precedence == OntoPrecedence.ENFORCED_PRIORITY
+    ):
+        return True
+    if fmt_conf.precedence == OntoPrecedence.ALWAYS:
+        return True
+    return False
+
+
 def patch_accept_header(
     accept: Optional[str],
     fmt_conf: OntoFormatConfig,
@@ -164,26 +198,8 @@ def patch_accept_header(
        mime (utils.py:93-98)
     5. precedence ALWAYS -> configured mime (utils.py:99-100)
     """
-    if onto_version == OntoVersion.ORIGINAL and not fmt_conf.patch_accept_upstream:
-        return accept
-
-    mime_type = get_mime_type(fmt_conf.format.value)
-    parsed = parse_accept_header_with_priority(accept or "")
-    req_mimes = [m for m, _ in parsed]
-    soft = fmt_conf.precedence in (OntoPrecedence.DEFAULT, OntoPrecedence.ENFORCED_PRIORITY)
-
-    if not req_mimes and soft:
-        return mime_type
-    if len(req_mimes) == 1 and req_mimes[0] == "*/*" and soft:
-        return mime_type
-    if (
-        len(req_mimes) > 1
-        and mime_type in req_mimes
-        and fmt_conf.precedence == OntoPrecedence.ENFORCED_PRIORITY
-    ):
-        return mime_type
-    if fmt_conf.precedence == OntoPrecedence.ALWAYS:
-        return mime_type
+    if patch_decision(accept, fmt_conf, onto_version):
+        return get_mime_type(fmt_conf.format.value)
     return accept
 
 

@@ -521,6 +521,106 @@ def kg_client_intercept(sf_dir: str):
     return hosts.map_batches(cross, batch_format="pandas")
 
 
+def kg_config_grid(sf_dir: str):
+    """Full configuration-grid sweep (the reference's
+    tests/test_integration.py:140-172 ``get_parameter_combinations``):
+    every ontoFormat(4) x ontoPrecedence(3) x patchAcceptUpstream(2) x
+    ontoVersion(4) combination applied to every document's Accept header,
+    aggregated to per-combination resolved-downstream-format counts plus
+    how many headers the patch policy rewrote (utils.py:60-157 semantics).
+
+    Scale shape: ONE combiner pass over the corpus (per-batch Accept
+    histogram -> bounded partials), a tiny bucketed aggregate on the
+    distinct headers, and the 96-combo cross product applied to that
+    distinct-header aggregate -- config-plane work, never per corpus row.
+    """
+    import ray.data as rd
+
+    from ontology_time_machine_ray.config import (
+        OntoFormat,
+        OntoFormatConfig,
+        OntoPrecedence,
+        OntoVersion,
+    )
+    from ontology_time_machine_ray.functions.negotiate import (
+        get_format_from_accept_header,
+        get_mime_type,
+        patch_decision,
+    )
+    from ontology_time_machine_ray.stages.groupagg import grouped_aggregate
+
+    paths = ensure_fixtures(sf_dir)
+    docs = rd.read_parquet(paths.documents, columns=["accept"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        # '' sentinel for the null header: pandas groupby drops NaN keys
+        return (
+            df.assign(accept=df["accept"].fillna(""))
+            .groupby("accept", as_index=False)
+            .agg(n=("accept", "size"))
+        )
+
+    per_accept = grouped_aggregate(
+        docs.map_batches(hist, batch_format="pandas"), ["accept"], {"n": ("n", "sum")}
+    )
+
+    def sweep(df: pd.DataFrame) -> pd.DataFrame:
+        # rows here = DISTINCT Accept headers, not corpus rows; the Python
+        # loop is over (distinct headers x 96 configs), config-plane scale
+        rows = []
+        for accept_s, n in zip(df["accept"], df["n"]):
+            accept = accept_s or None
+            for fmt in OntoFormat:
+                for prec in OntoPrecedence:
+                    for patch in (0, 1):
+                        conf = OntoFormatConfig(
+                            format=fmt,
+                            precedence=prec,
+                            patch_accept_upstream=bool(patch),
+                        )
+                        for ver in OntoVersion:
+                            forced = patch_decision(accept, conf, ver)
+                            header = get_mime_type(fmt.value) if forced else accept
+                            resolved = get_format_from_accept_header(
+                                {"Accept": header} if header else None
+                            )
+                            rows.append(
+                                (
+                                    fmt.value,
+                                    prec.value,
+                                    patch,
+                                    ver.value,
+                                    resolved or "",
+                                    int(n),
+                                    int(forced) * int(n),
+                                )
+                            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "onto_format",
+                "onto_precedence",
+                "patch_accept_upstream",
+                "onto_version",
+                "resolved_format",
+                "n_docs",
+                "n_patched",
+            ],
+        )
+
+    out = grouped_aggregate(
+        per_accept.map_batches(sweep, batch_format="pandas"),
+        ["onto_format", "onto_precedence", "patch_accept_upstream", "onto_version", "resolved_format"],
+        {"n_docs": ("n_docs", "sum"), "n_patched": ("n_patched", "sum")},
+    )
+    return out.map_batches(
+        lambda df: df.assign(
+            resolved_format=df["resolved_format"].replace("", None)
+        ),
+        batch_format="pandas",
+    )
+
+
 def kg_doc_stats(sf_dir: str):
     """Per-document KG enrichment: mention count, index-match count, and
     emitted-triple count -- the three partials co-located by ONE doc_id
@@ -904,6 +1004,7 @@ QUERIES = {
     "kg_intercept_modes": kg_intercept_modes,
     "kg_client_config": kg_client_config,
     "kg_client_intercept": kg_client_intercept,
+    "kg_config_grid": kg_config_grid,
     "kg_doc_stats": kg_doc_stats,
     "media_catalog": media_catalog,
     "media_frames": media_frames,
@@ -1005,6 +1106,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["dedup_embed_keep"] = sql_oracles.embed_dedup_keep_sql(paths.root)
     out["kg_client_config"] = sql_oracles.client_config_sql(paths.root)
     out["kg_client_intercept"] = sql_oracles.client_intercept_sql(paths.root)
+    out["kg_config_grid"] = sql_oracles.config_grid_sql(paths.root)
     out["ann_lsh"] = sql_oracles.ann_lsh_sql(
         similarity._emb_dim(os.path.join(sf_dir, "embeddings.parquet"))
     )

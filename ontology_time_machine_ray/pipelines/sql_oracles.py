@@ -1497,6 +1497,78 @@ SELECT doc_id,
 FROM d"""
 
 
+def config_grid_sql(fixture_root: str) -> str:
+    """Independent SQL restatement of the full configuration-grid sweep
+    (reference tests/test_integration.py:140-172): the 4x3x2x4 config grid
+    crossed with a per-Accept-header corpus histogram, the patch policy
+    (utils.py:60-100) as an explicit CASE over hand-derived facts about
+    the 8 corpus Accept headers (mime count, sole-*/*, configured-mime
+    membership, unpatched resolution per utils.py:103-157)."""
+    body = f"""WITH acc AS (
+    SELECT coalesce(accept, '<null>') AS accept, COUNT(*) AS n
+    FROM read_parquet('__ROOT__/documents_interleaved.parquet')
+    GROUP BY 1
+  ),
+  traits AS (
+    SELECT accept, n,
+      CASE WHEN accept = '<null>' THEN 0
+           WHEN accept IN ('text/turtle', '*/*', 'application/json') THEN 1
+           WHEN accept IN ('{A_NT}', '{A_OWL2}') THEN 2
+           WHEN accept = '{A_OWL1}' THEN 3
+           WHEN accept = '{A_HTML}' THEN 5 END AS n_mimes,
+      (accept = '*/*') AS sole_star,
+      CASE WHEN accept = 'text/turtle' THEN 'ttl'
+           WHEN accept = '{A_OWL1}' THEN 'owl'
+           WHEN accept = '{A_NT}' THEN 'nt'
+           WHEN accept = '{A_OWL2}' THEN 'owl'
+           ELSE NULL END AS orig_fmt,
+      (accept IN ('text/turtle', '{A_OWL1}')) AS has_ttl_mime,
+      (accept IN ('{A_NT}', '{A_OWL2}')) AS has_nt_mime,
+      (accept = '{A_OWL1}') AS has_owl_mime,
+      (accept = '{A_HTML}') AS has_html_mime
+    FROM acc
+  ),
+  grid AS (
+    SELECT f.onto_format, f.cfg_fmt, p.onto_precedence,
+           u.patch_accept_upstream, v.onto_version
+    FROM (VALUES ('turtle', 'ttl'), ('ntriples', 'nt'),
+                 ('rdfxml', 'owl'), ('htmldocu', NULL))
+         AS f(onto_format, cfg_fmt)
+    CROSS JOIN (VALUES ('default'), ('enforcedPriority'), ('always'))
+         AS p(onto_precedence)
+    CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)))
+         AS u(patch_accept_upstream)
+    CROSS JOIN (VALUES ('original'), ('originalFailoverLiveLatest'),
+                       ('latestArchived'), ('timestampArchived'))
+         AS v(onto_version)
+  ),
+  decided AS (
+    SELECT g.*, t.n, t.orig_fmt,
+      CASE
+        WHEN g.onto_version = 'original' AND g.patch_accept_upstream = 0
+          THEN 0
+        WHEN (t.n_mimes = 0 OR (t.n_mimes = 1 AND t.sole_star))
+             AND g.onto_precedence IN ('default', 'enforcedPriority')
+          THEN 1
+        WHEN t.n_mimes > 1 AND g.onto_precedence = 'enforcedPriority' AND
+             ((g.onto_format = 'turtle' AND t.has_ttl_mime) OR
+              (g.onto_format = 'ntriples' AND t.has_nt_mime) OR
+              (g.onto_format = 'rdfxml' AND t.has_owl_mime) OR
+              (g.onto_format = 'htmldocu' AND t.has_html_mime))
+          THEN 1
+        WHEN g.onto_precedence = 'always' THEN 1
+        ELSE 0 END AS patched
+    FROM grid g CROSS JOIN traits t
+  )
+SELECT onto_format, onto_precedence, patch_accept_upstream, onto_version,
+  CASE WHEN patched = 1 THEN cfg_fmt ELSE orig_fmt END AS resolved_format,
+  CAST(SUM(n) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN patched = 1 THEN n ELSE 0 END) AS BIGINT) AS n_patched
+FROM decided
+GROUP BY 1, 2, 3, 4, 5"""
+    return body.replace("__ROOT__", fixture_root)
+
+
 def client_intercept_sql(fixture_root: str) -> str:
     """Composition oracle: the parsed per-client config (client_config_sql)
     cross-joined with the corpus's distinct hosts, interception decided by

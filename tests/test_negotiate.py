@@ -124,3 +124,48 @@ def test_resolve_format_vector():
     patched, fmts = resolve_format_vector(accepts, policies, DEFAULT)
     assert fmts == ["ttl", "owl", "ttl", "ttl", None, None]
     assert patched[2] == "text/turtle" and patched[3] == "text/turtle"
+
+
+def test_config_grid_invariants(ray_session, sf_dir):
+    """kg_config_grid semantic invariants over the full 96-combo sweep."""
+    import pandas as pd
+
+    from ontology_time_machine_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["kg_config_grid"](sf_dir).to_pandas()
+    key = ["onto_format", "onto_precedence", "patch_accept_upstream", "onto_version"]
+    per_combo = df.groupby(key, dropna=False)["n_docs"].sum()
+    # every combo partitions the whole corpus
+    assert per_combo.nunique() == 1
+    n_corpus = int(per_combo.iloc[0])
+    assert set(df["onto_format"]) == {"turtle", "ntriples", "rdfxml", "htmldocu"}
+    assert len(per_combo) == 4 * 3 * 2 * 4
+
+    # ALWAYS precedence outside the original+unpatched guard rewrites ALL
+    # headers to the configured mime -> one resolved format per combo
+    always = df[
+        (df["onto_precedence"] == "always")
+        & ~((df["onto_version"] == "original") & (df["patch_accept_upstream"] == 0))
+    ]
+    expect = {"turtle": "ttl", "ntriples": "nt", "rdfxml": "owl", "htmldocu": None}
+    for fmt, grp in always.groupby("onto_format"):
+        assert (grp["n_patched"] == grp["n_docs"]).all()
+        resolved = grp["resolved_format"]
+        assert set(pd.isna(v) and None or v for v in resolved) == {expect[fmt]}
+
+    # original + patch_accept_upstream=0 never patches (utils.py:66-70) and
+    # resolves identically for every format/precedence
+    orig = df[(df["onto_version"] == "original") & (df["patch_accept_upstream"] == 0)]
+    assert (orig["n_patched"] == 0).all()
+    base = None
+    for _, grp in orig.groupby(["onto_format", "onto_precedence"]):
+        dist = (
+            grp.assign(resolved_format=grp["resolved_format"].fillna("<null>"))
+            .set_index("resolved_format")["n_docs"]
+            .sort_index()
+        )
+        if base is None:
+            base = dist
+        else:
+            pd.testing.assert_series_equal(dist, base)
+    assert base.sum() == n_corpus
