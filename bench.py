@@ -211,6 +211,7 @@ def run_bench() -> dict:
 
         timed("corpus_mix", lambda: corpus_mix(SF_DIR))
         from ontology_time_machine_ray.stages.textops import (
+            dedup_segments,
             inverted_index,
             tfidf_topk,
             winnow_dup_pairs,
@@ -219,6 +220,7 @@ def run_bench() -> dict:
         timed("inverted_index", lambda: inverted_index(SF_DIR, min_df=2))
         timed("tfidf_topk", lambda: tfidf_topk(SF_DIR))
         timed("winnow_dup_pairs", lambda: winnow_dup_pairs(SF_DIR))
+        timed("dedup_segments", lambda: dedup_segments(SF_DIR))
 
     ray.shutdown()
     return {

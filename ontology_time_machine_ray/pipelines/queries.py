@@ -1059,6 +1059,7 @@ QUERIES = {
     "lang_id": textops.lang_id,
     # dedup family
     "dedup_exact": textops.dedup_exact,
+    "dedup_segments": textops.dedup_segments,
     "corpus_clean": textops.corpus_clean,
     "dedup_jaccard": dedup_jaccard,
     "dedup_minhash": dedup_minhash,
@@ -1119,6 +1120,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         WINNOW_MIN_SHARED, WINNOW_MAX_FP_DF
     )
     out["dup_ngrams"] = sql_oracles.dup_ngrams_sql(DUP_NGRAM_N)
+    out["dedup_segments"] = sql_oracles.dedup_segments_sql(textops.SEG_W)
     out["embed_kmeans"] = sql_oracles.embed_kmeans_sql()
     out["ann_ivf"] = sql_oracles.ann_ivf_sql()
     from ontology_time_machine_ray.stages.packing import DEFAULT_MIX_E6

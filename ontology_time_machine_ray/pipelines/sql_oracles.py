@@ -1420,6 +1420,35 @@ FROM g JOIN d USING (gram)
 GROUP BY g.doc_id"""
 
 
+def dedup_segments_sql(seg_w: int) -> str:
+    """``dedup_segments`` restatement: same lowercase ``\\S+`` tokens, the
+    same non-overlapping ``seg_w``-token segments keyed by the 52-bit md5
+    prefix of the joined segment text, global first occurrence (min
+    ``(doc_id, seg_idx)``) kept via ROW_NUMBER, per-doc survival counts."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents
+  WHERE len(regexp_extract_all(lower(text), '\\S+')) >= 1),
+segs AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+    CAST(concat('0x', substr(md5(array_to_string(
+      list_slice(t, i * {seg_w} + 1, i * {seg_w} + {seg_w}), ' ')), 1, 13))
+      AS BIGINT) AS seg,
+    CAST(least({seg_w}, len(t) - i * {seg_w}) AS BIGINT) AS n_tok
+  FROM (SELECT doc_id, t,
+          unnest(range(0, (len(t) + {seg_w - 1}) // {seg_w})) AS i
+        FROM toks)),
+r AS (
+  SELECT doc_id, n_tok,
+    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+  FROM segs)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_segs,
+  CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+  CAST(COALESCE(SUM(n_tok) FILTER (WHERE rn = 1), 0) AS BIGINT) AS n_tokens_kept
+FROM r GROUP BY doc_id"""
+
+
 def winnow_dup_pairs_sql(min_shared: int, max_fp_df: int) -> str:
     """``winnow_dup_pairs`` restatement on top of the text_winnow CTE
     chain: fp groups bounded by the same df cap, pair counts via

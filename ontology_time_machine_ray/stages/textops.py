@@ -516,6 +516,111 @@ def dup_ngrams(sf_dir: str, n: int = 5, docs_ds: rd.Dataset | None = None) -> rd
     )
 
 
+#: non-overlapping segment width (tokens) for exact segment-level dedup.
+SEG_W = 16
+
+
+def _segment_rows(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, seg_idx, seg, n_tok) for the non-overlapping ``SEG_W``-token
+    segments of every document, fully vectorized: one token explode,
+    ``SEG_W`` shifted gathers (the ``ngram_rows`` idiom, stride ``SEG_W``
+    instead of 1), one ``str.cat``, one batched md5.  Out-of-segment slots
+    gather '' so only trailing spaces appear; ``rstrip`` restores the
+    partial final segment exactly (tokens are ``\\S+`` -- no inner
+    whitespace to eat)."""
+    import numpy as np
+
+    toks = df["text"].astype("string").fillna("").str.lower().str.findall(r"\S+")
+    lengths = toks.str.len().to_numpy().astype(np.int64)
+    total = int(lengths.sum())
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "seg_idx": pd.Series([], dtype="int64"),
+            "seg": pd.Series([], dtype="int64"),
+            "n_tok": pd.Series([], dtype="int64"),
+        }
+    )
+    if total == 0:
+        return empty
+    flat = toks.explode().dropna().to_numpy()
+    doc_idx = np.repeat(np.arange(len(df)), lengths)
+    doc_start = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    pos = np.arange(total) - np.repeat(doc_start, lengths)  # within-doc
+    starts = np.flatnonzero(pos % SEG_W == 0)
+    seg_doc = doc_idx[starts]
+    n_tok = np.minimum(SEG_W, lengths[seg_doc] - pos[starts])
+    parts = []
+    for i in range(SEG_W):
+        valid = i < n_tok
+        safe = np.where(valid, np.minimum(starts + i, total - 1), 0)
+        parts.append(pd.Series(np.where(valid, flat[safe], ""), dtype="string"))
+    seg_text = parts[0].str.cat(parts[1:], sep=" ").str.rstrip()
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].to_numpy()[seg_doc],
+            "seg_idx": (pos[starts] // SEG_W).astype("int64"),
+            "seg": md5_prefix_int_series(seg_text, 13),
+            "n_tok": n_tok.astype("int64"),
+        }
+    )
+
+
+def dedup_segments(sf_dir: str, docs_ds: rd.Dataset | None = None) -> rd.Dataset:
+    """Exact segment-level dedup (the paragraph/line dedup of RefinedWeb,
+    Penedo et al. 2023 sec. 4.2, and MassiveText, Rae et al. 2021 A1.2,
+    restated on fixed ``SEG_W``-token segments for this corpus shape):
+    corpus-wide, only the FIRST occurrence of each distinct segment
+    (min ``(doc_id, seg_idx)``) survives; per document, how many of its
+    segments and tokens survive.
+
+    Scale shape: segments are batch-local (one vectorized explode), the
+    keep decision needs each distinct segment's global first occurrence,
+    so segments co-locate via ONE hash-bucket shuffle on the 52-bit md5
+    segment key (the oracle replays the hash, so both engines agree even
+    on collisions); per-doc counts reduce through a per-batch combiner +
+    one doc-bucketed sum.  Nothing is broadcast and no stage sees more
+    than a bucket of the corpus.
+    """
+    from ontology_time_machine_ray.stages.groupagg import (
+        grouped_aggregate,
+        grouped_apply,
+    )
+
+    docs = docs_ds or _read_docs(sf_dir)
+    rows = docs.map_batches(_segment_rows, batch_format="pandas")
+
+    def keep_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["seg", "doc_id", "seg_idx"], kind="stable")
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "kept": (~g.duplicated("seg")).astype("int64"),
+                "n_tok": g["n_tok"],
+            }
+        )
+
+    flagged = grouped_apply(rows, ["seg"], keep_in_bucket)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(kept_tok=df["kept"] * df["n_tok"])
+        return df.groupby("doc_id", as_index=False).agg(
+            n_segs=("kept", "size"),
+            n_kept=("kept", "sum"),
+            n_tokens_kept=("kept_tok", "sum"),
+        )
+
+    return grouped_aggregate(
+        flagged.map_batches(partial, batch_format="pandas"),
+        ["doc_id"],
+        {
+            "n_segs": ("n_segs", "sum"),
+            "n_kept": ("n_kept", "sum"),
+            "n_tokens_kept": ("n_tokens_kept", "sum"),
+        },
+    )
+
+
 #: integer thresholds for the repetition flag (Gopher-style filter):
 #: flagged when >20% of bigram instances are duplicates OR the single most
 #: frequent bigram accounts for >8% of all bigram instances.

@@ -475,3 +475,46 @@ def test_decontaminate_fallback_matches_broadcast(ray_session, sf_dir):
         cb.astype({"doc_id": "int64", "fingerprint": "string"}),
     )
     assert len(ca) > 0
+
+
+def test_dedup_segments_vs_naive(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_time_machine_ray.stages.textops import SEG_W, dedup_segments
+
+    seg_a = " ".join(f"w{i}" for i in range(SEG_W))          # full segment
+    seg_b = " ".join(f"x{i}" for i in range(SEG_W))
+    tail = "odd bits"                                         # partial segment
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                f"{seg_a} {seg_b} {tail}",          # 3 segments, all first
+                f"{seg_a} {tail}",                  # seg_a dup, tail dup
+                f"{seg_b} {seg_b}",                 # second copy dups the first
+                "UNIQUE little doc",                # lowercased, kept
+            ],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+    got = dedup_segments(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+
+    # brute force: global first occurrence by (doc_id, seg_idx)
+    seen, want = {}, {d: [0, 0, 0] for d in docs["doc_id"]}
+    for d, text in sorted(zip(docs["doc_id"], docs["text"])):
+        toks = text.lower().split()
+        for si in range(0, (len(toks) + SEG_W - 1) // SEG_W):
+            seg = " ".join(toks[si * SEG_W : (si + 1) * SEG_W])
+            want[d][0] += 1
+            if seg not in seen:
+                seen[seg] = (d, si)
+                want[d][1] += 1
+                want[d][2] += len(seg.split())
+    for d, (n_segs, n_kept, n_tok) in want.items():
+        assert got.loc[d, "n_segs"] == n_segs
+        assert got.loc[d, "n_kept"] == n_kept
+        assert got.loc[d, "n_tokens_kept"] == n_tok
+    # doc 2 repeats doc 1's seg_a; doc 3's two seg_b copies both dup doc 1
+    assert got.loc[2, "n_kept"] < got.loc[2, "n_segs"]
+    assert got.loc[3, "n_kept"] == 0 and got.loc[3, "n_segs"] == 2
