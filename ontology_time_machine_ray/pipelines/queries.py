@@ -621,6 +621,25 @@ def kg_config_grid(sf_dir: str):
     )
 
 
+#: percentage kept by the quality-head selection query.
+QUALITY_TOP_PCT = 25
+
+
+def quality_top_pct(sf_dir: str):
+    """Keep the best ``QUALITY_TOP_PCT``% of the corpus by quality score,
+    EXACTLY (score DESC, doc_id ASC rank cutoff), without a global sort:
+    distributed order-statistic selection via score histogram + iterative
+    id-histogram refinement (stages/selection.py)."""
+    from ontology_time_machine_ray.stages.selection import exact_top_n
+
+    return exact_top_n(
+        textops.quality_score(sf_dir),
+        pct=QUALITY_TOP_PCT,
+        score_col="quality",
+        id_col="doc_id",
+    )
+
+
 def kg_doc_stats(sf_dir: str):
     """Per-document KG enrichment: mention count, index-match count, and
     emitted-triple count -- the three partials co-located by ONE doc_id
@@ -1055,6 +1074,7 @@ QUERIES = {
     "winnow_dup_pairs": winnow_dup_pairs,
     "dup_ngrams": dup_ngrams,
     "text_quality": textops.quality_score,
+    "quality_top_pct": quality_top_pct,
     "text_fingerprint": textops.fingerprints,
     "lang_id": textops.lang_id,
     # dedup family
@@ -1121,6 +1141,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     )
     out["dup_ngrams"] = sql_oracles.dup_ngrams_sql(DUP_NGRAM_N)
     out["dedup_segments"] = sql_oracles.dedup_segments_sql(textops.SEG_W)
+    out["quality_top_pct"] = sql_oracles.quality_top_pct_sql(QUALITY_TOP_PCT)
     out["embed_kmeans"] = sql_oracles.embed_kmeans_sql()
     out["ann_ivf"] = sql_oracles.ann_ivf_sql()
     from ontology_time_machine_ray.stages.packing import DEFAULT_MIX_E6

@@ -1449,6 +1449,19 @@ SELECT doc_id,
 FROM r GROUP BY doc_id"""
 
 
+def quality_top_pct_sql(pct: int) -> str:
+    """``quality_top_pct`` restatement: the engine's histogram-refinement
+    selection must equal a plain ``(quality DESC, doc_id ASC)`` rank
+    cutoff at ``ceil(total * pct / 100)`` over the text_quality scores."""
+    return f"""
+WITH q AS ({TESTDATA_SQL['text_quality']}),
+r AS (SELECT doc_id, quality,
+        ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id ASC) AS rk,
+        COUNT(*) OVER () AS total
+      FROM q)
+SELECT doc_id, quality FROM r WHERE rk <= (total * {pct} + 99) // 100"""
+
+
 def winnow_dup_pairs_sql(min_shared: int, max_fp_df: int) -> str:
     """``winnow_dup_pairs`` restatement on top of the text_winnow CTE
     chain: fp groups bounded by the same df cap, pair counts via
