@@ -459,3 +459,9 @@ class KgPipeline:
     def with_policy(self, policy, **kw) -> "KgPipeline":
         cfg = replace(self.config, onto_version=policy, per_row_policy=False, **kw)
         return replace(self, config=cfg)
+
+    def with_timestamp(self, timestamp: str) -> "KgPipeline":
+        """Same pipeline at a different time-machine coordinate (the
+        snapshot store resolves each ontology to the latest version_ts <=
+        timestamp; config.py:73-84)."""
+        return replace(self, config=replace(self.config, timestamp=timestamp))

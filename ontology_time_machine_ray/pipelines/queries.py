@@ -77,6 +77,58 @@ def kg_triples_canonical(sf_dir: str):
     return _pipe(sf_dir).triples_canonical()
 
 
+#: the second (earlier) time-machine coordinate for the version diff.
+KG_DIFF_OLD_TS = "2020-06-01"
+
+
+def kg_version_diff(sf_dir: str):
+    """Time-machine diff: the SAME corpus resolved at two time
+    coordinates (the reference's whole premise -- timestamp-resolved
+    ontology versions, proxy_logic.py's timestampArchived / as-of
+    resolution), emitting every triple whose existence or resolved
+    ontology version changed between ``KG_DIFF_OLD_TS`` and the default
+    T.  Each leg is the full distributed build; the diff is one
+    side-tagged union + one grouped pass on the triple key -- no
+    corpus-scale data ever meets the driver.  Absent sides carry '' (a
+    version string is never empty) so the output stays string-typed."""
+    from ontology_time_machine_ray.stages.groupagg import grouped_aggregate
+
+    p = _pipe(sf_dir)
+    key = ["subj", "pred", "obj", "doc_id"]
+
+    def tag(side: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[key].copy()
+            out["version_old"] = df["ontology_version"] if side == "old" else ""
+            out["version_new"] = df["ontology_version"] if side == "new" else ""
+            return out
+
+        return f
+
+    both = (
+        p.with_timestamp(KG_DIFF_OLD_TS)
+        .triples()
+        .map_batches(tag("old"), batch_format="pandas")
+        .union(p.triples().map_batches(tag("new"), batch_format="pandas"))
+    )
+    # (subj,pred,obj,doc_id) is unique within a side (triples() is the
+    # deduped store), so max() just selects the present value per side
+    merged = grouped_aggregate(
+        both,
+        key,
+        {"version_old": ("version_old", "max"), "version_new": ("version_new", "max")},
+    )
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["version_old"] != df["version_new"]].copy()
+        df["change"] = "moved"
+        df.loc[df["version_old"] == "", "change"] = "added"
+        df.loc[df["version_new"] == "", "change"] = "removed"
+        return df
+
+    return merged.map_batches(classify, batch_format="pandas")
+
+
 def kg_download_log(sf_dir: str):
     """M16 JSON flattener, on the reference's REAL record shape: the
     nested download-log documents (experiments/download_ontologies.py:
@@ -1009,6 +1061,7 @@ QUERIES = {
     "kg_triples": kg_triples,
     "kg_triples_from_rdf": kg_triples_from_rdf,
     "kg_triples_canonical": kg_triples_canonical,
+    "kg_version_diff": kg_version_diff,
     "kg_components": kg_components,
     "kg_restricted_denied": kg_restricted_denied,
     "kg_formats_complete": kg_formats_complete,
@@ -1157,6 +1210,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         paths.root, DEFAULT_CONFIG.timestamp
     )
     out["kg_nir_report"] = sql_oracles.kg_nir_report_sql(paths.root)
+    out["kg_version_diff"] = sql_oracles.kg_version_diff_sql(
+        paths.root, KG_DIFF_OLD_TS, DEFAULT_CONFIG.timestamp
+    )
     out["kg_download_log"] = sql_oracles.kg_download_log_sql(paths.root)
     out["media_decode"] = sql_oracles.media_decode_sql(paths.root)
     out["media_decode_frames"] = sql_oracles.media_decode_frames_sql(paths.root)

@@ -626,6 +626,29 @@ SELECT media_ref,
 FROM s CROSS JOIN (SELECT unnest(range({k})) AS j) t"""
 
 
+def kg_version_diff_sql(fixture_root: str, old_ts: str, new_ts: str) -> str:
+    """``kg_version_diff`` restatement: the kg_triples statement at two
+    time coordinates, FULL OUTER JOINed on the triple key; '' stands for
+    the absent side (matching the engine's sentinel)."""
+    old_stmt = kg_sql("kg_triples", fixture_root, old_ts)
+    new_stmt = kg_sql("kg_triples", fixture_root, new_ts)
+    return f"""
+SELECT COALESCE(o.subj, n.subj) AS subj,
+       COALESCE(o.pred, n.pred) AS pred,
+       COALESCE(o.obj, n.obj) AS obj,
+       COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       COALESCE(o.ontology_version, '') AS version_old,
+       COALESCE(n.ontology_version, '') AS version_new,
+       CASE WHEN o.subj IS NULL THEN 'added'
+            WHEN n.subj IS NULL THEN 'removed'
+            ELSE 'moved' END AS change
+FROM ({old_stmt}) o
+FULL OUTER JOIN ({new_stmt}) n
+  ON o.subj = n.subj AND o.pred = n.pred AND o.obj = n.obj
+ AND o.doc_id = n.doc_id
+WHERE COALESCE(o.ontology_version, '') <> COALESCE(n.ontology_version, '')"""
+
+
 def kg_nir_report_sql(fixture_root: str) -> str:
     """NIR-check oracle over the TABLE-DRIVEN snapshot content (the Ray
     side parses the serialized RDF -- equality also revalidates the
