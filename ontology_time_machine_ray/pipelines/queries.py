@@ -988,6 +988,15 @@ def ann_lsh(sf_dir: str) -> pd.DataFrame:
     return similarity.ann_lsh(sf_dir)
 
 
+def ann_pq(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011): per-subspace L2
+    codebooks trained in m-subspaces-at-once distributed Lloyd rounds,
+    then ONE encode+ADC-lookup pass (m table lookups per row per query
+    instead of a dim-length dot).  Oracle replays the unrolled subspace
+    k-means, the encoding and the lookup scoring in SQL."""
+    return similarity.ann_pq(sf_dir)
+
+
 def _top_terms_sketch(sf_dir: str) -> pd.DataFrame:
     """Misra-Gries heavy-hitter sketch (see stages/sketch.py): top terms by
     occurrence with NO shuffle -- exact below counter saturation, so
@@ -1144,6 +1153,7 @@ QUERIES = {
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,                  # unrolled k-means lists: full SQL oracle
+    "ann_pq": ann_pq,                    # unrolled subspace k-means + ADC: full SQL oracle
 }
 
 #: KG queries whose oracle reads the fixture parquet.
@@ -1197,6 +1207,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["quality_top_pct"] = sql_oracles.quality_top_pct_sql(QUALITY_TOP_PCT)
     out["embed_kmeans"] = sql_oracles.embed_kmeans_sql()
     out["ann_ivf"] = sql_oracles.ann_ivf_sql()
+    out["ann_pq"] = sql_oracles.ann_pq_sql(
+        dim=similarity._emb_dim(os.path.join(sf_dir, "embeddings.parquet"))
+    )
     from ontology_time_machine_ray.stages.packing import DEFAULT_MIX_E6
 
     out["corpus_mix"] = sql_oracles.corpus_mix_sql(DEFAULT_MIX_E6, "mix1")

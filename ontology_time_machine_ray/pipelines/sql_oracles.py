@@ -396,6 +396,90 @@ SELECT query_id, vec_id FROM (
     )
 
 
+def ann_pq_sql(
+    k: int = 10, n_queries: int = 3, m: int = 4, ks: int = 16, iters: int = 2, dim: int = 64
+) -> str:
+    """stages/similarity.ann_pq: unrolled per-subspace L2 Lloyd rounds +
+    final encode + ADC lookup scoring, replayed exactly.  Same discrete-
+    output tolerance argument as the kmeans CTEs: only an exact distance
+    tie between distinct codes could flip, which the fixtures' random
+    vectors never produce."""
+    sub_d = dim // m
+    parts = [
+        f"""emb AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(range(len(embedding))) AS j
+  FROM embeddings
+),
+sv AS (SELECT vec_id, CAST(j // {sub_d} AS BIGINT) AS s, j % {sub_d} AS jj, x FROM emb),
+init_ids AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT DISTINCT vec_id FROM emb ORDER BY vec_id LIMIT {ks})
+),
+pc0 AS (SELECT i.code, v.s, v.jj, v.x FROM init_ids i JOIN sv v USING (vec_id))"""
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(
+            f"""pa{t} AS (
+  SELECT vec_id, s, code FROM (
+    SELECT v.vec_id, v.s, c.code,
+           row_number() OVER (
+             PARTITION BY v.vec_id, v.s
+             ORDER BY sum((v.x - c.x) * (v.x - c.x)) ASC, c.code ASC) AS rn
+    FROM sv v JOIN pc{p} c ON c.s = v.s AND c.jj = v.jj
+    GROUP BY v.vec_id, v.s, c.code
+  ) WHERE rn = 1
+),
+pm{t} AS (
+  SELECT a.s, a.code, v.jj, sum(v.x) / count(*) AS mu
+  FROM pa{t} a JOIN sv v ON v.vec_id = a.vec_id AND v.s = a.s
+  GROUP BY a.s, a.code, v.jj
+),
+pc{t} AS (
+  SELECT c.s, c.code, c.jj, coalesce(m.mu, c.x) AS x
+  FROM pc{p} c
+  LEFT JOIN pm{t} m ON m.s = c.s AND m.code = c.code AND m.jj = c.jj
+)"""
+        )
+    parts.append(
+        f"""paf AS (
+  SELECT vec_id, s, code FROM (
+    SELECT v.vec_id, v.s, c.code,
+           row_number() OVER (
+             PARTITION BY v.vec_id, v.s
+             ORDER BY sum((v.x - c.x) * (v.x - c.x)) ASC, c.code ASC) AS rn
+    FROM sv v JOIN pc{iters} c ON c.s = v.s AND c.jj = v.jj
+    GROUP BY v.vec_id, v.s, c.code
+  ) WHERE rn = 1
+),
+qids AS (SELECT DISTINCT vec_id FROM emb ORDER BY vec_id LIMIT {n_queries}),
+lut AS (
+  SELECT q.vec_id AS query_id, c.s, c.code, sum(qv.x * c.x) AS dot
+  FROM qids q
+  JOIN sv qv ON qv.vec_id = q.vec_id
+  JOIN pc{iters} c ON c.s = qv.s AND c.jj = qv.jj
+  GROUP BY q.vec_id, c.s, c.code
+),
+psims AS (
+  SELECT l.query_id, a.vec_id, sum(l.dot) AS sim
+  FROM paf a JOIN lut l ON l.s = a.s AND l.code = a.code
+  GROUP BY l.query_id, a.vec_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, vec_id FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM psims
+) WHERE rn <= {k}"""
+    )
+
+
 def corpus_mix_sql(rates_e6: dict[str, int], seed: str) -> str:
     """stages/packing.corpus_mix: per-source epoch expansion + the
     hash-uniform fractional subset, as one VALUES join + range unnest.

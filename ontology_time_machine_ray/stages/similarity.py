@@ -329,6 +329,129 @@ def ann_ivf(
     return _merge_topk(partials, k)
 
 
+# --------------------------------------------------------------------- #
+# Product quantization (PQ): the compressed-corpus ANN scale path        #
+# --------------------------------------------------------------------- #
+def _pq_codebooks(
+    emb_path: str, m: int, ks: int, iters: int
+) -> np.ndarray:  # (m, ks, sub_d)
+    """Deterministic per-subspace L2 k-means (Jegou et al. 2011 product
+    quantization), all ``m`` subspaces trained in the SAME distributed
+    pass: each batch emits per-(subspace, code) partial sums, the driver
+    reduces an (m x ks x sub_d) table per round.  Init = subvectors of
+    the ``ks`` lowest-vec_id vectors; assignment argmin L2 with
+    lowest-code tie-break; empty codes keep the previous centroid --
+    bit-compatible with the unrolled SQL replay (pq CTEs)."""
+    import pyarrow.parquet as pq_
+
+    dim = _emb_dim(emb_path)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_d = dim // m
+    ids = pq_.read_table(emb_path, columns=["vec_id"]).to_pandas().nsmallest(ks, "vec_id")
+    init = (
+        pq_.read_table(emb_path, filters=[("vec_id", "in", ids["vec_id"].tolist())])
+        .to_pandas()
+        .nsmallest(ks, "vec_id")
+        .reset_index(drop=True)
+    )
+    books = (
+        np.stack(init["embedding"].to_numpy())
+        .astype(np.float64)
+        .reshape(ks, m, sub_d)
+        .transpose(1, 0, 2)
+        .copy()
+    )
+
+    def _assign(sub: np.ndarray, book: np.ndarray) -> np.ndarray:
+        # direct sum-of-squares (matches the SQL's sum((x-c)^2) exactly);
+        # argmin keeps the FIRST min -> lowest-code tie-break
+        d = ((sub[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
+        return np.argmin(d, axis=1)
+
+    for _ in range(iters):
+        b_ref = ray.put(books)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            bks = _cached_get(b_ref)
+            mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            rows = []
+            for s in range(m):
+                sub = mat[:, s * sub_d : (s + 1) * sub_d]
+                a = _assign(sub, bks[s])
+                sums = np.zeros((ks, sub_d))
+                np.add.at(sums, a, sub)
+                counts = np.bincount(a, minlength=ks)
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "s": np.full(ks, s, dtype=np.int64),
+                            "code": np.arange(ks, dtype=np.int64),
+                            "vec_sum": list(sums),
+                            "n": counts.astype(np.int64),
+                        }
+                    )
+                )
+            return pd.concat(rows, ignore_index=True)
+
+        agg = _read_emb(emb_path).map_batches(partial, batch_format="pandas").to_pandas()
+        g = agg.groupby(["s", "code"], sort=True)
+        sums = np.stack(g["vec_sum"].apply(lambda r: np.sum(np.stack(r), axis=0)))
+        counts = g["n"].sum().to_numpy()
+        new = books.reshape(m * ks, sub_d).copy()
+        nonempty = counts > 0
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
+        books = new.reshape(m, ks, sub_d)
+    return books
+
+
+def ann_pq(
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 3,
+    m: int = 4,
+    ks: int = 16,
+    iters: int = 2,
+) -> pd.DataFrame:
+    """PQ asymmetric-distance top-k: encode + score in ONE corpus pass.
+
+    Per batch: vectors are encoded to ``m`` uint8 codes (argmin L2 per
+    subspace against the broadcast codebooks), then scored against each
+    query via the classic ADC lookup table -- the (n_queries x ks) dot
+    products per subspace are computed ONCE per batch and each row's
+    score is ``sum_s LUT[s][q, code_s]``, i.e. m table lookups instead
+    of a dim-length dot.  At 100 TB the codes (m bytes/vector) are the
+    only thing rescanned per query wave; partial top-k per batch keeps
+    the driver merge at O(blocks x k x n_queries) rows."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    dim = _emb_dim(emb_path)
+    sub_d = dim // m
+    books = _pq_codebooks(emb_path, m, ks, iters)
+    q = default_queries(sf_dir, n_queries)
+    qids = q["vec_id"].to_numpy()
+    qm = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+    # LUT[s]: (n_queries, ks) inner products of query subvectors x codes
+    lut = np.stack(
+        [qm[:, s * sub_d : (s + 1) * sub_d] @ books[s].T for s in range(m)]
+    )  # (m, n_queries, ks)
+    state_ref = ray.put((books, lut, qids))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        bks, lut_, qids_ = _cached_get(state_ref)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        n = len(mat)
+        sims = np.zeros((n, len(qids_)))
+        for s in range(m):
+            sub = mat[:, s * sub_d : (s + 1) * sub_d]
+            d = ((sub[:, None, :] - bks[s][None, :, :]) ** 2).sum(axis=2)
+            codes = np.argmin(d, axis=1)
+            sims += lut_[s][:, codes].T  # (n, n_queries)
+        return _partial_topk(df["vec_id"].to_numpy(), sims, qids_, k)
+
+    partials = _read_emb(emb_path).map_batches(score, batch_format="pandas").to_pandas()
+    return _merge_topk(partials, k)
+
+
 #: within-bucket pair-expansion guard: a (band, bucket) group larger than
 #: this is a pathological hub (e.g. millions of byte-identical vectors);
 #: it is scored in sorted-id chunks rather than one giant matmul.

@@ -295,3 +295,37 @@ def test_ivf_writes_every_list_directory(ray_session, sf_dir):
         # every vector in the file truly belongs to this list
         assert all(assign[emb["vec_id"].tolist().index(i)] == lid for i in ids[:20])
     assert sorted(seen) == sorted(emb["vec_id"].tolist())
+
+
+def test_ann_pq_recall_and_determinism(ray_session, sf_dir):
+    """PQ ADC top-k: deterministic across runs, sane shape, and recall vs
+    the exact brute force above a floor (random vectors are PQ's worst
+    case -- the floor is deliberately modest; the SQL oracle pins the
+    exact expected output separately)."""
+    from ontology_time_machine_ray.stages.similarity import ann_bruteforce, ann_pq
+
+    a = ann_pq(sf_dir)
+    b = ann_pq(sf_dir)
+    pd.testing.assert_frame_equal(a, b)
+    assert list(a.columns) == ["query_id", "vec_id"]
+    assert a.groupby("query_id").size().eq(10).all()
+    bf = ann_bruteforce(sf_dir)
+    got = set(map(tuple, a.values))
+    want = set(map(tuple, bf.values))
+    assert len(got & want) / len(want) >= 0.2
+
+
+def test_pq_codebooks_shape_and_empty_code_hold(ray_session, sf_dir):
+    """Codebook trainer: (m, ks, sub_d) shape; a code left empty by the
+    assignment keeps its previous centroid (never NaN)."""
+    import os
+
+    import numpy as np
+
+    from ontology_time_machine_ray.stages.similarity import _emb_dim, _pq_codebooks
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    dim = _emb_dim(path)
+    books = _pq_codebooks(path, m=4, ks=16, iters=2)
+    assert books.shape == (4, 16, dim // 4)
+    assert np.isfinite(books).all()
