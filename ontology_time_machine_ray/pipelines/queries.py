@@ -997,6 +997,15 @@ def ann_pq(sf_dir: str) -> pd.DataFrame:
     return similarity.ann_pq(sf_dir)
 
 
+def _fuzzy_join(sf_dir: str):
+    """Fuzzy string self-join on part names (edit distance in [1,2]) via
+    COMPLETE deletion-neighborhood blocking (FastSS) at the distinct-name
+    grain; exact batch-DP verification (see stages/fuzzy.py)."""
+    from ontology_time_machine_ray.stages.fuzzy import fuzzy_name_pairs
+
+    return fuzzy_name_pairs(sf_dir)
+
+
 def _top_terms_sketch(sf_dir: str) -> pd.DataFrame:
     """Misra-Gries heavy-hitter sketch (see stages/sketch.py): top terms by
     occurrence with NO shuffle -- exact below counter saturation, so
@@ -1137,6 +1146,7 @@ QUERIES = {
     "dup_ngrams": dup_ngrams,
     "text_quality": textops.quality_score,
     "quality_top_pct": quality_top_pct,
+    "rel_fuzzy_join": _fuzzy_join,
     "text_fingerprint": textops.fingerprints,
     "lang_id": textops.lang_id,
     # dedup family
@@ -1205,6 +1215,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["dup_ngrams"] = sql_oracles.dup_ngrams_sql(DUP_NGRAM_N)
     out["dedup_segments"] = sql_oracles.dedup_segments_sql(textops.SEG_W)
     out["quality_top_pct"] = sql_oracles.quality_top_pct_sql(QUALITY_TOP_PCT)
+    from ontology_time_machine_ray.stages.fuzzy import MAX_DIST
+
+    out["rel_fuzzy_join"] = sql_oracles.fuzzy_join_sql(MAX_DIST)
     out["embed_kmeans"] = sql_oracles.embed_kmeans_sql()
     out["ann_ivf"] = sql_oracles.ann_ivf_sql()
     out["ann_pq"] = sql_oracles.ann_pq_sql(

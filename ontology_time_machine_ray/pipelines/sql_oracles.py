@@ -1556,6 +1556,21 @@ SELECT doc_id,
 FROM r GROUP BY doc_id"""
 
 
+def fuzzy_join_sql(max_dist: int) -> str:
+    """``rel_fuzzy_join`` restatement: the blocked+verified plan must
+    equal the plain O(n^2) distinct-name cross join with DuckDB's
+    levenshtein -- completeness of the deletion-neighborhood blocking IS
+    the claim."""
+    return f"""
+WITH n AS (SELECT p_name, CAST(count(*) AS BIGINT) AS cnt FROM part GROUP BY 1)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS d,
+       a.cnt AS n_a, b.cnt AS n_b
+FROM n a JOIN n b ON a.p_name < b.p_name
+WHERE abs(length(a.p_name) - length(b.p_name)) <= {max_dist}
+  AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {max_dist}"""
+
+
 def quality_top_pct_sql(pct: int) -> str:
     """``quality_top_pct`` restatement: the engine's histogram-refinement
     selection must equal a plain ``(quality DESC, doc_id ASC)`` rank
