@@ -692,6 +692,20 @@ def quality_top_pct(sf_dir: str):
     )
 
 
+def kg_cooccur_triangles(sf_dir: str):
+    """Ontology co-usage graph analytics: distinct co-mention edges per
+    document, then degree-oriented distributed triangle counting (Suri &
+    Vassilvitskii 2011 -- hub wedge expansion bounded by orientation).
+    Oracle: plain id-ordered wedge closure in SQL; equality pins that the
+    degree orientation is output-invariant."""
+    from ontology_time_machine_ray.stages.graph import cooccurrence_edges, triangle_stats
+
+    out = triangle_stats(cooccurrence_edges(_pipe(sf_dir).mentions()))
+    return out.map_batches(
+        lambda df: df.rename(columns={"node": "ontology_id"}), batch_format="pandas"
+    )
+
+
 def kg_doc_stats(sf_dir: str):
     """Per-document KG enrichment: mention count, index-match count, and
     emitted-triple count -- the three partials co-located by ONE doc_id
@@ -1096,6 +1110,7 @@ QUERIES = {
     "kg_client_intercept": kg_client_intercept,
     "kg_config_grid": kg_config_grid,
     "kg_doc_stats": kg_doc_stats,
+    "kg_cooccur_triangles": kg_cooccur_triangles,
     "media_catalog": media_catalog,
     "media_frames": media_frames,
     "media_decode": media_decode,
@@ -1239,6 +1254,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["kg_version_diff"] = sql_oracles.kg_version_diff_sql(
         paths.root, KG_DIFF_OLD_TS, DEFAULT_CONFIG.timestamp
     )
+    out["kg_cooccur_triangles"] = sql_oracles.cooccur_triangles_sql(paths.root)
     out["kg_download_log"] = sql_oracles.kg_download_log_sql(paths.root)
     out["media_decode"] = sql_oracles.media_decode_sql(paths.root)
     out["media_decode_frames"] = sql_oracles.media_decode_frames_sql(paths.root)

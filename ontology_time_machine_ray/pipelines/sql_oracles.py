@@ -733,6 +733,32 @@ FULL OUTER JOIN ({new_stmt}) n
 WHERE COALESCE(o.ontology_version, '') <> COALESCE(n.ontology_version, '')"""
 
 
+def cooccur_triangles_sql(fixture_root: str) -> str:
+    """``kg_cooccur_triangles`` restatement: distinct per-doc co-mention
+    pairs, id-ordered wedge closure (each triangle once as x<y<z), degree
+    and per-node triangle counts.  The engine's degree-ordered
+    orientation yields the identical triangle SET -- the equality is the
+    claim that orientation choice is output-invariant."""
+    return f"""
+WITH {_MENTIONS_CTES},
+mo AS (SELECT DISTINCT doc_id, ontology_id FROM mentions WHERE ontology_id IS NOT NULL),
+e AS (SELECT DISTINCT a.ontology_id AS a, b.ontology_id AS b
+      FROM mo a JOIN mo b ON a.doc_id = b.doc_id AND a.ontology_id < b.ontology_id),
+deg AS (SELECT node, count(*) AS degree
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+        GROUP BY 1),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+tn AS (SELECT node, count(*) AS t
+       FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri)
+       GROUP BY 1)
+SELECT d.node AS ontology_id, CAST(d.degree AS BIGINT) AS degree,
+       CAST(coalesce(t.t, 0) AS BIGINT) AS triangles
+FROM deg d LEFT JOIN tn t ON t.node = d.node""".replace("__ROOT__", fixture_root)
+
+
 def kg_nir_report_sql(fixture_root: str) -> str:
     """NIR-check oracle over the TABLE-DRIVEN snapshot content (the Ray
     side parses the serialized RDF -- equality also revalidates the

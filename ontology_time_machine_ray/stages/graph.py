@@ -229,3 +229,185 @@ def dependency_pagerank(dependencies_path: str, iters: int = 5) -> pd.DataFrame:
     out = pagerank(edges, iters=iters).to_pandas()
     out["rank_nanos"] = out["rank_nanos"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------- #
+# Triangle counting + degree stats (ontology co-mention graph)           #
+# --------------------------------------------------------------------- #
+def cooccurrence_edges(mentions_ds) -> rd.Dataset:
+    """Distinct undirected edges (a < b) between ontologies co-mentioned
+    in the same document.  Per-doc pair expansion is bounded by the
+    per-doc distinct-mention count (a handful); edge dedup is one grouped
+    pass on the edge key."""
+    import numpy as np
+
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply
+
+    mo = mentions_ds.map_batches(
+        lambda df: df.loc[df["ontology_id"].notna(), ["doc_id", "ontology_id"]]
+        .drop_duplicates()  # per-batch combiner; the real dedup is per doc group
+        .reset_index(drop=True),
+        batch_format="pandas",
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, sub in g.groupby("doc_id", sort=False):
+            ids = np.sort(sub["ontology_id"].unique())
+            if len(ids) >= 2:
+                ia, ib = np.triu_indices(len(ids), k=1)
+                out.append(pd.DataFrame({"a": ids[ia], "b": ids[ib]}))
+        if not out:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)}
+            )
+        return pd.concat(out, ignore_index=True).drop_duplicates()
+
+    e = grouped_apply(mo, ["doc_id"], pairs)
+    return grouped_apply(e, ["a", "b"], lambda g: g.drop_duplicates(["a", "b"]))
+
+
+#: below this edge count the triangle count runs as ONE driver-side
+#: vectorized pass (same hybrid rationale as SMALL_GRAPH_LIMIT above:
+#: co-mention graphs live at the ontology-vocabulary scale).  The
+#: distributed path is exercised by pytest with the limit forced to 0.
+SMALL_TRIANGLE_EDGES = 200_000
+
+
+def _driver_triangles(e: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized pandas mirror of the distributed plan (id-ordered
+    wedge closure; each triangle counted once as x<y<z)."""
+    deg = (
+        pd.concat([e["a"], e["b"]])
+        .rename("node")
+        .to_frame()
+        .groupby("node", as_index=False)
+        .agg(degree=("node", "size"))
+    )
+    # wedge x-(y=b)-z with x<y<z by construction (a<b on both edges),
+    # closed by the (x, z) edge
+    w = e.merge(e.rename(columns={"a": "b", "b": "z"}), on="b")
+    tri = w.merge(e.rename(columns={"b": "z"}), on=["a", "z"])
+    tn = (
+        pd.concat([tri["a"], tri["b"], tri["z"]])
+        .rename("node")
+        .to_frame()
+        .groupby("node", as_index=False)
+        .agg(triangles=("node", "size"))
+    )
+    out = deg.merge(tn, on="node", how="left")
+    out["triangles"] = out["triangles"].fillna(0).astype("int64")
+    out["degree"] = out["degree"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def triangle_stats(edges_ds, small_edges_limit: int | None = None) -> rd.Dataset:
+    """(node, degree, triangles) over an undirected edge set (a < b).
+
+    Degree-oriented triangle counting (the standard distributed plan:
+    Suri & Vassilvitskii 2011 "Counting Triangles and the Curse of the
+    Last Reducer"): edges are oriented from the (degree, id)-smaller
+    endpoint to the larger, so every node's out-degree is O(sqrt(m)) and
+    the wedge expansion at hub nodes is bounded; a wedge (y, z) closes
+    iff the oriented edge y->z exists (one bucketed join).  Each triangle
+    is generated exactly once, so per-node counts need no dedup.
+
+    Below ``small_edges_limit`` edges the whole computation collapses to
+    one vectorized driver pass (the co-mention graph is vocabulary-scale)."""
+    import numpy as np
+
+    from ontology_time_machine_ray.stages.groupagg import (
+        bucketed_join,
+        grouped_aggregate,
+        grouped_apply,
+    )
+
+    limit = SMALL_TRIANGLE_EDGES if small_edges_limit is None else small_edges_limit
+    edges = edges_ds.materialize()  # reused three times below
+    if edges.count() <= limit:
+        return rd.from_pandas(_driver_triangles(edges.to_pandas()))
+
+    deg = grouped_aggregate(
+        edges.map_batches(
+            lambda df: pd.DataFrame({"node": pd.concat([df["a"], df["b"]])})
+            .groupby("node", as_index=False)
+            .agg(d=("node", "size")),
+            batch_format="pandas",
+        ),
+        ["node"],
+        {"degree": ("d", "sum")},
+    ).materialize()
+
+    da = deg.map_batches(
+        lambda df: df.rename(columns={"node": "a", "degree": "deg_a"}),
+        batch_format="pandas",
+    )
+    db = deg.map_batches(
+        lambda df: df.rename(columns={"node": "b", "degree": "deg_b"}),
+        batch_format="pandas",
+    )
+    with_deg = bucketed_join(
+        bucketed_join(edges, da, on=["a"]), db, on=["b"]
+    )
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        # rank = (degree, node id); orient low -> high
+        a_first = (df["deg_a"] < df["deg_b"]) | (
+            (df["deg_a"] == df["deg_b"]) & (df["a"] < df["b"])
+        )
+        return pd.DataFrame(
+            {
+                "src": np.where(a_first, df["a"], df["b"]),
+                "dst": np.where(a_first, df["b"], df["a"]),
+                "deg_dst": np.where(a_first, df["deg_b"], df["deg_a"]).astype("int64"),
+            }
+        )
+
+    oriented = with_deg.map_batches(orient, batch_format="pandas").materialize()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for x, sub in g.groupby("src", sort=False):
+            if len(sub) < 2:
+                continue
+            sub = sub.sort_values(["deg_dst", "dst"])
+            nb = sub["dst"].to_numpy()
+            ia, ib = np.triu_indices(len(nb), k=1)
+            out.append(pd.DataFrame({"x": x, "src": nb[ia], "dst": nb[ib]}))
+        if not out:
+            return pd.DataFrame(
+                {"x": pd.Series(dtype=object), "src": pd.Series(dtype=object),
+                 "dst": pd.Series(dtype=object)}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    w = grouped_apply(oriented, ["src"], wedges)
+    tri = bucketed_join(
+        w,
+        oriented.map_batches(lambda df: df[["src", "dst"]], batch_format="pandas"),
+        on=["src", "dst"],
+        how="semi",
+    )
+
+    tcount = grouped_aggregate(
+        tri.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": pd.concat([df["x"], df["src"], df["dst"]])}
+            )
+            .groupby("node", as_index=False)
+            .agg(t=("node", "size")),
+            batch_format="pandas",
+        ),
+        ["node"],
+        {"triangles": ("t", "sum")},
+    )
+
+    out = bucketed_join(deg, tcount, on=["node"], how="left")
+
+    return out.map_batches(
+        lambda df: df.assign(
+            triangles=df["triangles"].fillna(0).astype("int64"),
+            degree=df["degree"].astype("int64"),
+        ),
+        batch_format="pandas",
+    )

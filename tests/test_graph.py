@@ -135,3 +135,47 @@ def test_pagerank_matches_numpy_reference(ray_session, monkeypatch):
         sharef = np.where(degf > 0, rf / np.maximum(degf, 1.0), 0.0)
         rf = 0.15 + 0.85 * (adj.T @ sharef)
     np.testing.assert_allclose(got["rank_nanos"].to_numpy() / 1e9, rf, atol=1e-6)
+
+
+def test_triangle_stats_distributed_equals_driver(ray_session):
+    """Force the distributed degree-oriented path (limit=0) and pin it to
+    the driver fast path on a graph with a hub, disjoint triangles and a
+    4-clique."""
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.graph import _driver_triangles, triangle_stats
+
+    edges = pd.DataFrame(
+        [
+            # 4-clique on a,b,c,d -> 4 triangles, 3 per node
+            ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+            # disjoint triangle
+            ("p", "q"), ("p", "r"), ("q", "r"),
+            # hub h connected to many leaves (no triangles through leaves)
+            *[("h", f"l{i:02d}") for i in range(20)],
+            # one triangle through the hub
+            ("h", "l00x"), ("l00x", "l01x"), ("h", "l01x"),
+        ],
+        columns=["a", "b"],
+    )
+    # normalize a < b
+    swap = edges["a"] > edges["b"]
+    edges.loc[swap, ["a", "b"]] = edges.loc[swap, ["b", "a"]].to_numpy()
+    want = _driver_triangles(edges)
+    assert want["triangles"].sum() == (4 + 1 + 1) * 3
+    got = (
+        triangle_stats(rd.from_pandas(edges), small_edges_limit=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["node", "degree", "triangles"]], want)
+
+
+def test_cooccurrence_edges_distinct_and_ordered(ray_session, sf_dir):
+    from ontology_time_machine_ray.pipelines.queries import _pipe
+    from ontology_time_machine_ray.stages.graph import cooccurrence_edges
+
+    e = cooccurrence_edges(_pipe(sf_dir).mentions()).to_pandas()
+    assert (e["a"] < e["b"]).all()
+    assert not e.duplicated(["a", "b"]).any()
