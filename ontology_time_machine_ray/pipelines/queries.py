@@ -1011,6 +1011,17 @@ def ann_pq(sf_dir: str) -> pd.DataFrame:
     return similarity.ann_pq(sf_dir)
 
 
+def _range_layout(sf_dir: str):
+    """Range-clustered layout + pruned range read (see stages/layout.py):
+    lineitem clustered into per-price-range directories by exact
+    histogram quantile boundaries; the query reads ONLY the overlapping
+    directories.  Oracle: plain full-scan filter -- equality pins pruning
+    completeness."""
+    from ontology_time_machine_ray.stages.layout import range_layout_query
+
+    return range_layout_query(sf_dir)
+
+
 def _fuzzy_join(sf_dir: str):
     """Fuzzy string self-join on part names (edit distance in [1,2]) via
     COMPLETE deletion-neighborhood blocking (FastSS) at the distinct-name
@@ -1162,6 +1173,7 @@ QUERIES = {
     "text_quality": textops.quality_score,
     "quality_top_pct": quality_top_pct,
     "rel_fuzzy_join": _fuzzy_join,
+    "rel_range_layout": _range_layout,
     "text_fingerprint": textops.fingerprints,
     "lang_id": textops.lang_id,
     # dedup family
@@ -1233,6 +1245,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     from ontology_time_machine_ray.stages.fuzzy import MAX_DIST
 
     out["rel_fuzzy_join"] = sql_oracles.fuzzy_join_sql(MAX_DIST)
+    from ontology_time_machine_ray.stages.layout import RANGE_HI_C, RANGE_LO_C
+
+    out["rel_range_layout"] = sql_oracles.range_layout_sql(RANGE_LO_C, RANGE_HI_C)
     out["embed_kmeans"] = sql_oracles.embed_kmeans_sql()
     out["ann_ivf"] = sql_oracles.ann_ivf_sql()
     out["ann_pq"] = sql_oracles.ann_pq_sql(

@@ -1582,6 +1582,19 @@ SELECT doc_id,
 FROM r GROUP BY doc_id"""
 
 
+def range_layout_sql(lo_c: int, hi_c: int) -> str:
+    """``rel_range_layout`` restatement: the pruned-directory read must
+    equal the plain full-scan filter (pruning completeness IS the
+    claim).  Exact cent arithmetic on both sides."""
+    return f"""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+FROM lineitem
+WHERE CAST(round(l_extendedprice * 100) AS BIGINT) BETWEEN {lo_c} AND {hi_c}
+GROUP BY l_returnflag"""
+
+
 def fuzzy_join_sql(max_dist: int) -> str:
     """``rel_fuzzy_join`` restatement: the blocked+verified plan must
     equal the plain O(n^2) distinct-name cross join with DuckDB's

@@ -1,0 +1,63 @@
+"""Range-clustered layout: pruning completeness, actual prune ratio, and
+layout integrity (union of directories == table)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+from ontology_time_machine_ray.stages import layout
+
+
+def test_range_layout_prunes_and_matches_full_scan(ray_session, sf_dir):
+    shutil.rmtree("/tmp/otm_range_layout", ignore_errors=True)
+    out_dir, bounds = layout.build_range_layout(sf_dir)
+    dirs, total = layout.pruned_range_dirs(
+        out_dir, bounds, layout.RANGE_LO_C, layout.RANGE_HI_C
+    )
+    assert 0 < len(dirs) < total, (len(dirs), total)  # real pruning happened
+
+    got = (
+        layout.range_layout_query(sf_dir)
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    li = pq.read_table(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice"],
+    ).to_pandas()
+    li["price_c"] = (li["l_extendedprice"] * 100).round().astype("int64")
+    li = li[(li["price_c"] >= layout.RANGE_LO_C) & (li["price_c"] <= layout.RANGE_HI_C)]
+    want = (
+        li.groupby("l_returnflag", as_index=False)
+        .agg(n_rows=("price_c", "size"), sum_price_c=("price_c", "sum"))
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_range_layout_union_is_whole_table(ray_session, sf_dir):
+    out_dir, bounds = layout.build_range_layout(sf_dir)
+    n = 0
+    for d in sorted(os.listdir(out_dir)):
+        if not d.startswith("range="):
+            continue
+        t = pq.read_table(os.path.join(out_dir, d, "data.parquet"))
+        n += t.num_rows
+        # every row inside its manifest range
+        pc = t["price_c"].to_pandas()
+        b = int(d.split("=")[1])
+        lo = bounds[b - 1] if b > 0 else None
+        hi = bounds[b] if b < len(bounds) else None
+        # searchsorted(side="right") assignment: bounds[b-1] <= price < bounds[b]
+        if lo is not None:
+            assert (pc >= lo).all()
+        if hi is not None:
+            assert (pc < hi).all()
+    total = pq.read_metadata(os.path.join(sf_dir, "lineitem.parquet")).num_rows
+    assert n == total
