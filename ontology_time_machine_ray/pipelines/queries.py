@@ -1174,6 +1174,7 @@ QUERIES = {
     "quality_top_pct": quality_top_pct,
     "rel_fuzzy_join": _fuzzy_join,
     "rel_range_layout": _range_layout,
+    "rel_q3_shipping": relational.q3_shipping,
     "text_fingerprint": textops.fingerprints,
     "lang_id": textops.lang_id,
     # dedup family
@@ -1248,6 +1249,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     from ontology_time_machine_ray.stages.layout import RANGE_HI_C, RANGE_LO_C
 
     out["rel_range_layout"] = sql_oracles.range_layout_sql(RANGE_LO_C, RANGE_HI_C)
+    out["rel_q3_shipping"] = sql_oracles.q3_shipping_sql(
+        relational.Q3_SEGMENT, relational.Q3_CUTOFF
+    )
     out["embed_kmeans"] = sql_oracles.embed_kmeans_sql()
     out["ann_ivf"] = sql_oracles.ann_ivf_sql()
     out["ann_pq"] = sql_oracles.ann_pq_sql(

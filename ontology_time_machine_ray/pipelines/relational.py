@@ -301,6 +301,74 @@ def order_lineitem_join(sf_dir: str) -> pd.DataFrame:
     return agg
 
 
+#: Q3 parameters: market segment + the shipping cutoff date.
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-06-01"
+
+
+def q3_shipping(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped-revenue orders for one market
+    segment -- a THREE-table plan done with two key-bucketed shuffles and
+    zero broadcasts (the segment's customer set grows with SF, so it is
+    semi-joined, not collected; the orders_by_nation lesson).
+
+    lineitem is batch-combined to (orderkey -> revenue) partials before
+    its shuffle; the final top-10 is per-block partial top-10 + a
+    bounded driver merge (blocks x 10 rows), not a global sort."""
+    from ontology_time_machine_ray.stages.groupagg import bucketed_join
+
+    cutoff = pd.Timestamp(Q3_CUTOFF)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda df: df.loc[df["c_mktsegment"] == Q3_SEGMENT, ["c_custkey"]].rename(
+            columns={"c_custkey": "o_custkey"}
+        ),
+        batch_format="pandas",
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(lambda df: df[df["o_orderdate"] < cutoff], batch_format="pandas")
+    o2 = bucketed_join(orders, cust, on=["o_custkey"], how="semi").map_batches(
+        lambda df: df[["o_orderkey", "o_orderdate", "o_orderpriority"]],
+        batch_format="pandas",
+    )
+
+    def item_partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] > cutoff]
+        rev = (df["l_extendedprice"] * 100).round().astype("int64") * (
+            100 - (df["l_discount"] * 100).round().astype("int64")
+        )
+        return (
+            pd.DataFrame({"o_orderkey": df["l_orderkey"], "rev_e4": rev})
+            .groupby("o_orderkey", as_index=False)
+            .agg(rev_e4=("rev_e4", "sum"))
+        )
+
+    items = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(item_partials, batch_format="pandas")
+
+    j = bucketed_join(items, o2, on=["o_orderkey"], how="inner")
+    agg = grouped_aggregate(
+        j,
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        {"rev_e4": ("rev_e4", "sum")},
+        bucket_keys=["o_orderkey"],
+    )
+    parts = agg.map_batches(
+        lambda df: df.sort_values(
+            ["rev_e4", "o_orderkey"], ascending=[False, True]
+        ).head(10),
+        batch_format="pandas",
+    ).to_pandas()
+    top = (
+        parts.sort_values(["rev_e4", "o_orderkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    top["revenue"] = top.pop("rev_e4") / 10000.0
+    return top[["o_orderkey", "o_orderdate", "o_orderpriority", "revenue"]]
+
+
 def events_sliding(sf_dir: str) -> rd.Dataset:
     """Sliding (hopping) window aggregate: 1-hour windows every 30 min.
 

@@ -1582,6 +1582,24 @@ SELECT doc_id,
 FROM r GROUP BY doc_id"""
 
 
+def q3_shipping_sql(segment: str, cutoff: str) -> str:
+    """``rel_q3_shipping`` restatement (TPC-H Q3 shape): plain 3-way join
+    + group + ORDER BY LIMIT 10, exact cent x basis-point revenue."""
+    return f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         / 10000.0 AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = '{segment}'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '{cutoff}'
+  AND l_shipdate  > TIMESTAMP '{cutoff}'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10"""
+
+
 def range_layout_sql(lo_c: int, hi_c: int) -> str:
     """``rel_range_layout`` restatement: the pruned-directory read must
     equal the plain full-scan filter (pruning completeness IS the

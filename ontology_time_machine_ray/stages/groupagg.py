@@ -81,11 +81,15 @@ def grouped_aggregate(
     keys: Sequence[str],
     named_aggs: dict[str, tuple[str, str]],
     num_buckets: int = DEFAULT_BUCKETS,
+    bucket_keys: Sequence[str] | None = None,
 ):
     """Exact grouped aggregation for high-cardinality keys.
 
     ``named_aggs``: output column -> (input column, pandas agg name), e.g.
     ``{"n_events": ("value_c", "size"), "value_c": ("value_c", "sum")}``.
+    ``bucket_keys`` (a subset of ``keys`` that already determines
+    co-location, e.g. a unique key the others are functions of) narrows
+    the shuffle key -- see grouped_apply.
     """
     keys = list(keys)
 
@@ -94,7 +98,7 @@ def grouped_aggregate(
             **{out: pd.NamedAgg(col, how) for out, (col, how) in named_aggs.items()}
         )
 
-    return grouped_apply(ds, keys, agg_bucket, num_buckets)
+    return grouped_apply(ds, keys, agg_bucket, num_buckets, bucket_keys=bucket_keys)
 
 
 def bucketed_join(
