@@ -908,6 +908,16 @@ def media_decode(sf_dir: str):
     return media.media_decode_assets(paths.media_assets)
 
 
+def media_features(sf_dir: str):
+    """Decode + numeric feature extraction from media BYTES (the stage a
+    training pipeline runs after decode): PPM nearest-neighbor thumbnail
+    channel sums + WAV PCM energy, in an actor pool over small batches.
+    Oracle: generator-formula replay through the same thumbnail/energy
+    math."""
+    paths = ensure_fixtures(sf_dir)
+    return media.media_features(paths.media_assets)
+
+
 def media_decode_frames(sf_dir: str):
     """Frame sampling over REAL decoded PCM frame counts (the fake=False
     FrameSampler path)."""
@@ -1125,6 +1135,7 @@ QUERIES = {
     "media_catalog": media_catalog,
     "media_frames": media_frames,
     "media_decode": media_decode,
+    "media_features": media_features,
     "media_decode_frames": media_decode_frames,
     # relational / events engine ops
     "rel_q1_lineitem": relational.q1_lineitem,
@@ -1276,5 +1287,6 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["kg_cooccur_triangles"] = sql_oracles.cooccur_triangles_sql(paths.root)
     out["kg_download_log"] = sql_oracles.kg_download_log_sql(paths.root)
     out["media_decode"] = sql_oracles.media_decode_sql(paths.root)
+    out["media_features"] = sql_oracles.media_features_sql(paths.root)
     out["media_decode_frames"] = sql_oracles.media_decode_frames_sql(paths.root)
     return out

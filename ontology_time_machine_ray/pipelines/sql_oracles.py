@@ -710,6 +710,54 @@ SELECT media_ref,
 FROM s CROSS JOIN (SELECT unnest(range({k})) AS j) t"""
 
 
+def media_features_sql(fixture_root: str) -> str:
+    """``media_features`` oracle: the Ray side decodes BYTES (PPM pixel
+    buffer / PCM int16); this side replays the asset GENERATOR's
+    formulas through the same thumbnail / energy math (fixtures.py
+    build_media_assets: ppm byte p = (i+p)%256, wav byte p = (i*3+p)%256)
+    -- agreement proves the decode+feature path reads exactly what the
+    generator wrote."""
+    w = "(4 + (i % 13))"
+    h = "(3 + ((i * 7) % 11))"
+    ch = "(1 + ((i // 2) % 2))"
+    nf = "(50 + ((i * 11) % 200))"
+
+    def px(c: int) -> str:  # pixel value at thumbnail cell (ty, tx), channel c
+        return f"(i + (((ty * {h}) // 2) * {w} + ((tx * {w}) // 2)) * 3 + {c}) % 256"
+
+    u = f"((i * 3 + f * {ch} * 2) % 256) + 256 * ((i * 3 + f * {ch} * 2 + 1) % 256)"
+    return f"""
+WITH a AS (
+  SELECT media_ref, CAST(regexp_extract(media_ref, '([0-9]+)', 1) AS BIGINT) AS i
+  FROM read_parquet('{fixture_root}/media_assets.parquet')),
+pt AS (
+  SELECT media_ref,
+         SUM({px(0)}) AS sum_r, SUM({px(1)}) AS sum_g, SUM({px(2)}) AS sum_b
+  FROM a
+  CROSS JOIN (SELECT unnest(range(2)) AS ty)
+  CROSS JOIN (SELECT unnest(range(2)) AS tx)
+  WHERE i % 2 = 0 AND i % 17 <> 0
+  GROUP BY media_ref),
+ws AS (
+  SELECT media_ref, i, unnest(range({nf})) AS f
+  FROM a WHERE i % 2 = 1 AND i % 17 <> 0),
+wt AS (
+  SELECT media_ref,
+         SUM(CASE WHEN u >= 32768 THEN abs(u - 65536) ELSE u END) AS sum_abs
+  FROM (SELECT media_ref, {u} AS u FROM ws)
+  GROUP BY media_ref)
+SELECT a.media_ref,
+       CASE WHEN i % 2 = 0 THEN 'ppm' ELSE 'wav' END AS media_type,
+       i % 17 <> 0 AS parse_ok,
+       CAST(coalesce(pt.sum_r, 0) AS BIGINT) AS sum_r,
+       CAST(coalesce(pt.sum_g, 0) AS BIGINT) AS sum_g,
+       CAST(coalesce(pt.sum_b, 0) AS BIGINT) AS sum_b,
+       CAST(coalesce(wt.sum_abs, 0) AS BIGINT) AS sum_abs
+FROM a
+LEFT JOIN pt USING (media_ref)
+LEFT JOIN wt USING (media_ref)"""
+
+
 def kg_version_diff_sql(fixture_root: str, old_ts: str, new_ts: str) -> str:
     """``kg_version_diff`` restatement: the kg_triples statement at two
     time coordinates, FULL OUTER JOINed on the triple key; '' stands for

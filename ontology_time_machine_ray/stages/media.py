@@ -186,6 +186,90 @@ class MediaDecoder:
         )
 
 
+#: thumbnail edge for the feature extractor (T x T nearest-neighbor).
+THUMB_T = 2
+
+
+class MediaFeatureExtractor:
+    """Actor-pool decode + NUMERIC feature extraction from raw bytes --
+    the stage downstream training pipelines run after decode (image
+    thumbnail / audio energy), fully real in-container:
+
+    * PPM: nearest-neighbor ``THUMB_T x THUMB_T`` thumbnail (integer
+      index map ``src = t * dim // T``), per-channel pixel sums
+      (``sum_r/g/b`` -- integer, so the oracle can replay the generator
+      formulas bit-exactly).
+    * WAV: PCM int16 decode of channel 0, sum of absolute samples
+      (``sum_abs`` -- the integer stand-in for RMS energy).
+
+    Malformed payloads keep ``parse_ok=False`` with zero features."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        T = THUMB_T
+        out = {
+            "media_ref": [], "media_type": [], "parse_ok": [],
+            "sum_r": [], "sum_g": [], "sum_b": [], "sum_abs": [],
+        }
+        for ref, payload in zip(df["media_ref"], df["payload"]):
+            b = bytes(payload) if payload is not None else b""
+            mtype = ref.rsplit(".", 1)[-1]
+            ok = False
+            sr = sg = sb = sa = 0
+            if mtype == "ppm":
+                dims = decode_ppm(b)
+                if dims is not None:
+                    ok = True
+                    w, h = dims
+                    m = _PPM_HDR.match(b)
+                    px = np.frombuffer(b, dtype=np.uint8, offset=m.end()).reshape(
+                        h, w, 3
+                    )
+                    ys = (np.arange(T) * h) // T
+                    xs = (np.arange(T) * w) // T
+                    thumb = px[np.ix_(ys, xs)].astype(np.int64)
+                    sr, sg, sb = (int(thumb[:, :, c].sum()) for c in range(3))
+            elif mtype == "wav":
+                wav = decode_wav(b)
+                if wav is not None:
+                    ok = True
+                    ch, _rate, nf = wav
+                    fmt_size = _struct.unpack_from("<I", b, 16)[0]
+                    data_off = 20 + fmt_size + 8
+                    pcm = np.frombuffer(
+                        b, dtype="<i2", offset=data_off, count=nf * ch
+                    ).reshape(nf, ch)
+                    sa = int(np.abs(pcm[:, 0].astype(np.int64)).sum())
+            out["media_ref"].append(ref)
+            out["media_type"].append(mtype)
+            out["parse_ok"].append(ok)
+            out["sum_r"].append(sr)
+            out["sum_g"].append(sg)
+            out["sum_b"].append(sb)
+            out["sum_abs"].append(sa)
+        return pd.DataFrame(
+            {
+                "media_ref": pd.Series(out["media_ref"], dtype="object"),
+                "media_type": pd.Series(out["media_type"], dtype="object"),
+                "parse_ok": pd.Series(out["parse_ok"], dtype="bool"),
+                "sum_r": pd.Series(out["sum_r"], dtype="int64"),
+                "sum_g": pd.Series(out["sum_g"], dtype="int64"),
+                "sum_b": pd.Series(out["sum_b"], dtype="int64"),
+                "sum_abs": pd.Series(out["sum_abs"], dtype="int64"),
+            }
+        )
+
+
+def media_features(assets_path: str, concurrency: int | None = None) -> rd.Dataset:
+    """Asset store -> per-asset numeric features (thumbnail channel sums /
+    PCM energy), decoded from bytes in an actor pool over small batches."""
+    return rd.read_parquet(assets_path).map_batches(
+        MediaFeatureExtractor,
+        batch_format="pandas",
+        batch_size=64,  # rows carry binary payloads
+        concurrency=concurrency or _media_pool_size(),
+    )
+
+
 class MediaResizer:
     """Actor-pool resize stage (stub): clamps decoded dimensions into a
     target box preserving aspect ratio with integer arithmetic (the real

@@ -518,3 +518,39 @@ def test_dedup_segments_vs_naive(ray_session, tmp_path):
     # doc 2 repeats doc 1's seg_a; doc 3's two seg_b copies both dup doc 1
     assert got.loc[2, "n_kept"] < got.loc[2, "n_segs"]
     assert got.loc[3, "n_kept"] == 0 and got.loc[3, "n_segs"] == 2
+
+
+def test_media_feature_extractor_hand_payloads(ray_session):
+    """Extractor on hand-built payloads: a 2x2 PPM with known pixels, a
+    3-frame stereo WAV with known samples (incl. a negative), and a
+    truncated payload."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from ontology_time_machine_ray.stages.media import MediaFeatureExtractor
+
+    # 2x2 image, pixel bytes 0..11 -> thumbnail IS the image (T=2, dims=2)
+    ppm = b"P6\n2 2\n255\n" + bytes(range(12))
+    # channel sums: r = 0+3+6+9, g = 1+4+7+10, b = 2+5+8+11
+    samples = np.array([[100, 7], [-200, 8], [300, 9]], dtype="<i2")
+    data = samples.tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    df = pd.DataFrame(
+        {
+            "media_ref": [
+                "media://t/0.ppm", "media://t/1.wav", "media://t/2.ppm",
+            ],
+            "payload": [ppm, wav, ppm[:5]],
+        }
+    )
+    out = MediaFeatureExtractor()(df)
+    assert out["parse_ok"].tolist() == [True, True, False]
+    assert out.loc[0, ["sum_r", "sum_g", "sum_b"]].tolist() == [18, 22, 26]
+    assert out.loc[1, "sum_abs"] == 100 + 200 + 300  # channel 0 only
+    assert out.loc[2, ["sum_r", "sum_g", "sum_b", "sum_abs"]].tolist() == [0, 0, 0, 0]
