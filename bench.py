@@ -91,6 +91,19 @@ def _touch_gb(gb: float) -> float:
     return float(a[::4096].sum())
 
 
+def _vmstat(keys=("pgfault", "pgmajfault")) -> dict:
+    out = {}
+    try:
+        with open("/proc/vmstat") as f:
+            for line in f:
+                k, _, v = line.partition(" ")
+                if k in keys:
+                    out[k] = int(v)
+    except OSError:
+        pass
+    return out
+
+
 def run_bench() -> dict:
     import ray
 
@@ -100,6 +113,7 @@ def run_bench() -> dict:
     paths = ensure_fixtures(SF_DIR, repeat=REPEAT, text_scale=TEXT_SCALE)
     _prewarm_memory(PREWARM_GB)  # untimed: absorb first-touch fault tax
 
+    vm0 = _vmstat()  # host-wide page-fault counters: the sick-host forensic
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -150,6 +164,9 @@ def run_bench() -> dict:
     # external load (±25% observed) and the metric is about the job, not
     # the neighbours
     summary = timed("kg_build_2", build)
+    # both raw runs recorded: run1 vs run2 separates first-touch fault
+    # tax (sick-host pathology, BASELINE.md) from steady-state compute
+    extras["kg_build_runs"] = [queries["kg_build"], queries["kg_build_2"]]
     queries["kg_build"] = min(queries["kg_build"], queries.pop("kg_build_2"))
     n_triples = sum(summary["partitions"].values())
     extras["docs_per_sec"] = round(n_docs / queries["kg_build"], 1)
@@ -221,6 +238,17 @@ def run_bench() -> dict:
         timed("tfidf_topk", lambda: tfidf_topk(SF_DIR))
         timed("winnow_dup_pairs", lambda: winnow_dup_pairs(SF_DIR))
         timed("dedup_segments", lambda: dedup_segments(SF_DIR))
+        timed("ann_pq", lambda: similarity.ann_pq(SF_DIR))
+        timed("rel_q3_shipping", lambda: relational.q3_shipping(SF_DIR))
+        from ontology_time_machine_ray.pipelines.queries import quality_top_pct
+
+        timed("quality_top_pct", lambda: quality_top_pct(SF_DIR))
+        from ontology_time_machine_ray.stages.fuzzy import fuzzy_name_pairs
+        from ontology_time_machine_ray.stages.layout import range_layout_query
+
+        shutil.rmtree("/tmp/otm_range_layout", ignore_errors=True)  # time the build too
+        timed("rel_range_layout", lambda: range_layout_query(SF_DIR))
+        timed("rel_fuzzy_join", lambda: fuzzy_name_pairs(SF_DIR))
 
     ray.shutdown()
     return {
@@ -237,6 +265,12 @@ def run_bench() -> dict:
         # legs see the previous leg's decaying self-load too; the FIRST
         # leg's value is the clean ambient reading
         "loadavg_start": round(os.getloadavg()[0], 1),
+        # pgfault delta across the whole bench (incl. other tenants): on a
+        # healthy host this is ~input-bytes/4k; in a sick window the same
+        # job shows the same count but each fault costs ~100x more
+        "vmstat_delta": {
+            k: v - vm0.get(k, 0) for k, v in _vmstat().items()
+        },
         **extras,
     }
 
