@@ -1157,6 +1157,7 @@ QUERIES = {
     "rel_distinct_sketch": _distinct_sketch,
     "sample_docs_hash": relational.sample_docs_hash,
     "sample_stratified": textops.sample_stratified,
+    "sample_weighted": textops.sample_weighted,
     "events_hourly": relational.events_hourly,
     "events_sessions": relational.events_sessions,
     "events_asof_join": relational.events_asof_join,
@@ -1186,6 +1187,7 @@ QUERIES = {
     "rel_fuzzy_join": _fuzzy_join,
     "rel_range_layout": _range_layout,
     "rel_q3_shipping": relational.q3_shipping,
+    "events_funnel": relational.events_funnel,
     "text_fingerprint": textops.fingerprints,
     "lang_id": textops.lang_id,
     # dedup family
@@ -1263,6 +1265,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["rel_q3_shipping"] = sql_oracles.q3_shipping_sql(
         relational.Q3_SEGMENT, relational.Q3_CUTOFF
     )
+    out["events_funnel"] = sql_oracles.FUNNEL_SQL
+    out["sample_weighted"] = sql_oracles.sample_weighted_sql(textops.SAMPLE_W_K)
     out["embed_kmeans"] = sql_oracles.embed_kmeans_sql()
     out["ann_ivf"] = sql_oracles.ann_ivf_sql()
     out["ann_pq"] = sql_oracles.ann_pq_sql(

@@ -164,6 +164,48 @@ def orders_by_nation(sf_dir: str) -> pd.DataFrame:
     return agg
 
 
+#: ordered funnel stages (event_type values, in order).
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def events_funnel(sf_dir: str) -> rd.Dataset:
+    """Ordered funnel per user: earliest 'view', then earliest 'click'
+    strictly after it, then earliest 'purchase' strictly after that --
+    the product-analytics sequence-match query.  ONE user-bucketed
+    shuffle of the three event types (columns pruned at the read, types
+    filtered per batch); inside each bucket the stage chain is three
+    vectorized merge+min passes, never a per-user Python loop."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"]).map_batches(
+        lambda df: df[df["event_type"].isin(FUNNEL_STAGES)], batch_format="pandas"
+    )
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        v = (
+            g[g["event_type"] == FUNNEL_STAGES[0]]
+            .groupby("user_id", as_index=False)
+            .agg(t_view=("ts", "min"))
+        )
+        cur = v
+        cols = {"t_view": None}
+        for stage, col, prev in (
+            (FUNNEL_STAGES[1], "t_click", "t_view"),
+            (FUNNEL_STAGES[2], "t_purchase", "t_click"),
+        ):
+            ev = g.loc[g["event_type"] == stage, ["user_id", "ts"]].merge(
+                cur[["user_id", prev]], on="user_id"
+            )
+            nxt = (
+                ev[ev["ts"] > ev[prev]]
+                .groupby("user_id", as_index=False)
+                .agg(**{col: ("ts", "min")})
+            )
+            cur = cur.merge(nxt, on="user_id", how="left")
+            cols[col] = None
+        return cur[["user_id", *cols]]
+
+    return grouped_apply(ds, ["user_id"], funnel_bucket)
+
+
 def price_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact discrete quantiles of o_totalprice (p25/p50/p75/p90).
 

@@ -1630,6 +1630,32 @@ SELECT doc_id,
 FROM r GROUP BY doc_id"""
 
 
+def sample_weighted_sql(k: int) -> str:
+    """``sample_weighted`` restatement: same md5-prefix uniform, same
+    IEEE-only priority formula, plain ORDER BY LIMIT."""
+    return f"""
+SELECT doc_id, n_chars,
+       (n_chars * 4503599627370496.0)
+       / (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+          + 1.0) AS priority
+FROM documents
+ORDER BY priority DESC, doc_id ASC
+LIMIT {k}"""
+
+
+FUNNEL_SQL = """
+WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
+
+
 def q3_shipping_sql(segment: str, cutoff: str) -> str:
     """``rel_q3_shipping`` restatement (TPC-H Q3 shape): plain 3-way join
     + group + ORDER BY LIMIT 10, exact cent x basis-point revenue."""

@@ -337,6 +337,46 @@ def sample_stratified(sf_dir: str) -> rd.Dataset:
     return _read_docs(sf_dir).map_batches(pick, batch_format="pandas")
 
 
+#: weighted-sample size and the exact power-of-two priority scale.
+SAMPLE_W_K = 50
+_P52 = float(1 << 52)
+
+
+def sample_weighted(sf_dir: str, k: int = SAMPLE_W_K) -> pd.DataFrame:
+    """Deterministic weighted sample WITHOUT replacement via priority
+    sampling (Duffield, Lund & Thorup 2007): each doc gets priority
+    ``w * 2^52 / (u + 1)`` with weight ``w = n_chars`` and ``u`` the
+    52-bit md5 prefix of its id; the k largest priorities are the
+    sample (inclusion probability ~ proportional to weight).
+
+    Exactness: the priority uses ONLY IEEE multiply/divide (correctly
+    rounded, bit-identical in numpy and DuckDB -- no transcendentals),
+    so the SQL oracle replays the sample exactly.  Shuffle-free: per-
+    batch partial top-k + a blocks x k driver merge (the ann_bruteforce
+    pattern)."""
+    import numpy as np
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = md5_prefix_int_series(df["doc_id"].astype(str), 13).astype(np.float64)
+        pri = (df["n_chars"].to_numpy().astype(np.float64) * _P52) / (u + 1.0)
+        return (
+            df.assign(priority=pri)
+            .sort_values(["priority", "doc_id"], ascending=[False, True])
+            .head(k)
+        )
+
+    parts = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    return (
+        parts.sort_values(["priority", "doc_id"], ascending=[False, True])
+        .head(k)[["doc_id", "n_chars", "priority"]]
+        .reset_index(drop=True)
+    )
+
+
 def lm_coverage(sf_dir: str, top_k: int = 1000) -> rd.Dataset:
     """Count-based bigram language-model coverage (the integer core of a
     CCNet-style LM quality filter): per document, how many of its bigram
