@@ -1032,6 +1032,16 @@ def _range_layout(sf_dir: str):
     return range_layout_query(sf_dir)
 
 
+def _grid_layout(sf_dir: str):
+    """2-D grid-clustered layout (price x ship-date) + rectangle query
+    reading only the overlapping cells (see stages/layout.py) -- the
+    multi-dimensional pruning a lakehouse Z-order clustering buys.
+    Oracle: plain full-scan rectangle filter."""
+    from ontology_time_machine_ray.stages.layout import grid_layout_query
+
+    return grid_layout_query(sf_dir)
+
+
 def _fuzzy_join(sf_dir: str):
     """Fuzzy string self-join on part names (edit distance in [1,2]) via
     COMPLETE deletion-neighborhood blocking (FastSS) at the distinct-name
@@ -1188,6 +1198,7 @@ QUERIES = {
     "rel_range_layout": _range_layout,
     "rel_q3_shipping": relational.q3_shipping,
     "events_funnel": relational.events_funnel,
+    "rel_grid_layout": _grid_layout,
     "text_fingerprint": textops.fingerprints,
     "lang_id": textops.lang_id,
     # dedup family
@@ -1267,6 +1278,14 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     )
     out["events_funnel"] = sql_oracles.FUNNEL_SQL
     out["sample_weighted"] = sql_oracles.sample_weighted_sql(textops.SAMPLE_W_K)
+    from ontology_time_machine_ray.stages.layout import GRID_DATE_HI, GRID_DATE_LO
+
+    out["rel_grid_layout"] = sql_oracles.grid_layout_sql(
+        RANGE_LO_C,
+        RANGE_HI_C,
+        pd.Timestamp(GRID_DATE_LO).value // 86_400_000_000_000,
+        pd.Timestamp(GRID_DATE_HI).value // 86_400_000_000_000 - 1,
+    )
     out["embed_kmeans"] = sql_oracles.embed_kmeans_sql()
     out["ann_ivf"] = sql_oracles.ann_ivf_sql()
     out["ann_pq"] = sql_oracles.ann_pq_sql(

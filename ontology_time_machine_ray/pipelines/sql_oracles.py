@@ -1687,6 +1687,19 @@ WHERE CAST(round(l_extendedprice * 100) AS BIGINT) BETWEEN {lo_c} AND {hi_c}
 GROUP BY l_returnflag"""
 
 
+def grid_layout_sql(lo_c: int, hi_c: int, lo_day: int, hi_day: int) -> str:
+    """``rel_grid_layout`` restatement: the 2-D-pruned cell read must
+    equal the plain full-scan rectangle filter."""
+    return f"""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+FROM lineitem
+WHERE CAST(round(l_extendedprice * 100) AS BIGINT) BETWEEN {lo_c} AND {hi_c}
+  AND CAST(epoch(l_shipdate) AS BIGINT) // 86400 BETWEEN {lo_day} AND {hi_day}
+GROUP BY l_returnflag"""
+
+
 def fuzzy_join_sql(max_dist: int) -> str:
     """``rel_fuzzy_join`` restatement: the blocked+verified plan must
     equal the plain O(n^2) distinct-name cross join with DuckDB's

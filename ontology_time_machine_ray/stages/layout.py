@@ -183,3 +183,194 @@ def range_layout_query(
         ["l_returnflag"],
         {"n_rows": ("n_rows", "sum"), "sum_price_c": ("sum_price_c", "sum")},
     )
+
+
+# --------------------------------------------------------------------- #
+# 2-D grid clustering (price x shipdate): multi-dimensional pruning      #
+# --------------------------------------------------------------------- #
+#: grid edge per dimension (GRID_B x GRID_B cells).
+GRID_B = 8
+#: the benchmark rectangle: price window x ship-date window.
+GRID_DATE_LO = "1997-01-01"
+GRID_DATE_HI = "1999-01-01"
+
+
+def _day_number(ts: pd.Series) -> pd.Series:
+    """Days since epoch (int64) -- the integer clustering coordinate for
+    the date dimension (exact on both engines).  Normalized to ns first:
+    parquet timestamps arrive as datetime64[us], and an int64 view of
+    those is microseconds -- dividing by the ns-per-day constant without
+    normalizing yields day numbers 1000x too small."""
+    return (
+        ts.astype("datetime64[ns]").astype("int64") // 86_400_000_000_000
+    ).astype("int64")
+
+
+def _grid_boundaries(sf_dir: str) -> tuple[list[int], list[int]]:
+    """Equal-count boundaries per dimension from ONE fused histogram pass
+    (both value histograms come out of the same read)."""
+    from ontology_time_machine_ray.stages.groupagg import grouped_aggregate
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_shipdate"],
+    ).map_batches(
+        lambda df: pd.concat(
+            [
+                pd.DataFrame(
+                    {"dim": 0,
+                     "v": (df["l_extendedprice"] * 100).round().astype("int64")}
+                ),
+                pd.DataFrame({"dim": 1, "v": _day_number(df["l_shipdate"])}),
+            ],
+            ignore_index=True,
+        )
+        .groupby(["dim", "v"], as_index=False)
+        .agg(n=("v", "size")),
+        batch_format="pandas",
+    )
+    hist = (
+        grouped_aggregate(ds, ["dim", "v"], {"n": ("n", "sum")})
+        .to_pandas()
+        .sort_values(["dim", "v"])
+    )
+    out = []
+    for dim in (0, 1):
+        h = hist[hist["dim"] == dim].reset_index(drop=True)
+        cum = h["n"].cumsum()
+        total = int(cum.iloc[-1])
+        bounds = []
+        for i in range(1, GRID_B):
+            target = max(1, math.ceil(i / GRID_B * total))
+            idx = int((cum >= target).idxmax())
+            bounds.append(int(h["v"].iloc[idx]))
+        out.append(sorted(set(bounds)))
+    return out[0], out[1]
+
+
+def build_grid_layout(sf_dir: str) -> tuple[str, list[int], list[int]]:
+    """Materialize the (price-bucket, date-bucket) grid: one directory per
+    CELL.  A rectangle query reads only the cells its ranges overlap --
+    pruning in BOTH dimensions (what lakehouse Z-order clustering buys;
+    with the cell as the partition unit the Z-curve's file-chunking is
+    the identity, so the grid is the honest equivalent)."""
+    import hashlib
+
+    import numpy as np
+
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    st = os.stat(src)
+    ident = hashlib.sha1(
+        f"grid:{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:{GRID_B}".encode()
+    ).hexdigest()[:12]
+    out_dir = os.path.join("/tmp/otm_grid_layout", ident)
+    mpath = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        with open(mpath) as f:
+            m = json.load(f)
+        return out_dir, m["pb"], m["db"]
+
+    pb, db = _grid_boundaries(sf_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    pbar = np.asarray(pb, dtype=np.int64)
+    dbar = np.asarray(db, dtype=np.int64)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        price_c = (df["l_extendedprice"] * 100).round().astype("int64")
+        day = _day_number(df["l_shipdate"])
+        cell = (
+            np.searchsorted(pbar, price_c.to_numpy(), side="right") * (GRID_B + 1)
+            + np.searchsorted(dbar, day.to_numpy(), side="right")
+        ).astype("int64")
+        return df.assign(price_c=price_c, day=day, cell=cell)
+
+    assigned = rd.read_parquet(
+        src, columns=["l_returnflag", "l_extendedprice", "l_shipdate"]
+    ).map_batches(assign, batch_format="pandas")
+
+    def write_cell(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cid, sub in g.groupby("cell", sort=True):
+            cdir = os.path.join(out_dir, f"cell={int(cid):04d}")
+            os.makedirs(cdir, exist_ok=True)
+            sub.drop(columns=["cell"]).to_parquet(
+                os.path.join(cdir, "data.parquet"), index=False
+            )
+            out.append({"cell": int(cid), "rows": len(sub)})
+        return pd.DataFrame(out)
+
+    grouped_apply(assigned, ["cell"], write_cell).materialize()
+    with open(mpath, "w") as f:
+        json.dump({"pb": pb, "db": db}, f)
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write(ident)
+    return out_dir, pb, db
+
+
+def pruned_grid_dirs(
+    out_dir: str, pb: list[int], db: list[int],
+    lo_c: int, hi_c: int, lo_day: int, hi_day: int,
+) -> tuple[list[str], int]:
+    """Cell directories overlapping the rectangle, plus the total count."""
+    import numpy as np
+
+    pbar = np.asarray(pb, dtype=np.int64)
+    dbar = np.asarray(db, dtype=np.int64)
+    p_lo = int(np.searchsorted(pbar, lo_c, side="right"))
+    p_hi = int(np.searchsorted(pbar, hi_c, side="right"))
+    d_lo = int(np.searchsorted(dbar, lo_day, side="right"))
+    d_hi = int(np.searchsorted(dbar, hi_day, side="right"))
+    all_dirs = sorted(d for d in os.listdir(out_dir) if d.startswith("cell="))
+    keep = []
+    for d in all_dirs:
+        cid = int(d.split("=")[1])
+        pcell, dcell = divmod(cid, GRID_B + 1)
+        if p_lo <= pcell <= p_hi and d_lo <= dcell <= d_hi:
+            keep.append(os.path.join(out_dir, d))
+    return keep, len(all_dirs)
+
+
+def grid_layout_query(
+    sf_dir: str,
+    lo_c: int = RANGE_LO_C,
+    hi_c: int = RANGE_HI_C,
+    date_lo: str = GRID_DATE_LO,
+    date_hi: str = GRID_DATE_HI,
+) -> rd.Dataset:
+    """Per-returnflag count + cent sum over a price x ship-date rectangle,
+    reading ONLY the overlapping grid cells (2-D pruning)."""
+    from ontology_time_machine_ray.stages.groupagg import grouped_aggregate
+
+    out_dir, pb, db = build_grid_layout(sf_dir)
+    lo_day = pd.Timestamp(date_lo).value // 86_400_000_000_000
+    hi_day = pd.Timestamp(date_hi).value // 86_400_000_000_000 - 1  # exclusive hi
+    dirs, _total = pruned_grid_dirs(out_dir, pb, db, lo_c, hi_c, lo_day, hi_day)
+    if not dirs:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"l_returnflag": pd.Series(dtype=object),
+                 "n_rows": pd.Series(dtype="int64"),
+                 "sum_price_c": pd.Series(dtype="int64")}
+            )
+        )
+    ds = rd.read_parquet(
+        [os.path.join(d, "data.parquet") for d in dirs],
+        columns=["l_returnflag", "price_c", "day"],
+    )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[
+            (df["price_c"] >= lo_c) & (df["price_c"] <= hi_c)
+            & (df["day"] >= lo_day) & (df["day"] <= hi_day)
+        ]
+        return df.groupby("l_returnflag", as_index=False).agg(
+            n_rows=("price_c", "size"), sum_price_c=("price_c", "sum")
+        )
+
+    return grouped_aggregate(
+        ds.map_batches(agg, batch_format="pandas"),
+        ["l_returnflag"],
+        {"n_rows": ("n_rows", "sum"), "sum_price_c": ("sum_price_c", "sum")},
+    )

@@ -61,3 +61,47 @@ def test_range_layout_union_is_whole_table(ray_session, sf_dir):
             assert (pc < hi).all()
     total = pq.read_metadata(os.path.join(sf_dir, "lineitem.parquet")).num_rows
     assert n == total
+
+
+def test_grid_layout_prunes_both_dimensions(ray_session, sf_dir):
+    shutil.rmtree("/tmp/otm_grid_layout", ignore_errors=True)
+    out_dir, pb, db = layout.build_grid_layout(sf_dir)
+    lo_day = pd.Timestamp(layout.GRID_DATE_LO).value // 86_400_000_000_000
+    hi_day = pd.Timestamp(layout.GRID_DATE_HI).value // 86_400_000_000_000 - 1
+    dirs, total = layout.pruned_grid_dirs(
+        out_dir, pb, db, layout.RANGE_LO_C, layout.RANGE_HI_C, lo_day, hi_day
+    )
+    assert 0 < len(dirs) < total
+    # 2-D: strictly fewer cells than pruning on either dimension alone
+    all_price, _ = layout.pruned_grid_dirs(
+        out_dir, pb, db, layout.RANGE_LO_C, layout.RANGE_HI_C, -10**9, 10**9
+    )
+    all_date, _ = layout.pruned_grid_dirs(
+        out_dir, pb, db, -10**9, 10**18, lo_day, hi_day
+    )
+    assert len(dirs) < len(all_price)
+    assert len(dirs) < len(all_date)
+
+    got = (
+        layout.grid_layout_query(sf_dir)
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    li = pq.read_table(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice", "l_shipdate"],
+    ).to_pandas()
+    li["price_c"] = (li["l_extendedprice"] * 100).round().astype("int64")
+    li["day"] = layout._day_number(li["l_shipdate"])
+    li = li[
+        (li["price_c"] >= layout.RANGE_LO_C) & (li["price_c"] <= layout.RANGE_HI_C)
+        & (li["day"] >= lo_day) & (li["day"] <= hi_day)
+    ]
+    want = (
+        li.groupby("l_returnflag", as_index=False)
+        .agg(n_rows=("price_c", "size"), sum_price_c=("price_c", "sum"))
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
