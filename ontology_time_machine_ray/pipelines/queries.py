@@ -1042,6 +1042,15 @@ def _grid_layout(sf_dir: str):
     return grid_layout_query(sf_dir)
 
 
+def _entity_resolution(sf_dir: str):
+    """Entity resolution composition: blocked fuzzy join -> distributed
+    connected components -> canonical-name rewrite (see stages/fuzzy.py).
+    Oracle: recursive reach-closure CTE over levenshtein edges."""
+    from ontology_time_machine_ray.stages.fuzzy import entity_resolution
+
+    return entity_resolution(sf_dir)
+
+
 def _fuzzy_join(sf_dir: str):
     """Fuzzy string self-join on part names (edit distance in [1,2]) via
     COMPLETE deletion-neighborhood blocking (FastSS) at the distinct-name
@@ -1199,6 +1208,7 @@ QUERIES = {
     "rel_q3_shipping": relational.q3_shipping,
     "events_funnel": relational.events_funnel,
     "rel_grid_layout": _grid_layout,
+    "rel_entity_resolution": _entity_resolution,
     "text_fingerprint": textops.fingerprints,
     "lang_id": textops.lang_id,
     # dedup family
@@ -1270,6 +1280,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     from ontology_time_machine_ray.stages.fuzzy import MAX_DIST
 
     out["rel_fuzzy_join"] = sql_oracles.fuzzy_join_sql(MAX_DIST)
+    out["rel_entity_resolution"] = sql_oracles.entity_resolution_sql(MAX_DIST)
     from ontology_time_machine_ray.stages.layout import RANGE_HI_C, RANGE_LO_C
 
     out["rel_range_layout"] = sql_oracles.range_layout_sql(RANGE_LO_C, RANGE_HI_C)

@@ -1687,6 +1687,30 @@ WHERE CAST(round(l_extendedprice * 100) AS BIGINT) BETWEEN {lo_c} AND {hi_c}
 GROUP BY l_returnflag"""
 
 
+def entity_resolution_sql(max_dist: int) -> str:
+    """``rel_entity_resolution`` restatement: fuzzy pair edges -> reach
+    closure -> min-name component -> rewrite, all in one recursive CTE
+    (the kg canonicalization oracle's shape over levenshtein edges)."""
+    return f"""
+WITH RECURSIVE
+nm AS (SELECT DISTINCT p_name FROM part),
+e AS (
+  SELECT a.p_name AS u, b.p_name AS v
+  FROM nm a JOIN nm b ON a.p_name < b.p_name
+  WHERE abs(length(a.p_name) - length(b.p_name)) <= {max_dist}
+    AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {max_dist}),
+nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e),
+sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+reach(a, b) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.a, s.v FROM reach r JOIN sym s ON s.u = r.b),
+comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a)
+SELECT p.p_partkey, p.p_name,
+       coalesce(c.component, p.p_name) AS canonical_name
+FROM part p LEFT JOIN comp c ON c.node = p.p_name"""
+
+
 def grid_layout_sql(lo_c: int, hi_c: int, lo_day: int, hi_day: int) -> str:
     """``rel_grid_layout`` restatement: the 2-D-pruned cell read must
     equal the plain full-scan rectangle filter."""
