@@ -1209,6 +1209,8 @@ QUERIES = {
     "events_funnel": relational.events_funnel,
     "rel_grid_layout": _grid_layout,
     "rel_entity_resolution": _entity_resolution,
+    "rel_price_quantiles_cont": relational.price_quantiles_cont,
+    "events_retention": relational.events_retention,
     "text_fingerprint": textops.fingerprints,
     "lang_id": textops.lang_id,
     # dedup family
@@ -1281,6 +1283,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
 
     out["rel_fuzzy_join"] = sql_oracles.fuzzy_join_sql(MAX_DIST)
     out["rel_entity_resolution"] = sql_oracles.entity_resolution_sql(MAX_DIST)
+    out["rel_price_quantiles_cont"] = sql_oracles.QUANTILES_CONT_SQL
+    out["events_retention"] = sql_oracles.RETENTION_SQL
     from ontology_time_machine_ray.stages.layout import RANGE_HI_C, RANGE_LO_C
 
     out["rel_range_layout"] = sql_oracles.range_layout_sql(RANGE_LO_C, RANGE_HI_C)

@@ -235,6 +235,90 @@ def price_quantiles(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def events_retention(sf_dir: str) -> rd.Dataset:
+    """Week-over-week retention: per ISO-ish epoch week, how many users
+    were active and how many of them were also active the NEXT week --
+    the standard cohort-retention aggregate.  Per-batch distinct
+    (user, week) combiner, ONE user-bucketed pass that self-matches each
+    user's week set against week+1 vectorized, then a tiny week rollup."""
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "week": (
+                    df["ts"].astype("datetime64[ns]").astype("int64")
+                    // (7 * 86_400_000_000_000)
+                ).astype("int64"),
+            }
+        ).drop_duplicates(),
+        batch_format="pandas",
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "week"])
+        nxt = g.assign(week=g["week"] - 1)  # active in w+1, keyed back to w
+        m = g.merge(nxt, on=["user_id", "week"], how="left", indicator=True)
+        return (
+            pd.DataFrame(
+                {
+                    "week": m["week"],
+                    "retained": (m["_merge"] == "both").astype("int64"),
+                }
+            )
+            .groupby("week", as_index=False)
+            .agg(n_active=("retained", "size"), n_retained=("retained", "sum"))
+        )
+
+    parts = grouped_apply(ds, ["user_id"], per_user)
+    return grouped_aggregate(
+        parts,
+        ["week"],
+        {"n_active": ("n_active", "sum"), "n_retained": ("n_retained", "sum")},
+    )
+
+
+def price_quantiles_cont(sf_dir: str) -> pd.DataFrame:
+    """INTERPOLATED quantiles (quantile_cont semantics: position
+    q*(n-1), linear interpolation between the straddling values) from
+    the same distributed value histogram as ``price_quantiles`` -- no
+    global sort; the driver walks the small histogram twice per q.
+
+    Determinism: the interpolation uses only IEEE +,-,*,/ (correctly
+    rounded), and the SQL oracle restates the SAME formula explicitly
+    (not the built-in aggregate), so the doubles match bit-for-bit."""
+    import math
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"]).map_batches(
+        lambda df: df.assign(price_c=(df["o_totalprice"] * 100).round().astype("int64"))
+        .groupby("price_c", as_index=False)
+        .agg(n=("price_c", "size")),
+        batch_format="pandas",
+    )
+    hist = (
+        grouped_aggregate(ds, ["price_c"], {"n": ("n", "sum")})
+        .to_pandas()
+        .sort_values("price_c")
+        .reset_index(drop=True)
+    )
+    cum = hist["n"].cumsum().to_numpy()
+    total = int(cum[-1])
+
+    def value_at(rank0: int) -> int:  # 0-indexed rank -> cent value
+        import numpy as np
+
+        return int(hist["price_c"].iloc[int(np.searchsorted(cum, rank0 + 1))])
+
+    rows = []
+    for q in (0.25, 0.50, 0.75, 0.90):
+        p = q * (total - 1)
+        lo, hi = math.floor(p), math.ceil(p)
+        a, b = value_at(lo), value_at(hi)
+        rows.append({"q": q, "price": (a + (b - a) * (p - lo)) / 100.0})
+    return pd.DataFrame(rows)
+
+
 def distinct_customers(sf_dir: str) -> pd.DataFrame:
     """Exact COUNT(DISTINCT custkey) per order priority: batch-local
     distinct pairs first (combiner), then bucketed nunique."""

@@ -1687,6 +1687,34 @@ WHERE CAST(round(l_extendedprice * 100) AS BIGINT) BETWEEN {lo_c} AND {hi_c}
 GROUP BY l_returnflag"""
 
 
+RETENTION_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch(ts) AS BIGINT) // (7 * 86400) AS week
+  FROM events),
+r AS (
+  SELECT a.week,
+         CAST(count(*) AS BIGINT) AS n_active,
+         CAST(count(b.user_id) AS BIGINT) AS n_retained
+  FROM uw a
+  LEFT JOIN uw b ON b.user_id = a.user_id AND b.week = a.week + 1
+  GROUP BY a.week)
+SELECT week, n_active, n_retained FROM r"""
+
+
+QUANTILES_CONT_SQL = """
+WITH s AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+o AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rn FROM s),
+n AS (SELECT count(*) AS n FROM s),
+qs(q) AS (VALUES (0.25), (0.50), (0.75), (0.90)),
+pos AS (SELECT q, q * (n - 1) AS p,
+               CAST(floor(q * (n - 1)) AS BIGINT) AS lo,
+               CAST(ceil(q * (n - 1)) AS BIGINT) AS hi
+        FROM qs, n)
+SELECT pos.q AS q, (a.v + (b.v - a.v) * (pos.p - pos.lo)) / 100.0 AS price
+FROM pos JOIN o a ON a.rn = pos.lo JOIN o b ON b.rn = pos.hi"""
+
+
 def entity_resolution_sql(max_dist: int) -> str:
     """``rel_entity_resolution`` restatement: fuzzy pair edges -> reach
     closure -> min-name component -> rewrite, all in one recursive CTE
