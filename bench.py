@@ -159,15 +159,20 @@ def run_bench() -> dict:
             shutil.rmtree(OUT_DIR)
         return pipe.materialize(OUT_DIR, canonical=True)
 
-    summary = timed("kg_build", build)
-    # always report min-of-2 steady state: the sandbox host has noisy
-    # external load (±25% observed) and the metric is about the job, not
-    # the neighbours
-    summary = timed("kg_build_2", build)
-    # both raw runs recorded: run1 vs run2 separates first-touch fault
-    # tax (sick-host pathology, BASELINE.md) from steady-state compute
-    extras["kg_build_runs"] = [queries["kg_build"], queries["kg_build_2"]]
-    queries["kg_build"] = min(queries["kg_build"], queries.pop("kg_build_2"))
+    # min-of-N steady state: the sandbox host has noisy external load
+    # (±25% observed) and, in sick windows, a first-touch fault tax that
+    # decays over the first ~2 runs as the object-store arena gets backed
+    # (measured 125 -> 97 -> 42 -> 41 s at 8M docs); the metric is the
+    # JOB's steady-state throughput, not the hypervisor's page-backing
+    # rate.  Default 2 runs; scaling mode uses 3 (OTM_BENCH_BUILD_RUNS).
+    n_runs = max(1, int(os.environ.get("OTM_BENCH_BUILD_RUNS", "2")))
+    runs = []
+    summary = None
+    for i in range(n_runs):
+        summary = timed(f"kg_build_{i}", build)
+        runs.append(queries.pop(f"kg_build_{i}"))
+    extras["kg_build_runs"] = runs  # raw sequence: fault-tax forensics
+    queries["kg_build"] = min(runs)
     n_triples = sum(summary["partitions"].values())
     extras["docs_per_sec"] = round(n_docs / queries["kg_build"], 1)
     extras["triples_out"] = n_triples
@@ -296,6 +301,10 @@ def run_scaling() -> dict:
             OTM_BENCH_REPEAT=str(SCALING_REPEAT),
             OTM_BENCH_TEXT_SCALE=str(TEXT_SCALE),
             OTM_BENCH_ONLY="kg",
+            # 3 in-process runs: the first two absorb the object-store
+            # arena's first-touch faults (see run_bench), so the min is
+            # the steady-state number on BOTH legs
+            OTM_BENCH_BUILD_RUNS=os.environ.get("OTM_BENCH_BUILD_RUNS", "3"),
         )
         best = None
         for _ in range(int(os.environ.get("OTM_SCALING_TRIES", "2"))):
