@@ -692,6 +692,93 @@ def quality_top_pct(sf_dir: str):
     )
 
 
+def kg_two_hop(sf_dir: str):
+    """2-hop property-path traversal over the deduped triple store: all
+    distinct paths a -pred1-> mid -pred2-> b (a != b).  The graph-query
+    primitive behind SPARQL property paths, expressed as ONE bucketed
+    self-join of the triple dataset on obj = subj (hash co-location on
+    ``mid``; no broadcast -- at 10^12 docs neither side is small), then a
+    bucket-local distinct whose co-location key (subj, mid) is a subset of
+    the path tuple."""
+    from ontology_time_machine_ray.stages.groupagg import bucketed_join, grouped_apply
+
+    t = _pipe(sf_dir).triples().select_columns(["subj", "pred", "obj"])
+    left = t.map_batches(
+        lambda df: df.rename(columns={"pred": "pred1", "obj": "mid"}).drop_duplicates(),
+        batch_format="pandas",
+    )
+    right = t.map_batches(
+        lambda df: pd.DataFrame(
+            {"mid": df["subj"], "pred2": df["pred"], "obj": df["obj"]}
+        ).drop_duplicates(),
+        batch_format="pandas",
+    )
+    joined = bucketed_join(left, right, on=["mid"])
+    cols = ["subj", "pred1", "mid", "pred2", "obj"]
+
+    def distinct_paths(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["subj"] != b["obj"]]
+        return b.drop_duplicates(cols)[cols]
+
+    return grouped_apply(joined, cols, distinct_paths, bucket_keys=["subj", "mid"])
+
+
+KG_REACH_HOPS = 3
+
+
+def kg_reachability(sf_dir: str, max_hops: int = KG_REACH_HOPS):
+    """Bounded-hop reachability over the triple graph: every (a, b) pair
+    connected by a directed walk of <= ``max_hops`` edges, with the
+    minimum hop count.  The iterative traversal primitive (frontier
+    expansion) done as ``max_hops - 1`` rounds of one bucketed join +
+    one bucket-local distinct each -- per-round shuffle volume is the
+    frontier, never the transitive closure, and the only driver state is
+    the loop counter.  Oracle: the same expansion unrolled into SQL
+    CTEs, min(hops) per pair."""
+    import numpy as np
+
+    from ontology_time_machine_ray.stages.groupagg import (
+        bucketed_join,
+        grouped_aggregate,
+        grouped_apply,
+    )
+
+    t = _pipe(sf_dir).triples().select_columns(["subj", "obj"])
+    raw = t.map_batches(
+        lambda df: pd.DataFrame({"a": df["subj"], "b": df["obj"]})
+        .query("a != b")
+        .drop_duplicates(),
+        batch_format="pandas",
+    )
+    edges = grouped_apply(raw, ["a", "b"], lambda g: g.drop_duplicates())
+
+    def tag(ds, hops: int):
+        return ds.map_batches(
+            lambda df, h=hops: df.assign(hops=np.int64(h)), batch_format="pandas"
+        )
+
+    levels = [tag(edges, 1)]
+    frontier = edges
+    for k in range(2, max_hops + 1):
+        left = frontier.map_batches(
+            lambda df: df.rename(columns={"b": "mid"}), batch_format="pandas"
+        )
+        right = edges.map_batches(
+            lambda df: df.rename(columns={"a": "mid"}), batch_format="pandas"
+        )
+        stepped = bucketed_join(left, right, on=["mid"]).map_batches(
+            lambda df: df.loc[df["a"] != df["b"], ["a", "b"]].drop_duplicates(),
+            batch_format="pandas",
+        )
+        frontier = grouped_apply(stepped, ["a", "b"], lambda g: g.drop_duplicates())
+        levels.append(tag(frontier, k))
+
+    allu = levels[0]
+    for lv in levels[1:]:
+        allu = allu.union(lv)
+    return grouped_aggregate(allu, ["a", "b"], {"hops": ("hops", "min")}, bucket_keys=["a", "b"])
+
+
 def kg_cooccur_triangles(sf_dir: str):
     """Ontology co-usage graph analytics: distinct co-mention edges per
     document, then degree-oriented distributed triangle counting (Suri &
@@ -990,6 +1077,13 @@ def dedup_embed_keep(sf_dir: str):
     return similarity.embedding_dedup_keep(sf_dir)
 
 
+def dedup_semantic(sf_dir: str):
+    """SemDeDup-style semantic dedup: k-means clusters, then drop every
+    vector with a lower-id same-cluster neighbour at cosine >= 0.95; pair
+    work is bounded per cluster, never corpus-wide (similarity.semantic_dedup)."""
+    return similarity.semantic_dedup(sf_dir)
+
+
 def embed_kmeans(sf_dir: str):
     """Distributed k-means assignments over the embedding column
     (deterministic Lloyd).  The oracle unrolls the 3 Lloyd rounds into
@@ -1151,6 +1245,8 @@ QUERIES = {
     "kg_config_grid": kg_config_grid,
     "kg_doc_stats": kg_doc_stats,
     "kg_cooccur_triangles": kg_cooccur_triangles,
+    "kg_two_hop": kg_two_hop,
+    "kg_reachability": kg_reachability,
     "media_catalog": media_catalog,
     "media_frames": media_frames,
     "media_decode": media_decode,
@@ -1206,6 +1302,7 @@ QUERIES = {
     "rel_fuzzy_join": _fuzzy_join,
     "rel_range_layout": _range_layout,
     "rel_q3_shipping": relational.q3_shipping,
+    "rel_q5_local_volume": relational.q5_local_volume,
     "events_funnel": relational.events_funnel,
     "rel_grid_layout": _grid_layout,
     "rel_entity_resolution": _entity_resolution,
@@ -1222,6 +1319,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embed": dedup_embed,
     "dedup_embed_keep": dedup_embed_keep,
+    "dedup_semantic": dedup_semantic,
     "embed_kmeans": embed_kmeans,        # unrolled-Lloyd SQL oracle
     # similarity search
     "ann_bruteforce": ann_bruteforce,
@@ -1245,6 +1343,8 @@ _KG_ORACLE_NAMES = (
     "kg_dependency_closure_ttl",
     "kg_pagerank",
     "kg_incremental",
+    "kg_two_hop",
+    "kg_reachability",
     "kg_incremental_canonical",
     "kg_intercept_archivo",
     "kg_intercept_modes",
@@ -1262,6 +1362,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out.update(sql_oracles.TESTDATA_SQL)
     out["dedup_embed"] = sql_oracles.dedup_embed_sql(paths.root)
     out["dedup_embed_keep"] = sql_oracles.embed_dedup_keep_sql(paths.root)
+    out["dedup_semantic"] = sql_oracles.semantic_dedup_sql(paths.root)
     out["kg_client_config"] = sql_oracles.client_config_sql(paths.root)
     out["kg_client_intercept"] = sql_oracles.client_intercept_sql(paths.root)
     out["kg_config_grid"] = sql_oracles.config_grid_sql(paths.root)
@@ -1290,6 +1391,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["rel_range_layout"] = sql_oracles.range_layout_sql(RANGE_LO_C, RANGE_HI_C)
     out["rel_q3_shipping"] = sql_oracles.q3_shipping_sql(
         relational.Q3_SEGMENT, relational.Q3_CUTOFF
+    )
+    out["rel_q5_local_volume"] = sql_oracles.q5_local_volume_sql(
+        relational.Q5_REGION, relational.Q5_START, relational.Q5_END
     )
     out["events_funnel"] = sql_oracles.FUNNEL_SQL
     out["sample_weighted"] = sql_oracles.sample_weighted_sql(textops.SAMPLE_W_K)

@@ -495,6 +495,107 @@ def q3_shipping(sf_dir: str) -> pd.DataFrame:
     return top[["o_orderkey", "o_orderdate", "o_orderpriority", "revenue"]]
 
 
+Q5_REGION = "ASIA"
+Q5_START = "1996-01-01"
+Q5_END = "1997-01-01"
+
+
+def q5_local_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape: revenue per nation from orders where the customer
+    and the line's supplier sit in the SAME nation of one region -- the
+    canonical 6-table star join.
+
+    Distributed plan: nation+region (25/5 rows, the only genuinely
+    fixed-size tables) broadcast as a nationkey set; customer and
+    supplier GROW with SF so both are key-bucketed joins, never
+    broadcast (the orders_by_nation lesson).  Three bucketed shuffles
+    total -- custkey, orderkey, suppkey -- each preceded by a column
+    prune or batch-local filter, with lineitem pre-combined to
+    (orderkey, suppkey) partials before its shuffle.  The final
+    aggregate is nation-grain (<= 25 rows) on the driver."""
+    from ontology_time_machine_ray.functions.broadcast import cached_get
+    from ontology_time_machine_ray.stages.groupagg import bucketed_join
+
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    rkeys = set(region.loc[region["r_name"] == Q5_REGION, "r_regionkey"])
+    nat = nation[nation["n_regionkey"].isin(rkeys)]
+    name_ref = ray.put(dict(zip(nat["n_nationkey"], nat["n_name"])))
+
+    def in_region_customers(df: pd.DataFrame) -> pd.DataFrame:
+        keys = cached_get(name_ref)
+        df = df[df["c_nationkey"].isin(keys)]
+        return pd.DataFrame(
+            {"o_custkey": df["c_custkey"], "c_nationkey": df["c_nationkey"]}
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        in_region_customers, batch_format="pandas"
+    )
+    start, end = pd.Timestamp(Q5_START), pd.Timestamp(Q5_END)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda df: df.loc[
+            (df["o_orderdate"] >= start) & (df["o_orderdate"] < end),
+            ["o_orderkey", "o_custkey"],
+        ],
+        batch_format="pandas",
+    )
+    o2 = bucketed_join(orders, cust, on=["o_custkey"]).map_batches(
+        lambda df: df[["o_orderkey", "c_nationkey"]], batch_format="pandas"
+    )
+
+    def item_partials(df: pd.DataFrame) -> pd.DataFrame:
+        rev = (df["l_extendedprice"] * 100).round().astype("int64") * (
+            100 - (df["l_discount"] * 100).round().astype("int64")
+        )
+        return (
+            pd.DataFrame(
+                {
+                    "o_orderkey": df["l_orderkey"],
+                    "s_suppkey": df["l_suppkey"],
+                    "rev_e4": rev,
+                }
+            )
+            .groupby(["o_orderkey", "s_suppkey"], as_index=False)
+            .agg(rev_e4=("rev_e4", "sum"))
+        )
+
+    items = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(item_partials, batch_format="pandas")
+    li = bucketed_join(items, o2, on=["o_orderkey"]).map_batches(
+        lambda df: df[["s_suppkey", "c_nationkey", "rev_e4"]], batch_format="pandas"
+    )
+
+    def in_region_suppliers(df: pd.DataFrame) -> pd.DataFrame:
+        keys = cached_get(name_ref)
+        df = df[df["s_nationkey"].isin(keys)]
+        return pd.DataFrame(
+            {"s_suppkey": df["s_suppkey"], "s_nationkey": df["s_nationkey"]}
+        )
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        in_region_suppliers, batch_format="pandas"
+    )
+    j = bucketed_join(li, supp, on=["s_suppkey"])
+
+    def local_partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_nationkey"] == df["s_nationkey"]]
+        return (
+            df.groupby("c_nationkey", as_index=False)
+            .agg(rev_e4=("rev_e4", "sum"))
+            .rename(columns={"c_nationkey": "n_nationkey"})
+        )
+
+    parts = j.map_batches(local_partials, batch_format="pandas").to_pandas()
+    agg = parts.groupby("n_nationkey", as_index=False).agg(rev_e4=("rev_e4", "sum"))
+    agg["n_name"] = agg.pop("n_nationkey").map(dict(zip(nat["n_nationkey"], nat["n_name"])))
+    agg["revenue"] = agg.pop("rev_e4") / 10000.0
+    return agg.sort_values("revenue", ascending=False).reset_index(drop=True)[
+        ["n_name", "revenue"]
+    ]
+
+
 def events_sliding(sf_dir: str) -> rd.Dataset:
     """Sliding (hopping) window aggregate: 1-hour windows every 30 min.
 

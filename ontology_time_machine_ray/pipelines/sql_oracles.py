@@ -270,7 +270,7 @@ r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes)"""
     )
 
 
-def _kmeans_ctes(n_clusters: int, iters: int) -> str:
+def _kmeans_ctes(n_clusters: int, iters: int, source: str = "embeddings") -> str:
     """Unrolled Lloyd iterations over the ``embeddings`` view, mirroring
     stages/similarity._kmeans_centroids: init = the n lowest-vec_id
     vectors (cluster = rank by vec_id), cosine assignment with
@@ -284,7 +284,7 @@ def _kmeans_ctes(n_clusters: int, iters: int) -> str:
         f"""emb AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
          unnest(range(len(embedding))) AS j
-  FROM embeddings
+  FROM {source}
 ),
 norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM emb GROUP BY vec_id),
 vn AS (
@@ -515,6 +515,25 @@ def kg_sql(name: str, fixture_root: str, timestamp: str = "2021-06-01") -> str:
         "FROM outcome GROUP BY 1, 2",
         "kg_triples": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES}\n"
         "SELECT subj, pred, obj, doc_id, ontology_version, format FROM dedup",
+        # 2-hop property paths over the deduped triple store: the KG-side
+        # traversal primitive (a -p1-> mid -p2-> b), distinct paths only
+        "kg_two_hop": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
+        """t AS (SELECT DISTINCT subj, pred, obj FROM dedup)
+SELECT DISTINCT a.subj, a.pred AS pred1, a.obj AS mid, b.pred AS pred2, b.obj AS obj
+FROM t a JOIN t b ON a.obj = b.subj
+WHERE a.subj <> b.obj""",
+        # bounded-hop reachability: the kg_reachability frontier expansion
+        # unrolled (walks of length 1..3, min hops per pair)
+        "kg_reachability": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
+        """e AS (SELECT DISTINCT subj AS a, obj AS b FROM dedup WHERE subj <> obj),
+h2 AS (SELECT DISTINCT e1.a, e2.b FROM e e1 JOIN e e2 ON e2.a = e1.b
+       WHERE e1.a <> e2.b),
+h3 AS (SELECT DISTINCT h2.a, e.b FROM h2 JOIN e ON e.a = h2.b
+       WHERE h2.a <> e.b),
+u AS (SELECT a, b, 1 AS hops FROM e
+      UNION ALL SELECT a, b, 2 FROM h2
+      UNION ALL SELECT a, b, 3 FROM h3)
+SELECT a, b, CAST(min(hops) AS BIGINT) AS hops FROM u GROUP BY a, b""",
         # incremental build+update must equal the one-shot build, so it
         # shares the kg_triples statement -- the equality IS the claim
         "kg_incremental": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES}\n"
@@ -1674,6 +1693,25 @@ ORDER BY revenue DESC, o_orderkey ASC
 LIMIT 10"""
 
 
+def q5_local_volume_sql(region: str, start: str, end: str) -> str:
+    """``rel_q5_local_volume`` restatement (TPC-H Q5 shape): the plain
+    6-table star join with the same exact cent x basis-point revenue."""
+    return f"""
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         / 10000.0 AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = '{region}'
+  AND o_orderdate >= TIMESTAMP '{start}'
+  AND o_orderdate <  TIMESTAMP '{end}'
+GROUP BY n_name
+ORDER BY revenue DESC"""
+
+
 def range_layout_sql(lo_c: int, hi_c: int) -> str:
     """``rel_range_layout`` restatement: the pruned-directory read must
     equal the plain full-scan filter (pruning completeness IS the
@@ -1945,3 +1983,32 @@ SELECT c.client_id, h.host,
 FROM clients c CROSS JOIN hosts h
 WHERE c.parse_ok = 1"""
     return body.replace("__ROOT__", fixture_root)
+
+
+def semantic_dedup_sql(
+    fixture_root: str,
+    n_clusters: int = 16,
+    iters: int = 3,
+    tau_e6: int = 950_000,
+) -> str:
+    """Exact restatement of ``stages/similarity.semantic_dedup``: the same
+    unrolled-Lloyd cluster assignment (over the augmented embeddings
+    fixture), then a within-cluster self-join dropping every vector with a
+    lower-id same-cluster neighbour at round(cos * 1e6) >= tau."""
+    src = f"read_parquet('{fixture_root}/embeddings_aug.parquet')"
+    return (
+        "WITH "
+        + _kmeans_ctes(n_clusters, iters, source=src)
+        + ",\n"
+        + _final_assign_cte(iters)
+        + f""",
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {src}),
+drops AS (
+  SELECT DISTINCT b.vec_id AS vec_id
+  FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+  WHERE CAST(round(list_cosine_similarity(va.e, vb.e) * 1e6) AS BIGINT)
+        >= {tau_e6})
+SELECT vec_id FROM v WHERE vec_id NOT IN (SELECT vec_id FROM drops)"""
+    )

@@ -594,3 +594,76 @@ def embedding_dedup_keep(sf_dir: str) -> rd.Dataset:
         lambda t: t.select(["vec_id"]), batch_format="pyarrow"
     )
     return bucketed_join(ids, dropped, on=["vec_id"], how="anti")
+
+
+def semantic_dedup(
+    sf_dir: str,
+    n_clusters: int = 16,
+    iters: int = 3,
+    tau_e6: int = 950_000,
+    block: int = 4096,
+) -> rd.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the corpus with the engine's deterministic distributed k-means, then
+    prune WITHIN each cluster -- a vector is dropped when any lower-id
+    vector in the same cluster has cosine >= tau.  Unlike the exact
+    near-dup family (``dedup_embed*``, cosine >= 0.99) this removes
+    semantic redundancy at a looser threshold while only ever comparing
+    within a cluster, which is what makes it tractable at corpus scale:
+    pair work is sum_c |c|^2 instead of N^2, and the cluster count is the
+    knob that bounds |c| (the paper scales k with N).
+
+    Distribution: centroids come from ``_kmeans_centroids`` (broadcast +
+    partial-sum Lloyd; driver holds only k x dim), assignment is one
+    vectorized ``map_batches``, and the prune is one cluster-bucketed
+    shuffle (``grouped_apply``) whose per-cluster comparison runs
+    BLOCK-wise (``block`` rows vs all earlier rows) so peak memory is
+    O(block x |c|) doubles, never |c|^2.  Cosine is compared on
+    round(cos * 1e6) integers for cross-engine (numpy vs DuckDB) parity,
+    the same contract as ``embedding_dup_pairs``.
+    """
+    from ontology_time_machine_ray.fixtures import ensure_fixtures
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply
+
+    emb_path = ensure_fixtures(sf_dir).embeddings_aug
+    centroids = _kmeans_centroids(sf_dir, n_clusters, iters, emb_path)
+    c_ref = ray.put(centroids)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = _cached_get(c_ref)
+        mat = _normalized(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].astype("int64"),
+                "cluster": np.argmax(mat @ c.T, axis=1).astype("int64"),
+                "embedding": df["embedding"],
+            }
+        )
+
+    assigned = _read_emb(emb_path).map_batches(assign, batch_format="pandas")
+
+    def prune_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        keep_ids: list[np.ndarray] = []
+        for _, g in bucket.groupby("cluster", sort=False):
+            g = g.sort_values("vec_id")
+            ids = g["vec_id"].to_numpy()
+            mat = _normalized(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+            m = len(ids)
+            drop = np.zeros(m, dtype=bool)
+            # block-wise upper-triangle scan: row i is dropped when ANY
+            # j < i (dropped or not -- the exists-earlier semantics, which
+            # is order-free and matches the SQL self-join) reaches tau
+            for s in range(1, m, block):
+                e = min(s + block, m)
+                sims = np.round(mat[s:e] @ mat[:e].T * 1e6).astype(np.int64)
+                ge = sims >= tau_e6
+                # mask out j >= i within the diagonal block
+                jj = np.arange(e)[None, :] >= np.arange(s, e)[:, None]
+                ge[jj] = False
+                drop[s:e] = ge.any(axis=1)
+            keep_ids.append(ids[~drop])
+        if not keep_ids:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"vec_id": np.concatenate(keep_ids).astype("int64")})
+
+    return grouped_apply(assigned, ["cluster"], prune_bucket)

@@ -329,3 +329,35 @@ def test_pq_codebooks_shape_and_empty_code_hold(ray_session, sf_dir):
     books = _pq_codebooks(path, m=4, ks=16, iters=2)
     assert books.shape == (4, 16, dim // 4)
     assert np.isfinite(books).all()
+
+
+def test_semantic_dedup_matches_numpy_reference(ray_session, sf_dir):
+    """semantic_dedup == single-process SemDeDup: kmeans assign (the
+    engine's own deterministic centroids), then drop any vector with a
+    lower-id same-cluster neighbour at round(cos*1e6) >= tau."""
+    import pyarrow.parquet as pq
+
+    from ontology_time_machine_ray.fixtures import ensure_fixtures
+    from ontology_time_machine_ray.stages import similarity
+
+    got = sorted(
+        similarity.semantic_dedup(sf_dir).to_pandas()["vec_id"].tolist()
+    )
+
+    emb_path = ensure_fixtures(sf_dir).embeddings_aug
+    df = pq.read_table(emb_path).to_pandas().sort_values("vec_id")
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    c = similarity._kmeans_centroids(sf_dir, 16, 3, emb_path)
+    cl = np.argmax(mat @ c.T, axis=1)
+    ids = df["vec_id"].to_numpy()
+    keep = []
+    for k in np.unique(cl):
+        sel = np.where(cl == k)[0]
+        m = mat[sel]
+        s = np.round(m @ m.T * 1e6).astype(np.int64)
+        drop = np.any(np.triu(s >= 950_000, k=1), axis=0)
+        keep.extend(ids[sel[~drop]].tolist())
+    assert got == sorted(keep)
+    # the augmented fixture plants near-dups, so something must drop
+    assert len(got) < len(ids)
