@@ -254,6 +254,11 @@ def run_bench() -> dict:
         shutil.rmtree("/tmp/otm_range_layout", ignore_errors=True)  # time the build too
         timed("rel_range_layout", lambda: range_layout_query(SF_DIR))
         timed("rel_fuzzy_join", lambda: fuzzy_name_pairs(SF_DIR))
+        timed("dedup_semantic", lambda: similarity.semantic_dedup(SF_DIR))
+        timed("rel_q5_local_volume", lambda: relational.q5_local_volume(SF_DIR))
+        from ontology_time_machine_ray.pipelines.queries import kg_two_hop
+
+        timed("kg_two_hop", lambda: kg_two_hop(SF_DIR))
 
     ray.shutdown()
     return {
