@@ -1053,9 +1053,18 @@ def winnow_dup_pairs(sf_dir: str):
 
 TFIDF_K = 5
 
+#: BM25 retrieval: fixed term query + cutoff (deterministic, in-vocabulary
+#: terms of distinct document frequencies on the synthetic corpus).
+BM25_QUERY = ("vector", "window", "merge")
+BM25_K = 10
+
 
 def tfidf_topk(sf_dir: str):
     return textops.tfidf_topk(sf_dir, k=TFIDF_K)
+
+
+def text_bm25(sf_dir: str):
+    return textops.bm25_topk(sf_dir, query_terms=BM25_QUERY, k=BM25_K)
 
 
 def dedup_minhash(sf_dir: str):
@@ -1295,6 +1304,7 @@ QUERIES = {
     "pii_scrub": pii_scrub,
     "inverted_index": inverted_index,
     "tfidf_topk": tfidf_topk,
+    "text_bm25": text_bm25,
     "winnow_dup_pairs": winnow_dup_pairs,
     "dup_ngrams": dup_ngrams,
     "text_quality": textops.quality_score,
@@ -1374,6 +1384,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         INVINDEX_MIN_DF, INVINDEX_MAX_DF
     )
     out["tfidf_topk"] = sql_oracles.tfidf_topk_sql(TFIDF_K, textops.TFIDF_SCALE)
+    out["text_bm25"] = sql_oracles.bm25_topk_sql(BM25_QUERY, BM25_K, textops.BM25_SCALE)
     out["winnow_dup_pairs"] = sql_oracles.winnow_dup_pairs_sql(
         WINNOW_MIN_SHARED, WINNOW_MAX_FP_DF
     )

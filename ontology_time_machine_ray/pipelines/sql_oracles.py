@@ -2012,3 +2012,33 @@ drops AS (
         >= {tau_e6})
 SELECT vec_id FROM v WHERE vec_id NOT IN (SELECT vec_id FROM drops)"""
     )
+
+
+def bm25_topk_sql(query_terms: tuple[str, ...], k: int, scale: int) -> str:
+    """``bm25_topk`` restatement: the same log-free rational BM25
+    (k1=6/5, b=3/4, idf surrogate (N-df+1)/(df+1)) as ONE BIGINT floor
+    division per (doc, term), summed per doc, ranked (score DESC, doc_id
+    ASC).  N / TOT / dl are BIGINT counts, so avgdl never rounds."""
+    terms = ", ".join("'" + t + "'" for t in query_terms)
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS t
+  FROM documents),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM w),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS tot FROM dl),
+tok AS (SELECT doc_id, unnest(t) AS term FROM w),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok WHERE term IN ({terms}) GROUP BY doc_id, term),
+d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+s AS (SELECT tf.doc_id,
+             CAST(SUM(({scale} * (g.n - d.df + 1) * 22 * tf.tf * g.tot)
+                  // ((d.df + 1) * (10 * g.tot * tf.tf + 3 * g.tot
+                                    + 9 * dl.dl * g.n))) AS BIGINT) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM tf JOIN d USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+      GROUP BY tf.doc_id),
+r AS (SELECT doc_id, score, n_hits,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM s)
+SELECT doc_id, score, n_hits, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}"""

@@ -1079,3 +1079,106 @@ def pii_scrub(docs_path: str) -> rd.Dataset:
         docs_path = os.path.join(docs_path, "documents.parquet")
     docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
     return docs.map_batches(pii_scrub_batch, batch_format="pandas")
+
+
+#: fixed-point scale for the BM25 idf surrogate (see bm25_topk).
+BM25_SCALE = 1_000_000
+
+
+def bm25_topk(
+    sf_dir: str,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    docs_ds: rd.Dataset | None = None,
+) -> pd.DataFrame:
+    """Top-k documents for a term query under a log-free, integer-exact
+    BM25 variant: (doc_id, score, n_hits, rank).
+
+    Classic BM25 (Robertson/Sparck Jones) with k1=1.2, b=0.75, except the
+    idf is the rational surrogate (N - df + 1)/(df + 1) instead of its
+    logarithm -- per term it is the same monotone-in-df ordering, and as
+    an integer ratio both engines (pandas int64, DuckDB BIGINT) compute
+    the score bit-identically, immune to float log drift (the tfidf_topk
+    precedent).  With k1 = 6/5 and b = 3/4, the per-term contribution
+    reduces to ONE BIGINT floor division:
+
+        SCALE*(N-df+1)*22*tf*TOT // ((df+1)*(10*TOT*tf + 3*TOT + 9*dl*N))
+
+    where N = corpus document count, TOT = corpus token count, dl = the
+    document's token count (so avgdl = TOT/N is never rounded).
+
+    Scale shape: TWO streaming passes over the pruned (doc_id, text)
+    columns and ZERO shuffles.  Pass 1 reduces per-batch partials
+    (n_docs, n_tokens, per-query-term df) to |Q|+2 driver scalars --
+    bounded by the query size, never the corpus.  Pass 2 scores each
+    document inside its batch (a document lives in exactly one batch)
+    against the broadcast scalars and keeps a per-batch top-k; the driver
+    merges blocks x k candidate rows (the topk_orders / ann_bruteforce
+    partial-top-k pattern).  Int64 overflow bound: SCALE*N*22*tf*TOT must
+    stay under 2^63 -- asserted per batch; at true corpus scale you would
+    drop the exact-replay constraint and score in float64, where ranking
+    is unaffected.
+    """
+    import numpy as np
+
+    q = tuple(query_terms)
+    docs = docs_ds or _read_docs(sf_dir)
+
+    def partial_stats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(TOKEN_RE)
+        n_tokens = int(toks.str.len().sum())
+        flat = toks.explode().dropna()
+        dfs = [int((flat[flat == t]).groupby(level=0).size().size) for t in q]
+        return pd.DataFrame(
+            {
+                "n_docs": [len(df)],
+                "n_tokens": [n_tokens],
+                **{f"df_{i}": [d] for i, d in enumerate(dfs)},
+            }
+        )
+
+    stats = docs.map_batches(partial_stats, batch_format="pandas").to_pandas()
+    n_corpus = int(stats["n_docs"].sum())
+    tot = int(stats["n_tokens"].sum())
+    df_by_term = {t: int(stats[f"df_{i}"].sum()) for i, t in enumerate(q)}
+    if tot == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="int64"),
+                "n_hits": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int64"),
+            }
+        )
+
+    def score_batch(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(TOKEN_RE)
+        dl = toks.str.len().to_numpy(dtype="int64")
+        score = np.zeros(len(df), dtype="int64")
+        n_hits = np.zeros(len(df), dtype="int64")
+        den_doc = 3 * tot + 9 * dl * n_corpus  # dl-dependent denominator part
+        for t in q:
+            tf = toks.map(lambda ts, t=t: ts.count(t)).to_numpy(dtype="int64")
+            dfq = df_by_term[t]
+            num = BM25_SCALE * (n_corpus - dfq + 1) * 22 * tf * tot
+            assert num.max(initial=0) < (1 << 62), "bm25 int64 overflow"
+            den = (dfq + 1) * (10 * tot * tf + den_doc)
+            contrib = np.where(tf > 0, num // np.maximum(den, 1), 0)
+            score += contrib
+            n_hits += (tf > 0).astype("int64")
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "score": score, "n_hits": n_hits}
+        )
+        out = out[out["n_hits"] > 0]
+        return out.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+
+    partials = docs.map_batches(score_batch, batch_format="pandas").to_pandas()
+    top = (
+        partials.sort_values(["score", "doc_id"], ascending=[False, True], kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    top["rank"] = (top.index + 1).astype("int64")
+    return top

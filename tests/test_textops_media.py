@@ -554,3 +554,58 @@ def test_media_feature_extractor_hand_payloads(ray_session):
     assert out.loc[0, ["sum_r", "sum_g", "sum_b"]].tolist() == [18, 22, 26]
     assert out.loc[1, "sum_abs"] == 100 + 200 + 300  # channel 0 only
     assert out.loc[2, ["sum_r", "sum_g", "sum_b", "sum_abs"]].tolist() == [0, 0, 0, 0]
+
+
+def test_bm25_topk_matches_scalar_oracle(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_time_machine_ray.stages.textops import BM25_SCALE, bm25_topk
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "alpha beta beta gamma",
+                "alpha alpha alpha",      # high tf, short doc
+                "beta gamma gamma delta epsilon zeta eta theta",  # long doc
+                "delta epsilon",          # no query terms
+                None,                     # null text
+            ],
+        }
+    )
+    p = tmp_path / "documents.parquet"
+    pq.write_table(pa.Table.from_pandas(docs), p)
+    q = ("alpha", "gamma")
+    got = bm25_topk(str(tmp_path), query_terms=q, k=3)
+
+    # scalar replay of the documented formula
+    toks = docs["text"].fillna("").str.lower().str.findall(r"\S+")
+    dl = toks.str.len()
+    n, tot = len(docs), int(dl.sum())
+    rows = []
+    for i in range(len(docs)):
+        score, hits = 0, 0
+        for t in q:
+            tf = toks[i].count(t)
+            if not tf:
+                continue
+            df = sum(1 for u in toks if t in u)
+            score += (BM25_SCALE * (n - df + 1) * 22 * tf * tot) // (
+                (df + 1) * (10 * tot * tf + 3 * tot + 9 * int(dl[i]) * n)
+            )
+            hits += 1
+        if hits:
+            rows.append((docs["doc_id"][i], score, hits))
+    exp = (
+        pd.DataFrame(rows, columns=["doc_id", "score", "n_hits"])
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(3)
+        .reset_index(drop=True)
+    )
+    exp["rank"] = exp.index + 1
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64"), check_dtype=False
+    )
+    # doc 4 (no hits) and doc 5 (null) never appear
+    assert not set(got["doc_id"]) & {4, 5}
