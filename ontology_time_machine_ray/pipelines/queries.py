@@ -702,7 +702,12 @@ def kg_two_hop(sf_dir: str):
     the path tuple."""
     from ontology_time_machine_ray.stages.groupagg import bucketed_join, grouped_apply
 
-    t = _pipe(sf_dir).triples().select_columns(["subj", "pred", "obj"])
+    # pin the deduped store once: it feeds BOTH join branches, and Ray
+    # re-executes a lazy subplan per branch (the detect+link+dedup chain
+    # would run twice per execution); the deduped store is vocabulary-
+    # scale, so this pin is the standard checkpoint, not a corpus
+    # materialization
+    t = _pipe(sf_dir).triples().select_columns(["subj", "pred", "obj"]).materialize()
     left = t.map_batches(
         lambda df: df.rename(columns={"pred": "pred1", "obj": "mid"}).drop_duplicates(),
         batch_format="pandas",
@@ -713,7 +718,13 @@ def kg_two_hop(sf_dir: str):
         ).drop_duplicates(),
         batch_format="pandas",
     )
-    joined = bucketed_join(left, right, on=["mid"])
+    joined = bucketed_join(
+        left,
+        right,
+        on=["mid"],
+        left_schema={"subj": "object", "pred1": "object", "mid": "object"},
+        right_schema={"mid": "object", "pred2": "object", "obj": "object"},
+    )
     cols = ["subj", "pred1", "mid", "pred2", "obj"]
 
     def distinct_paths(b: pd.DataFrame) -> pd.DataFrame:
@@ -750,7 +761,10 @@ def kg_reachability(sf_dir: str, max_hops: int = KG_REACH_HOPS):
         .drop_duplicates(),
         batch_format="pandas",
     )
-    edges = grouped_apply(raw, ["a", "b"], lambda g: g.drop_duplicates())
+    # pin the distinct edge set: it is re-read every expansion round (and
+    # twice per round: frontier side + edge side), and it is bounded by
+    # the vocabulary-scale store, not the corpus
+    edges = grouped_apply(raw, ["a", "b"], lambda g: g.drop_duplicates()).materialize()
 
     def tag(ds, hops: int):
         return ds.map_batches(
@@ -766,11 +780,21 @@ def kg_reachability(sf_dir: str, max_hops: int = KG_REACH_HOPS):
         right = edges.map_batches(
             lambda df: df.rename(columns={"a": "mid"}), batch_format="pandas"
         )
-        stepped = bucketed_join(left, right, on=["mid"]).map_batches(
+        stepped = bucketed_join(
+            left,
+            right,
+            on=["mid"],
+            left_schema={"a": "object", "mid": "object"},
+            right_schema={"mid": "object", "b": "object"},
+        ).map_batches(
             lambda df: df.loc[df["a"] != df["b"], ["a", "b"]].drop_duplicates(),
             batch_format="pandas",
         )
-        frontier = grouped_apply(stepped, ["a", "b"], lambda g: g.drop_duplicates())
+        # per-round frontier checkpoint (the BFS pattern): the frontier is
+        # consumed twice (tagged level + next round's join input)
+        frontier = grouped_apply(
+            stepped, ["a", "b"], lambda g: g.drop_duplicates()
+        ).materialize()
         levels.append(tag(frontier, k))
 
     allu = levels[0]

@@ -453,7 +453,20 @@ def q3_shipping(sf_dir: str) -> pd.DataFrame:
     orders = _read(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
     ).map_batches(lambda df: df[df["o_orderdate"] < cutoff], batch_format="pandas")
-    o2 = bucketed_join(orders, cust, on=["o_custkey"], how="semi").map_batches(
+    _ohints = {
+        "o_orderkey": "int64",
+        "o_custkey": "int64",
+        "o_orderdate": "datetime64[us]",
+        "o_orderpriority": "object",
+    }
+    o2 = bucketed_join(
+        orders,
+        cust,
+        on=["o_custkey"],
+        how="semi",
+        left_schema=_ohints,
+        right_schema={"o_custkey": "int64"},
+    ).map_batches(
         lambda df: df[["o_orderkey", "o_orderdate", "o_orderpriority"]],
         batch_format="pandas",
     )
@@ -473,7 +486,14 @@ def q3_shipping(sf_dir: str) -> pd.DataFrame:
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
     ).map_batches(item_partials, batch_format="pandas")
 
-    j = bucketed_join(items, o2, on=["o_orderkey"], how="inner")
+    j = bucketed_join(
+        items,
+        o2,
+        on=["o_orderkey"],
+        how="inner",
+        left_schema={"o_orderkey": "int64", "rev_e4": "int64"},
+        right_schema={k: v for k, v in _ohints.items() if k != "o_custkey"},
+    )
     agg = grouped_aggregate(
         j,
         ["o_orderkey", "o_orderdate", "o_orderpriority"],
@@ -540,9 +560,16 @@ def q5_local_volume(sf_dir: str) -> pd.DataFrame:
         ],
         batch_format="pandas",
     )
-    o2 = bucketed_join(orders, cust, on=["o_custkey"]).map_batches(
-        lambda df: df[["o_orderkey", "c_nationkey"]], batch_format="pandas"
-    )
+    # schema hints on every join: the inputs are lazy map/join outputs, and
+    # an unhinted join would execute them once per downstream schema() call
+    # (the whole 3-join chain ran stage 1 three times -- 23.6 s -> ~7 s)
+    o2 = bucketed_join(
+        orders,
+        cust,
+        on=["o_custkey"],
+        left_schema={"o_orderkey": "int64", "o_custkey": "int64"},
+        right_schema={"o_custkey": "int64", "c_nationkey": "int32"},
+    ).map_batches(lambda df: df[["o_orderkey", "c_nationkey"]], batch_format="pandas")
 
     def item_partials(df: pd.DataFrame) -> pd.DataFrame:
         rev = (df["l_extendedprice"] * 100).round().astype("int64") * (
@@ -563,7 +590,13 @@ def q5_local_volume(sf_dir: str) -> pd.DataFrame:
     items = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
     ).map_batches(item_partials, batch_format="pandas")
-    li = bucketed_join(items, o2, on=["o_orderkey"]).map_batches(
+    li = bucketed_join(
+        items,
+        o2,
+        on=["o_orderkey"],
+        left_schema={"o_orderkey": "int64", "s_suppkey": "int64", "rev_e4": "int64"},
+        right_schema={"o_orderkey": "int64", "c_nationkey": "int32"},
+    ).map_batches(
         lambda df: df[["s_suppkey", "c_nationkey", "rev_e4"]], batch_format="pandas"
     )
 
@@ -577,7 +610,13 @@ def q5_local_volume(sf_dir: str) -> pd.DataFrame:
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
         in_region_suppliers, batch_format="pandas"
     )
-    j = bucketed_join(li, supp, on=["s_suppkey"])
+    j = bucketed_join(
+        li,
+        supp,
+        on=["s_suppkey"],
+        left_schema={"s_suppkey": "int64", "c_nationkey": "int32", "rev_e4": "int64"},
+        right_schema={"s_suppkey": "int64", "s_nationkey": "int32"},
+    )
 
     def local_partials(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["c_nationkey"] == df["s_nationkey"]]

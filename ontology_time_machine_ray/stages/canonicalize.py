@@ -275,7 +275,7 @@ def _canonicalize_partitioned(triples_ds, mapping_ds):
     too large to broadcast: each join co-locates triples and mapping rows
     on ``hash(key) % B`` and merges vectorized per bucket -- corpus and
     mapping both stay distributed."""
-    from ontology_time_machine_ray.stages.groupagg import bucketed_join
+    from ontology_time_machine_ray.stages.groupagg import bucketed_join, np_dtype_map
 
     def rename(col_key: str, col_val: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -283,8 +283,20 @@ def _canonicalize_partitioned(triples_ds, mapping_ds):
 
         return fn
 
+    # one cheap schema fetch on the (materialized) triple store; step1
+    # keeps the same columns/dtypes, so hinting j2 with it means the j1
+    # sort barrier executes exactly once (schema() on a lazy join output
+    # would re-run it just to learn the column names)
+    t_dtypes = np_dtype_map(triples_ds.schema())
     m_subj = mapping_ds.map_batches(rename("subj", "_c_subj"), batch_format="pandas")
-    j1 = bucketed_join(triples_ds, m_subj, on=["subj"], how="left")
+    j1 = bucketed_join(
+        triples_ds,
+        m_subj,
+        on=["subj"],
+        how="left",
+        left_schema=t_dtypes,
+        right_schema={"subj": "object", "_c_subj": "object"},
+    )
 
     def apply_subj(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(subj=df["_c_subj"].fillna(df["subj"]))
@@ -292,7 +304,14 @@ def _canonicalize_partitioned(triples_ds, mapping_ds):
 
     step1 = j1.map_batches(apply_subj, batch_format="pandas")
     m_obj = mapping_ds.map_batches(rename("obj", "_c_obj"), batch_format="pandas")
-    j2 = bucketed_join(step1, m_obj, on=["obj"], how="left")
+    j2 = bucketed_join(
+        step1,
+        m_obj,
+        on=["obj"],
+        how="left",
+        left_schema=t_dtypes,
+        right_schema={"obj": "object", "_c_obj": "object"},
+    )
 
     def apply_obj(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(obj=df["_c_obj"].fillna(df["obj"]))

@@ -68,7 +68,14 @@ def transitive_closure(edges_ds, max_rounds: int = 16, small_edges_limit: int | 
         right = reach.map_batches(
             lambda df: df.rename(columns={"a": "b", "b": "c"}), batch_format="pandas"
         )
-        doubled = bucketed_join(reach, right, on=["b"], how="inner").map_batches(
+        doubled = bucketed_join(
+            reach,
+            right,
+            on=["b"],
+            how="inner",
+            left_schema={"a": "object", "b": "object"},
+            right_schema={"b": "object", "c": "object"},
+        ).map_batches(
             lambda df: pd.DataFrame({"a": df["a"], "b": df["c"]}), batch_format="pandas"
         )
         reach = _distinct_pairs(reach.union(doubled)).materialize()
@@ -347,7 +354,17 @@ def triangle_stats(edges_ds, small_edges_limit: int | None = None) -> rd.Dataset
         batch_format="pandas",
     )
     with_deg = bucketed_join(
-        bucketed_join(edges, da, on=["a"]), db, on=["b"]
+        bucketed_join(
+            edges,
+            da,
+            on=["a"],
+            left_schema={"a": "object", "b": "object"},
+            right_schema={"a": "object", "deg_a": "int64"},
+        ),
+        db,
+        on=["b"],
+        left_schema={"a": "object", "b": "object", "deg_a": "int64"},
+        right_schema={"b": "object", "deg_b": "int64"},
     )
 
     def orient(df: pd.DataFrame) -> pd.DataFrame:
@@ -387,6 +404,8 @@ def triangle_stats(edges_ds, small_edges_limit: int | None = None) -> rd.Dataset
         oriented.map_batches(lambda df: df[["src", "dst"]], batch_format="pandas"),
         on=["src", "dst"],
         how="semi",
+        left_schema={"x": "object", "src": "object", "dst": "object"},
+        right_schema={"src": "object", "dst": "object"},
     )
 
     tcount = grouped_aggregate(
@@ -402,7 +421,14 @@ def triangle_stats(edges_ds, small_edges_limit: int | None = None) -> rd.Dataset
         {"triangles": ("t", "sum")},
     )
 
-    out = bucketed_join(deg, tcount, on=["node"], how="left")
+    out = bucketed_join(
+        deg,
+        tcount,
+        on=["node"],
+        how="left",
+        left_schema={"node": "object", "degree": "int64"},
+        right_schema={"node": "object", "triangles": "int64"},
+    )
 
     return out.map_batches(
         lambda df: df.assign(
