@@ -817,6 +817,31 @@ def kg_cooccur_triangles(sf_dir: str):
     )
 
 
+#: fixed label-propagation round count: keeps the community detection
+#: deterministic AND oracle-replayable (the SQL unrolls one level/round)
+KG_LP_ROUNDS = 2
+
+
+def kg_communities(sf_dir: str):
+    """Community detection over the ontology co-mention graph: 2 rounds
+    of synchronous majority-vote label propagation (Raghavan et al. 2007),
+    deterministic ties (most frequent neighbour label, then smallest).
+    Per round: one bucketed join + one node-bucketed vectorized argmax --
+    no driver graph state (``stages/graph.label_propagation``)."""
+    from ontology_time_machine_ray.stages.graph import (
+        cooccurrence_edges,
+        label_propagation,
+    )
+
+    out = label_propagation(
+        cooccurrence_edges(_pipe(sf_dir).mentions()), rounds=KG_LP_ROUNDS
+    )
+    return out.map_batches(
+        lambda df: df.rename(columns={"node": "ontology_id", "label": "community"}),
+        batch_format="pandas",
+    )
+
+
 def kg_doc_stats(sf_dir: str):
     """Per-document KG enrichment: mention count, index-match count, and
     emitted-triple count -- the three partials co-located by ONE doc_id
@@ -1278,6 +1303,7 @@ QUERIES = {
     "kg_config_grid": kg_config_grid,
     "kg_doc_stats": kg_doc_stats,
     "kg_cooccur_triangles": kg_cooccur_triangles,
+    "kg_communities": kg_communities,
     "kg_two_hop": kg_two_hop,
     "kg_reachability": kg_reachability,
     "media_catalog": media_catalog,
@@ -1462,6 +1488,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         paths.root, KG_DIFF_OLD_TS, DEFAULT_CONFIG.timestamp
     )
     out["kg_cooccur_triangles"] = sql_oracles.cooccur_triangles_sql(paths.root)
+    out["kg_communities"] = sql_oracles.kg_communities_sql(paths.root, KG_LP_ROUNDS)
     out["kg_download_log"] = sql_oracles.kg_download_log_sql(paths.root)
     out["media_decode"] = sql_oracles.media_decode_sql(paths.root)
     out["media_features"] = sql_oracles.media_features_sql(paths.root)

@@ -2042,3 +2042,34 @@ r AS (SELECT doc_id, score, n_hits,
              row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM s)
 SELECT doc_id, score, n_hits, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k}"""
+
+
+def kg_communities_sql(fixture_root: str, rounds: int = 2) -> str:
+    """``kg_communities`` restatement: the same fixed-round synchronous
+    majority-vote label propagation unrolled one CTE level per round --
+    per round, per-endpoint neighbour-label counts and a (n DESC, label
+    ASC) row_number argmax.  Nodes exist only as edge endpoints, so every
+    node has a neighbour vote."""
+    ctes = [
+        f"""mo AS (SELECT DISTINCT doc_id, ontology_id FROM mentions
+       WHERE ontology_id IS NOT NULL),
+e AS (SELECT DISTINCT a.ontology_id AS a, b.ontology_id AS b
+      FROM mo a JOIN mo b ON a.doc_id = b.doc_id
+       AND a.ontology_id < b.ontology_id),
+und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM und)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""c{r} AS (SELECT u.a, l.label, COUNT(*) AS n
+       FROM und u JOIN l{r - 1} l ON l.node = u.b GROUP BY u.a, l.label),
+l{r} AS (SELECT a AS node, label FROM (
+         SELECT a, label,
+                row_number() OVER (PARTITION BY a ORDER BY n DESC, label) AS rk
+         FROM c{r}) WHERE rk = 1)"""
+        )
+    return (
+        f"WITH {_MENTIONS_CTES},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS ontology_id, label AS community FROM l{rounds}"
+    ).replace("__ROOT__", fixture_root)

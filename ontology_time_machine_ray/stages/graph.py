@@ -437,3 +437,66 @@ def triangle_stats(edges_ds, small_edges_limit: int | None = None) -> rd.Dataset
         ),
         batch_format="pandas",
     )
+
+
+def label_propagation(edges_ds, rounds: int = 2) -> rd.Dataset:
+    """Synchronous majority-vote label propagation (Raghavan et al. 2007)
+    over distinct undirected edges (a < b): Dataset[(node, label)].
+
+    Deterministic variant: every node starts labelled with its own id;
+    each round it adopts the label most frequent among its NEIGHBOURS'
+    current labels, ties broken by lexicographically smallest label
+    (nodes here always have >= 1 neighbour -- they exist only as edge
+    endpoints).  Fixed ``rounds`` keeps the operator oracle-replayable
+    (the SQL unrolls one level per round).
+
+    Scale shape: per round ONE bucketed join co-locates each neighbour's
+    current label with the edge endpoint, then ONE node-bucketed pass
+    counts votes and takes the argmax vectorized in-bucket.  Labels are
+    checkpointed per round (vocabulary-scale, the BFS-frontier pattern);
+    driver state is the loop counter.
+    """
+    from ontology_time_machine_ray.stages.groupagg import bucketed_join, grouped_apply
+
+    und = edges_ds.map_batches(
+        lambda df: pd.concat(
+            [df[["a", "b"]], df.rename(columns={"a": "b", "b": "a"})[["a", "b"]]],
+            ignore_index=True,
+        ),
+        batch_format="pandas",
+    ).materialize()  # consumed twice per round (node set is implicit in it)
+
+    labels = grouped_apply(
+        und.map_batches(
+            lambda df: pd.DataFrame({"node": df["a"]}).drop_duplicates(),
+            batch_format="pandas",
+        ),
+        ["node"],
+        lambda g: g.drop_duplicates(),
+    ).map_batches(
+        lambda df: df.assign(label=df["node"]), batch_format="pandas"
+    ).materialize()
+
+    def vote(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["a", "label"], as_index=False).size()
+        c = c.sort_values(
+            ["a", "size", "label"], ascending=[True, False, True], kind="stable"
+        ).drop_duplicates("a")
+        return pd.DataFrame({"node": c["a"], "label": c["label"]})
+
+    for _ in range(rounds):
+        nb = bucketed_join(
+            und,
+            labels.map_batches(
+                lambda df: df.rename(columns={"node": "b"}), batch_format="pandas"
+            ),
+            on=["b"],
+            left_schema={"a": "object", "b": "object"},
+            right_schema={"b": "object", "label": "object"},
+        )
+        labels = grouped_apply(
+            nb.map_batches(lambda df: df[["a", "label"]], batch_format="pandas"),
+            ["a"],
+            vote,
+        ).materialize()
+    return labels

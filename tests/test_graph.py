@@ -179,3 +179,49 @@ def test_cooccurrence_edges_distinct_and_ordered(ray_session, sf_dir):
     e = cooccurrence_edges(_pipe(sf_dir).mentions()).to_pandas()
     assert (e["a"] < e["b"]).all()
     assert not e.duplicated(["a", "b"]).any()
+
+
+def test_label_propagation_majority_and_ties(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.graph import label_propagation
+
+    # star around "z" plus a triangle: after round 1, z adopts the
+    # smallest of its (all-distinct) neighbour labels; triangle members
+    # vote among themselves
+    edges = pd.DataFrame(
+        {
+            "a": ["a1", "a2", "a3", "t1", "t1", "t2"],
+            "b": ["z", "z", "z", "t2", "t3", "t3"],
+        }
+    )
+    out = (
+        label_propagation(rd.from_pandas(edges), rounds=1)
+        .to_pandas()
+        .set_index("node")["label"]
+        .to_dict()
+    )
+    # z's neighbours {a1,a2,a3} all tie at count 1 -> smallest label a1
+    assert out["z"] == "a1"
+    # each triangle node sees the other two -> tie -> smallest
+    assert out["t1"] == "t2" and out["t2"] == "t1" and out["t3"] == "t1"
+    # spokes see only z
+    assert out["a1"] == out["a2"] == out["a3"] == "z"
+
+    # round 2 must equal manually propagating round-1 labels once more
+    out2 = (
+        label_propagation(rd.from_pandas(edges), rounds=2)
+        .to_pandas()
+        .set_index("node")["label"]
+        .to_dict()
+    )
+    und = pd.concat(
+        [edges, edges.rename(columns={"a": "b", "b": "a"})], ignore_index=True
+    )
+    exp = {}
+    for node, sub in und.groupby("a"):
+        votes = sub["b"].map(out).value_counts()
+        top = votes[votes == votes.max()].index.min()
+        exp[node] = top
+    assert out2 == exp
