@@ -1120,6 +1120,10 @@ def dedup_minhash(sf_dir: str):
     return dedup_docs.minhash_clusters(sf_dir)
 
 
+def dedup_quality_keep(sf_dir: str):
+    return dedup_docs.quality_dedup_keep(sf_dir)
+
+
 def dedup_simhash(sf_dir: str):
     return dedup_docs.simhash_pairs(sf_dir)
 
@@ -1376,6 +1380,7 @@ QUERIES = {
     "corpus_clean": textops.corpus_clean,
     "dedup_jaccard": dedup_jaccard,
     "dedup_minhash": dedup_minhash,
+    "dedup_quality_keep": dedup_quality_keep,
     "dedup_simhash": dedup_simhash,
     "dedup_embed": dedup_embed,
     "dedup_embed_keep": dedup_embed_keep,
@@ -1434,6 +1439,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         INVINDEX_MIN_DF, INVINDEX_MAX_DF
     )
     out["tfidf_topk"] = sql_oracles.tfidf_topk_sql(TFIDF_K, textops.TFIDF_SCALE)
+    out["dedup_quality_keep"] = sql_oracles.quality_dedup_keep_sql()
     out["text_bm25"] = sql_oracles.bm25_topk_sql(BM25_QUERY, BM25_K, textops.BM25_SCALE)
     out["winnow_dup_pairs"] = sql_oracles.winnow_dup_pairs_sql(
         WINNOW_MIN_SHARED, WINNOW_MAX_FP_DF

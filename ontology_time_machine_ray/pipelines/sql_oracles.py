@@ -2073,3 +2073,19 @@ l{r} AS (SELECT a AS node, label FROM (
         + ",\n".join(ctes)
         + f"\nSELECT node AS ontology_id, label AS community FROM l{rounds}"
     ).replace("__ROOT__", fixture_root)
+
+
+def quality_dedup_keep_sql() -> str:
+    """``dedup_quality_keep`` restatement: the dedup_minhash and
+    text_quality statements joined on doc_id, one row_number argmax per
+    cluster (quality DESC, doc_id ASC)."""
+    return f"""
+WITH mh AS ({_minhash_sql()}),
+q AS ({TESTDATA_SQL['text_quality']}),
+j AS (SELECT mh.doc_id, mh.cluster, q.quality
+      FROM mh JOIN q USING (doc_id)),
+r AS (SELECT doc_id, cluster, quality,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY quality DESC, doc_id) AS rk
+      FROM j)
+SELECT doc_id, cluster, quality FROM r WHERE rk = 1"""

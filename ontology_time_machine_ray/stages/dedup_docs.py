@@ -436,3 +436,44 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, docs_ds: rd.Dataset | None 
     )
     # a pair can collide in several segments: distributed (a, b) dedup
     return grouped_head1(pairs, keys=["a", "b"], order_by=["hamming"])
+
+
+def quality_dedup_keep(
+    sf_dir: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+):
+    """Quality-aware near-dup pruning (the FineWeb/CCNet curation step):
+    within each MinHash near-dup cluster keep ONLY the highest-quality
+    document (quality DESC, then smallest doc_id) -- singleton clusters
+    keep their doc, so the output is exactly the curated corpus.
+
+    Composition, not new machinery: ``minhash_clusters`` supplies
+    (doc_id, cluster) and ``textops.quality_score`` supplies
+    (doc_id, quality); ONE doc_id-bucketed join co-locates them (schema-
+    hinted: both sides are lazy chains) and ONE cluster-bucketed
+    vectorized argmax picks the winners.  Output: (doc_id, cluster,
+    quality) of kept docs."""
+    from ontology_time_machine_ray.stages.groupagg import bucketed_join, grouped_apply
+    from ontology_time_machine_ray.stages.textops import quality_score
+
+    clusters = minhash_clusters(sf_dir, threshold, num_perm, bands)
+    quality = quality_score(sf_dir)
+    j = bucketed_join(
+        clusters,
+        quality,
+        on=["doc_id"],
+        left_schema={"doc_id": "int64", "cluster": "object"},
+        right_schema={"doc_id": "int64", "quality": "int64"},
+    )
+
+    def keep_best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cluster", "quality", "doc_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        return g.drop_duplicates("cluster")[["doc_id", "cluster", "quality"]]
+
+    return grouped_apply(j, ["cluster"], keep_best)
