@@ -817,6 +817,74 @@ def kg_cooccur_triangles(sf_dir: str):
     )
 
 
+#: the time-machine sweep coordinates: spans the fixture's version range
+#: (2019 versions -> some ontologies unresolvable at the first coord)
+KG_TIMELINE_TS = ("2019-06-01", "2020-06-01", "2021-06-01", "2022-06-01")
+
+
+def kg_timeline(sf_dir: str):
+    """Time-machine timeline: the SAME corpus resolved at each of the K
+    sweep coordinates (the reference's whole premise generalized from
+    kg_version_diff's 2 coords), emitting per coordinate the store size
+    and the churn vs the previous coordinate: (ts, n_triples, n_added,
+    n_removed) on the logical (subj, pred, obj) key.  The first
+    coordinate counts everything as added (diff vs the empty store).
+
+    Scale shape: K tagged full builds union into ONE stream; a single
+    subj-bucketed pass folds each logical triple's K-coordinate presence
+    into a bitmask and reduces it to per-bucket transition counts, so the
+    driver merges buckets x K rows -- corpus-scale data never leaves the
+    bucket pass."""
+    import numpy as np
+
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply
+
+    p = _pipe(sf_dir)
+    key = ["subj", "pred", "obj"]
+    k_coords = len(KG_TIMELINE_TS)
+
+    def tag(i: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[key].copy()
+            out["coord"] = np.int64(i)
+            return out
+
+        return f
+
+    allu = None
+    for i, ts in enumerate(KG_TIMELINE_TS):
+        part = p.with_timestamp(ts).triples().map_batches(tag(i), batch_format="pandas")
+        allu = part if allu is None else allu.union(part)
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            g.assign(bit=np.int64(1) << g["coord"].to_numpy(dtype="int64"))
+            .groupby(key, as_index=False)
+            .agg(mask=("bit", "sum"))
+        )
+        mask = m["mask"].to_numpy(dtype="int64")
+        rows = []
+        for i in range(k_coords):
+            present = (mask >> i) & 1
+            prev = (mask >> (i - 1)) & 1 if i else np.zeros_like(present)
+            rows.append(
+                (
+                    i,
+                    int(present.sum()),
+                    int((present & ~prev & 1).sum()),
+                    int((~present & prev & 1).sum()),
+                )
+            )
+        return pd.DataFrame(rows, columns=["coord", "n_triples", "n_added", "n_removed"])
+
+    parts = grouped_apply(allu, key, bucket_counts, bucket_keys=["subj"]).to_pandas()
+    out = parts.groupby("coord", as_index=False).sum()
+    out["ts"] = out["coord"].map(dict(enumerate(KG_TIMELINE_TS)))
+    return out[["ts", "n_triples", "n_added", "n_removed"]].astype(
+        {"n_triples": "int64", "n_added": "int64", "n_removed": "int64"}
+    )
+
+
 #: fixed label-propagation round count: keeps the community detection
 #: deterministic AND oracle-replayable (the SQL unrolls one level/round)
 KG_LP_ROUNDS = 2
@@ -1308,6 +1376,7 @@ QUERIES = {
     "kg_doc_stats": kg_doc_stats,
     "kg_cooccur_triangles": kg_cooccur_triangles,
     "kg_communities": kg_communities,
+    "kg_timeline": kg_timeline,
     "kg_two_hop": kg_two_hop,
     "kg_reachability": kg_reachability,
     "media_catalog": media_catalog,
@@ -1495,6 +1564,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     )
     out["kg_cooccur_triangles"] = sql_oracles.cooccur_triangles_sql(paths.root)
     out["kg_communities"] = sql_oracles.kg_communities_sql(paths.root, KG_LP_ROUNDS)
+    out["kg_timeline"] = sql_oracles.kg_timeline_sql(paths.root, KG_TIMELINE_TS)
     out["kg_download_log"] = sql_oracles.kg_download_log_sql(paths.root)
     out["media_decode"] = sql_oracles.media_decode_sql(paths.root)
     out["media_features"] = sql_oracles.media_features_sql(paths.root)

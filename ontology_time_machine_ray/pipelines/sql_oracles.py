@@ -2089,3 +2089,33 @@ r AS (SELECT doc_id, cluster, quality,
                                 ORDER BY quality DESC, doc_id) AS rk
       FROM j)
 SELECT doc_id, cluster, quality FROM r WHERE rk = 1"""
+
+
+def kg_timeline_sql(fixture_root: str, timestamps: tuple) -> str:
+    """``kg_timeline`` restatement: the kg_triples statement instantiated
+    once per sweep coordinate, distinct logical (subj, pred, obj) sets,
+    per-coordinate count plus EXCEPT-counts vs the previous coordinate
+    (the first coordinate diffs against the empty store)."""
+    ctes = []
+    for i, ts in enumerate(timestamps):
+        stmt = kg_sql("kg_triples", fixture_root, ts)
+        ctes.append(f"t{i} AS (SELECT DISTINCT subj, pred, obj FROM ({stmt}))")
+    selects = []
+    for i, ts in enumerate(timestamps):
+        if i == 0:
+            added = f"(SELECT COUNT(*) FROM t0)"
+            removed = "0"
+        else:
+            added = (
+                f"(SELECT COUNT(*) FROM (SELECT * FROM t{i} EXCEPT "
+                f"SELECT * FROM t{i - 1}))"
+            )
+            removed = (
+                f"(SELECT COUNT(*) FROM (SELECT * FROM t{i - 1} EXCEPT "
+                f"SELECT * FROM t{i}))"
+            )
+        selects.append(
+            f"SELECT '{ts}' AS ts, CAST((SELECT COUNT(*) FROM t{i}) AS BIGINT) AS n_triples, "
+            f"CAST({added} AS BIGINT) AS n_added, CAST({removed} AS BIGINT) AS n_removed"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
