@@ -259,6 +259,17 @@ def run_bench() -> dict:
         from ontology_time_machine_ray.pipelines.queries import kg_two_hop
 
         timed("kg_two_hop", lambda: kg_two_hop(SF_DIR))
+        from ontology_time_machine_ray.pipelines.queries import (
+            BM25_K,
+            BM25_QUERY,
+            kg_communities,
+        )
+        from ontology_time_machine_ray.stages.dedup_docs import quality_dedup_keep
+        from ontology_time_machine_ray.stages.textops import bm25_topk
+
+        timed("text_bm25", lambda: bm25_topk(SF_DIR, query_terms=BM25_QUERY, k=BM25_K))
+        timed("dedup_quality_keep", lambda: quality_dedup_keep(SF_DIR))
+        timed("kg_communities", lambda: kg_communities(SF_DIR))
 
     ray.shutdown()
     return {

@@ -454,7 +454,11 @@ def label_propagation(edges_ds, rounds: int = 2) -> rd.Dataset:
     current label with the edge endpoint, then ONE node-bucketed pass
     counts votes and takes the argmax vectorized in-bucket.  Labels are
     checkpointed per round (vocabulary-scale, the BFS-frontier pattern);
-    driver state is the loop counter.
+    driver state is the loop counter.  Below ``SMALL_EDGES_LIMIT`` edges
+    the same vote runs as a driver-side vectorized loop (the hybrid
+    sizing rationale of transitive_closure/pagerank -- co-mention graphs
+    live at the ontology-vocabulary scale; the distributed path is
+    pytest-forced with the limit at 0).
     """
     from ontology_time_machine_ray.stages.groupagg import bucketed_join, grouped_apply
 
@@ -465,6 +469,22 @@ def label_propagation(edges_ds, rounds: int = 2) -> rd.Dataset:
         ),
         batch_format="pandas",
     ).materialize()  # consumed twice per round (node set is implicit in it)
+
+    if und.count() <= SMALL_EDGES_LIMIT:
+        e = und.to_pandas()
+        lab = pd.Series(
+            {n: n for n in pd.unique(e["a"])}, dtype="object"
+        )
+        for _ in range(rounds):
+            v = pd.DataFrame({"a": e["a"], "label": e["b"].map(lab)})
+            c = v.groupby(["a", "label"], as_index=False).size()
+            c = c.sort_values(
+                ["a", "size", "label"], ascending=[True, False, True], kind="stable"
+            ).drop_duplicates("a")
+            lab = pd.Series(c["label"].to_numpy(), index=c["a"].to_numpy())
+        return rd.from_pandas(
+            pd.DataFrame({"node": lab.index, "label": lab.to_numpy()})
+        )
 
     labels = grouped_apply(
         und.map_batches(

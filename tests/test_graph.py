@@ -181,10 +181,11 @@ def test_cooccurrence_edges_distinct_and_ordered(ray_session, sf_dir):
     assert not e.duplicated(["a", "b"]).any()
 
 
-def test_label_propagation_majority_and_ties(ray_session):
+def test_label_propagation_majority_and_ties(ray_session, monkeypatch):
     import pandas as pd
     import ray.data as rd
 
+    from ontology_time_machine_ray.stages import graph
     from ontology_time_machine_ray.stages.graph import label_propagation
 
     # star around "z" plus a triangle: after round 1, z adopts the
@@ -225,3 +226,13 @@ def test_label_propagation_majority_and_ties(ray_session):
         top = votes[votes == votes.max()].index.min()
         exp[node] = top
     assert out2 == exp
+
+    # the distributed path (limit forced to 0) must match the driver path
+    monkeypatch.setattr(graph, "SMALL_EDGES_LIMIT", 0)
+    dist = (
+        label_propagation(rd.from_pandas(edges), rounds=2)
+        .to_pandas()
+        .set_index("node")["label"]
+        .to_dict()
+    )
+    assert dist == out2
