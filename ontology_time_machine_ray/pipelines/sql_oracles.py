@@ -222,7 +222,7 @@ _TRIPLES_CTES = f"""
   )"""
 
 _COMPONENT_CTES = f"""
-  edges AS (SELECT subj AS u, obj AS v FROM dedup
+  edges AS MATERIALIZED (SELECT subj AS u, obj AS v FROM dedup
             WHERE pred IN ('{SAME_AS}', '{EQUIV_CLASS}')),
   nodes AS (SELECT u AS n FROM edges UNION SELECT v FROM edges),
   sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
@@ -1345,7 +1345,7 @@ agree AS (
   JOIN sigs sa ON sa.doc_id = c.da
   JOIN sigs sb ON sb.doc_id = c.db AND sb.p = sa.p
   GROUP BY 1, 2),
-edges AS (
+edges AS MATERIALIZED (
   SELECT CAST(da AS VARCHAR) AS u, CAST(db AS VARCHAR) AS v
   FROM agree WHERE n_eq >= 36),
 nodes AS (SELECT u AS nn FROM edges UNION SELECT v FROM edges),
@@ -1568,7 +1568,7 @@ p AS (
   SELECT a.vec_id AS a, b.vec_id AS b
   FROM n a JOIN n b ON a.vec_id < b.vec_id
   WHERE CAST(round(list_cosine_similarity(a.e, b.e) * 1e6) AS BIGINT) >= 990000),
-edges AS (SELECT CAST(a AS VARCHAR) AS u, CAST(b AS VARCHAR) AS v FROM p),
+edges AS MATERIALIZED (SELECT CAST(a AS VARCHAR) AS u, CAST(b AS VARCHAR) AS v FROM p),
 nodes AS (SELECT u AS nn FROM edges UNION SELECT v FROM edges),
 sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
 reach(x, y) AS (
@@ -1760,7 +1760,7 @@ def entity_resolution_sql(max_dist: int) -> str:
     return f"""
 WITH RECURSIVE
 nm AS (SELECT DISTINCT p_name FROM part),
-e AS (
+e AS MATERIALIZED (
   SELECT a.p_name AS u, b.p_name AS v
   FROM nm a JOIN nm b ON a.p_name < b.p_name
   WHERE abs(length(a.p_name) - length(b.p_name)) <= {max_dist}

@@ -5,8 +5,13 @@ order-insensitive values.  Usage: python tools/check_oracle.py [sf_dir] [names..
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+# `python tools/check_oracle.py` puts tools/ (not the repo root) on
+# sys.path; make the harness runnable from anywhere.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import numpy as np
