@@ -270,6 +270,9 @@ def run_bench() -> dict:
         timed("text_bm25", lambda: bm25_topk(SF_DIR, query_terms=BM25_QUERY, k=BM25_K))
         timed("dedup_quality_keep", lambda: quality_dedup_keep(SF_DIR))
         timed("kg_communities", lambda: kg_communities(SF_DIR))
+        from ontology_time_machine_ray.stages.textops import classifier_filter
+
+        timed("text_classify", lambda: classifier_filter(SF_DIR))
 
     ray.shutdown()
     return {

@@ -1431,6 +1431,7 @@ QUERIES = {
     "winnow_dup_pairs": winnow_dup_pairs,
     "dup_ngrams": dup_ngrams,
     "text_quality": textops.quality_score,
+    "text_classify": textops.classifier_filter,
     "quality_top_pct": quality_top_pct,
     "rel_fuzzy_join": _fuzzy_join,
     "rel_range_layout": _range_layout,

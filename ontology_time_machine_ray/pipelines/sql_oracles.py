@@ -1407,6 +1407,35 @@ ham AS (
   GROUP BY 1, 2)
 SELECT a, b, CAST(hamming AS BIGINT) AS hamming FROM ham WHERE hamming <= 3"""
 
+def _classifier_sql(buckets: int = 4096, weight_mod: int = 2001) -> str:
+    """``classifier_filter`` restatement: the same hashed-feature linear
+    model -- bucket = 13-hex-char md5 prefix of the lowercased token mod
+    ``buckets``; weight = md5-derived integer in [-1000, 1000] per bucket
+    (the 4096-row weight CTE IS the model); document score = plain
+    integer sum over token occurrences; keep = score >= 0."""
+    half = weight_mod // 2
+    return f"""
+WITH w AS (
+  SELECT b, CAST(concat('0x', substr(md5(concat('clfw:', CAST(b AS VARCHAR))), 1, 13))
+                 AS BIGINT) % {weight_mod} - {half} AS wt
+  FROM range({buckets}) t(b)),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tk
+  FROM documents),
+tb AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tk), 1, 13)) AS BIGINT) % {buckets} AS b
+  FROM tok),
+s AS (
+  SELECT doc_id, CAST(sum(w.wt) AS BIGINT) AS clf_score
+  FROM tb JOIN w USING (b) GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(s.clf_score, 0) AS clf_score,
+       CAST(coalesce(s.clf_score, 0) >= 0 AS BIGINT) AS keep
+FROM documents d LEFT JOIN s USING (doc_id)"""
+
+
+TESTDATA_SQL["text_classify"] = _classifier_sql()
 TESTDATA_SQL["dedup_minhash"] = _minhash_sql()
 TESTDATA_SQL["dedup_simhash"] = _SIMHASH_SQL
 

@@ -1182,3 +1182,81 @@ def bm25_topk(
     )
     top["rank"] = (top.index + 1).astype("int64")
     return top
+
+
+# ---------------------------------------------------------------------------
+# model-based quality filtering: hashed linear classifier
+# ---------------------------------------------------------------------------
+
+#: feature-hashing buckets for the linear classifier (the model size).
+CLF_BUCKETS = 4096
+#: weight modulus: weights are integers in [-1000, 1000].
+CLF_WEIGHT_MOD = 2001
+
+_CLF_W = None
+
+
+def _clf_weights():
+    """The classifier's weight vector: CLF_BUCKETS int64 weights derived
+    deterministically from md5 of the bucket id (a stand-in for trained
+    fastText/logistic-regression weights; real weights would load from a
+    file with the same shape).  Built ONCE per worker process and cached
+    -- the "broadcast the model once per actor" pattern; at 4096 ints it
+    is vocabulary-scale, never corpus-scale."""
+    global _CLF_W
+    if _CLF_W is None:
+        import numpy as np
+
+        bs = pd.Series([f"clfw:{b}" for b in range(CLF_BUCKETS)], dtype="object")
+        _CLF_W = (
+            md5_prefix_int_series(bs, 13) % CLF_WEIGHT_MOD - CLF_WEIGHT_MOD // 2
+        ).astype("int64")
+    return _CLF_W
+
+
+def classifier_score_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Score one batch with the hashed linear model: every token
+    occurrence hashes to a bucket (md5 13-hex-char prefix mod
+    CLF_BUCKETS, one C++ digest pass for the whole batch) and
+    contributes that bucket's integer weight; the document score is the
+    plain sum, so pandas int64 and the DuckDB oracle agree bit-exactly.
+    ``keep`` is the model's accept decision (score >= 0)."""
+    import numpy as np
+
+    w = _clf_weights()
+    toks = df["text"].fillna("").str.lower().str.findall(TOKEN_RE)
+    lens = toks.str.len().to_numpy(dtype="int64")
+    flat = toks.explode().dropna()
+    score = np.zeros(len(df), dtype="float64")
+    if len(flat):
+        buckets = (
+            md5_prefix_int_series(
+                pd.Series(flat.to_numpy(), dtype="object"), 13
+            )
+            % CLF_BUCKETS
+        )
+        per_tok = w[buckets].astype("float64")
+        rows = np.repeat(np.arange(len(df)), lens)
+        # |score| <= 1000 * n_tokens << 2^53: float64 bincount is exact
+        score = np.bincount(rows, weights=per_tok, minlength=len(df))
+    clf_score = score.astype("int64")
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].astype("int64"),
+            "clf_score": clf_score,
+            "keep": (clf_score >= 0).astype("int64"),
+        }
+    )
+
+
+def classifier_filter(sf_dir: str) -> rd.Dataset:
+    """Model-based quality filtering (the FineWeb-Edu / fastText-filter
+    step of a training-data pipeline) as ONE streaming ``map_batches``
+    pass with zero shuffles: the fixed-size hashed weight table is
+    per-worker state, each document is scored inside its batch, and the
+    accept bit rides the row.  Downstream stages filter on ``keep``;
+    the query returns every row so the oracle pins scores for kept AND
+    rejected documents."""
+    return _read_docs(sf_dir).map_batches(
+        classifier_score_batch, batch_format="pandas"
+    )

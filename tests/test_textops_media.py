@@ -609,3 +609,51 @@ def test_bm25_topk_matches_scalar_oracle(ray_session, tmp_path):
     )
     # doc 4 (no hits) and doc 5 (null) never appear
     assert not set(got["doc_id"]) & {4, 5}
+
+
+def test_classifier_score_matches_hashlib_replay():
+    """classifier_score_batch vs an independent hashlib-md5 replay of the
+    hashed linear model (no DuckDB anywhere in the expected path)."""
+    import hashlib
+
+    from ontology_time_machine_ray.stages.textops import (
+        CLF_BUCKETS,
+        CLF_WEIGHT_MOD,
+        classifier_score_batch,
+    )
+
+    def md5_13(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
+
+    def expected_score(text: str) -> int:
+        total = 0
+        for tok in text.lower().split():
+            b = md5_13(tok) % CLF_BUCKETS
+            total += md5_13(f"clfw:{b}") % CLF_WEIGHT_MOD - CLF_WEIGHT_MOD // 2
+        return total
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "spam spam spam spam spam spam",
+                "",  # empty doc: score 0, kept
+                "a b c d e f g h i j k l m n o p q",
+            ],
+        }
+    )
+    out = classifier_score_batch(docs)
+    assert out["clf_score"].tolist() == [expected_score(t) for t in docs["text"]]
+    assert out["keep"].tolist() == [int(s >= 0) for s in out["clf_score"]]
+    assert out["clf_score"].dtype == "int64"
+
+
+def test_classifier_weights_are_process_stable():
+    from ontology_time_machine_ray.stages import textops
+
+    w1 = textops._clf_weights()
+    w2 = textops._clf_weights()
+    assert w1 is w2  # cached once per process (the per-actor model load)
+    assert len(w1) == textops.CLF_BUCKETS
+    assert int(w1.min()) >= -1000 and int(w1.max()) <= 1000
