@@ -273,6 +273,9 @@ def run_bench() -> dict:
         from ontology_time_machine_ray.stages.textops import classifier_filter
 
         timed("text_classify", lambda: classifier_filter(SF_DIR))
+        from ontology_time_machine_ray.stages.textops import dedup_incremental
+
+        timed("dedup_incremental", lambda: dedup_incremental(SF_DIR))
 
     ray.shutdown()
     return {

@@ -1446,6 +1446,7 @@ QUERIES = {
     "lang_id": textops.lang_id,
     # dedup family
     "dedup_exact": textops.dedup_exact,
+    "dedup_incremental": textops.dedup_incremental,
     "dedup_segments": textops.dedup_segments,
     "corpus_clean": textops.corpus_clean,
     "dedup_jaccard": dedup_jaccard,

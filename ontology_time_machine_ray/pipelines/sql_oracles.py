@@ -1062,6 +1062,15 @@ SELECT doc_id, md5(lower(trim(text, ' \t\n\r'))) AS fingerprint FROM documents""
     "dedup_exact": """
 SELECT doc_id, md5(lower(trim(text, ' \t\n\r'))) AS fingerprint FROM documents
 QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1""",
+    "dedup_incremental": """
+WITH split AS (SELECT (max(doc_id) + 1) // 2 AS s FROM documents),
+fp AS (SELECT doc_id, md5(lower(trim(text, ' \t\n\r'))) AS fingerprint
+       FROM documents),
+base AS (SELECT DISTINCT fingerprint FROM fp, split WHERE doc_id < s),
+delta AS (SELECT doc_id, fingerprint FROM fp, split WHERE doc_id >= s)
+SELECT doc_id, fingerprint FROM delta
+WHERE fingerprint NOT IN (SELECT fingerprint FROM base)
+QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1""",
     "corpus_clean": f"""
 WITH w AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS tok FROM documents),
 q AS (SELECT doc_id,

@@ -1260,3 +1260,61 @@ def classifier_filter(sf_dir: str) -> rd.Dataset:
     return _read_docs(sf_dir).map_batches(
         classifier_score_batch, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-snapshot (incremental) dedup: new crawl vs the previous corpus
+# ---------------------------------------------------------------------------
+
+
+def dedup_incremental(sf_dir: str) -> rd.Dataset:
+    """Dedup a NEW crawl delta against the PREVIOUS corpus snapshot --
+    the continuous-ingest twin of ``dedup_exact`` (every production
+    dedup run is incremental: yesterday's fingerprints are already in
+    the store).  The corpus is split at the median doc_id: below =
+    previous snapshot, at/above = the incoming delta.  A delta document
+    survives iff its content fingerprint never appeared in the base AND
+    it is the min-doc_id copy within the delta.
+
+    Scale shape: both sides are corpus-scale, so NOTHING broadcasts --
+    base and delta fingerprints ride the SAME single fingerprint-bucketed
+    shuffle (at 100 TB the base side is a pruned one-column read of the
+    store's fingerprint index), and the verdict per fingerprint group is
+    a vectorized grouped aggregate: any-base => drop, else min delta
+    doc_id wins.  Output is delta-proportional, never corpus-scale.
+    """
+    import numpy as np
+
+    from ontology_time_machine_ray.stages.groupagg import grouped_aggregate
+
+    docs = _read_docs(sf_dir)
+    # the split coordinate: one pruned single-column aggregate (the
+    # production analog reads the store manifest's high-water mark)
+    split = (docs.select_columns(["doc_id"]).max("doc_id") + 1) // 2
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = fingerprint_batch(df)
+        doc = out["doc_id"].astype("int64")
+        is_base = (doc < split).astype("int64")
+        # sentinel keeps the min() integer-typed; base rows never win
+        # because groups containing them are dropped on n_base > 0
+        out = pd.DataFrame(
+            {
+                "fingerprint": out["fingerprint"],
+                "is_base": is_base,
+                "delta_doc": np.where(is_base == 1, np.int64(1) << 62, doc),
+            }
+        )
+        return out
+
+    agg = grouped_aggregate(
+        docs.map_batches(tag, batch_format="pandas"),
+        ["fingerprint"],
+        {"n_base": ("is_base", "sum"), "doc_id": ("delta_doc", "min")},
+    )
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[(df["n_base"] == 0) & (df["doc_id"] < (1 << 62))]
+        return out[["doc_id", "fingerprint"]].astype({"doc_id": "int64"})
+
+    return agg.map_batches(keep, batch_format="pandas")

@@ -657,3 +657,34 @@ def test_classifier_weights_are_process_stable():
     assert w1 is w2  # cached once per process (the per-actor model load)
     assert len(w1) == textops.CLF_BUCKETS
     assert int(w1.min()) >= -1000 and int(w1.max()) <= 1000
+
+
+def test_dedup_incremental_planted_duplicates(ray_session, tmp_path):
+    """Cross-snapshot dedup drops (a) delta docs whose fingerprint exists
+    in the base snapshot and (b) later within-delta copies; unique delta
+    docs survive; base docs never appear in the output."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_time_machine_ray.stages.textops import dedup_incremental
+
+    # max doc_id 7 -> split = 4: base = {0..3}, delta = {4..7}
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5, 6, 7],
+            "text": [
+                "old one",
+                "old two",
+                "  Shared ACROSS snapshots  ",  # base copy (normalized)
+                "old three",
+                "shared across snapshots",  # dup of base doc 2 -> dropped
+                "fresh delta doc",  # unique -> kept
+                "repeated delta",  # first delta copy -> kept
+                "repeated delta",  # second delta copy -> dropped
+            ],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+    out = dedup_incremental(str(tmp_path)).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [5, 6]
+    assert out["fingerprint"].str.len().eq(32).all()
