@@ -276,6 +276,9 @@ def run_bench() -> dict:
         from ontology_time_machine_ray.stages.textops import dedup_incremental
 
         timed("dedup_incremental", lambda: dedup_incremental(SF_DIR))
+        from ontology_time_machine_ray.pipelines.queries import kg_bgp
+
+        timed("kg_bgp", lambda: kg_bgp(SF_DIR))
 
     ray.shutdown()
     return {

@@ -734,6 +734,26 @@ def kg_two_hop(sf_dir: str):
     return grouped_apply(joined, cols, distinct_paths, bucket_keys=["subj", "mid"])
 
 
+def kg_bgp(sf_dir: str):
+    """Conjunctive triple-pattern (BGP) query -- the SPARQL core -- via
+    the generic left-deep matcher (``stages/bgp.py``): owl:sameAs pairs
+    whose BOTH endpoints are typed owl:Class.  Most selective pattern
+    first (sameAs is ~7% of the store); each subsequent pattern is one
+    bucketed hash join on the shared variable, nothing broadcasts."""
+    from ontology_time_machine_ray.schema import OWL_CLASS, OWL_SAME_AS, RDF_TYPE
+    from ontology_time_machine_ray.stages.bgp import bgp_match
+
+    t = _pipe(sf_dir).triples().select_columns(["subj", "pred", "obj"]).materialize()
+    return bgp_match(
+        t,
+        [
+            ("?cls", OWL_SAME_AS, "?peer"),
+            ("?cls", RDF_TYPE, OWL_CLASS),
+            ("?peer", RDF_TYPE, OWL_CLASS),
+        ],
+    )
+
+
 KG_REACH_HOPS = 3
 
 
@@ -1378,6 +1398,7 @@ QUERIES = {
     "kg_communities": kg_communities,
     "kg_timeline": kg_timeline,
     "kg_two_hop": kg_two_hop,
+    "kg_bgp": kg_bgp,
     "kg_reachability": kg_reachability,
     "media_catalog": media_catalog,
     "media_frames": media_frames,
@@ -1480,6 +1501,7 @@ _KG_ORACLE_NAMES = (
     "kg_pagerank",
     "kg_incremental",
     "kg_two_hop",
+    "kg_bgp",
     "kg_reachability",
     "kg_incremental_canonical",
     "kg_intercept_archivo",

@@ -522,6 +522,15 @@ def kg_sql(name: str, fixture_root: str, timestamp: str = "2021-06-01") -> str:
 SELECT DISTINCT a.subj, a.pred AS pred1, a.obj AS mid, b.pred AS pred2, b.obj AS obj
 FROM t a JOIN t b ON a.obj = b.subj
 WHERE a.subj <> b.obj""",
+        # conjunctive BGP instance (stages/bgp.py left-deep join plan):
+        # sameAs pairs whose BOTH endpoints are typed owl:Class
+        "kg_bgp": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
+        f"""t AS (SELECT DISTINCT subj, pred, obj FROM dedup)
+SELECT sa.subj AS cls, sa.obj AS peer
+FROM t sa
+JOIN t tc ON tc.subj = sa.subj AND tc.pred = '{RDF_TYPE}' AND tc.obj = '{OWL_CLASS}'
+JOIN t tp ON tp.subj = sa.obj AND tp.pred = '{RDF_TYPE}' AND tp.obj = '{OWL_CLASS}'
+WHERE sa.pred = '{SAME_AS}'""",
         # bounded-hop reachability: the kg_reachability frontier expansion
         # unrolled (walks of length 1..3, min hops per pair)
         "kg_reachability": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"

@@ -1,0 +1,113 @@
+"""Basic-graph-pattern (BGP) matching over the (subj, pred, obj) store.
+
+The SPARQL query core: a conjunction of triple patterns whose variables
+must bind consistently, e.g.::
+
+    ?cls  rdf:type     owl:Class .
+    ?cls  owl:sameAs   ?peer .
+    ?peer rdfs:isDefinedBy ?ont .
+
+Reference semantics: the time machine serves ontology snapshots whose
+consumers run exactly such conjunctive queries over the resolved triples
+(``ontologytimemachine/utils/proxy_logic.py`` resolves the store this
+matcher queries; the reference itself has no query engine -- this is the
+query side a KG pipeline needs once triples exist).
+
+Execution shape (Ray-Data-first):
+
+* Each pattern compiles to a SCAN: one vectorized ``map_batches`` filter
+  on the constant positions + a projection of the variable positions.
+  Scans stream off the pinned triple store; constants prune INSIDE the
+  batch with no Python row loop.
+* Patterns join left-deep in the order given, each step ONE bucketed
+  hash join (`groupagg.bucketed_join`) on the shared variables -- hash
+  co-location, no broadcast: at 10^12 docs no binding table is small.
+  Pattern order is the query plan; callers put the most selective
+  pattern first (the classic heuristic a cost-based optimizer would
+  automate).
+* Because the store is distinct on (subj, pred, obj), every scan's
+  binding relation is distinct, and joins on shared variables of
+  distinct relations stay distinct -- so NO global dedup pass is needed;
+  the result is exact without a terminal shuffle.
+
+A pattern term starting with ``?`` is a variable; anything else is a
+constant IRI.  Repeated variables within one pattern (e.g. ``(?x, p,
+?x)``) become an in-batch equality filter.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+
+from ontology_time_machine_ray.stages.groupagg import bucketed_join
+
+_POS = ("subj", "pred", "obj")
+
+
+def _is_var(term: str) -> bool:
+    return term.startswith("?")
+
+
+def _scan(triples, pattern: Sequence[str]):
+    """Compile one triple pattern to a filtered, projected scan whose
+    columns are the pattern's variable names (without the ``?``)."""
+    consts = [(pos, t) for pos, t in zip(_POS, pattern) if not _is_var(t)]
+    vars_ = [(pos, t[1:]) for pos, t in zip(_POS, pattern) if _is_var(t)]
+    if not vars_:
+        raise ValueError(f"pattern {pattern} binds no variables")
+    # repeated variable => in-pattern equality (e.g. (?x, p, ?x))
+    seen: dict[str, str] = {}
+    eq_pairs = []
+    proj: list[tuple[str, str]] = []
+    for pos, name in vars_:
+        if name in seen:
+            eq_pairs.append((seen[name], pos))
+        else:
+            seen[name] = pos
+            proj.append((pos, name))
+
+    def scan_batch(df: pd.DataFrame) -> pd.DataFrame:
+        mask = pd.Series(True, index=df.index)
+        for pos, value in consts:
+            mask &= df[pos] == value
+        for a, b in eq_pairs:
+            mask &= df[a] == df[b]
+        sub = df[mask]
+        return pd.DataFrame({name: sub[pos] for pos, name in proj})
+
+    out_schema = {name: "object" for _, name in proj}
+    return triples.map_batches(scan_batch, batch_format="pandas"), out_schema
+
+
+def bgp_match(triples, patterns: Sequence[Sequence[str]]):
+    """Match a conjunction of triple patterns; returns a Dataset of the
+    distinct variable bindings (one column per ``?variable``).
+
+    ``triples`` must be distinct on (subj, pred, obj) -- the deduped
+    store guarantees it -- and should be ``materialize()``d by the
+    caller when it feeds more than one pattern (it always does), else
+    the lazy upstream would re-execute once per scan.
+    """
+    if not patterns:
+        raise ValueError("empty pattern list")
+    acc, acc_schema = _scan(triples, patterns[0])
+    for pattern in patterns[1:]:
+        scan, scan_schema = _scan(triples, pattern)
+        shared = [v for v in acc_schema if v in scan_schema]
+        if not shared:
+            raise ValueError(
+                f"pattern {pattern} shares no variable with the prefix -- "
+                "reorder patterns so each one connects (cartesian products "
+                "are never the plan you want at store scale)"
+            )
+        acc = bucketed_join(
+            acc,
+            scan,
+            on=shared,
+            left_schema=acc_schema,
+            right_schema=scan_schema,
+        )
+        acc_schema = {**acc_schema, **scan_schema}
+    return acc

@@ -236,3 +236,50 @@ def test_label_propagation_majority_and_ties(ray_session, monkeypatch):
         .to_dict()
     )
     assert dist == out2
+
+
+def test_bgp_match_hand_graph(ray_session):
+    """BGP matcher over a hand graph: constants filter, shared variables
+    join, repeated variables force in-pattern equality, and disconnected
+    patterns are rejected."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.bgp import bgp_match
+
+    t = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "subj": ["a", "a", "b", "c", "loop", "x"],
+                "pred": ["knows", "type", "type", "knows", "knows", "age"],
+                "obj": ["b", "Person", "Person", "b", "loop", "x"],
+            }
+        )
+    )
+    # (?p type Person) & (?p knows ?q) & (?q type Person) -> only a knows b
+    out = bgp_match(
+        t,
+        [
+            ("?p", "knows", "?q"),
+            ("?p", "type", "Person"),
+            ("?q", "type", "Person"),
+        ],
+    ).to_pandas()
+    assert out.to_dict("records") == [{"p": "a", "q": "b"}]
+
+    # repeated variable: (?s knows ?s) matches only the self-loop
+    out2 = bgp_match(t, [("?s", "knows", "?s")]).to_pandas()
+    assert out2["s"].tolist() == ["loop"]
+
+    # single pattern with variable predicate binds (pred, obj)
+    out3 = bgp_match(t, [("a", "?r", "?o")]).to_pandas()
+    assert sorted(map(tuple, out3[["r", "o"]].values.tolist())) == [
+        ("knows", "b"),
+        ("type", "Person"),
+    ]
+
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_match(t, [("?p", "knows", "?q"), ("?z", "type", "Person")])
+    with pytest.raises(ValueError, match="binds no variables"):
+        bgp_match(t, [("a", "knows", "b")])
