@@ -279,6 +279,9 @@ def run_bench() -> dict:
         from ontology_time_machine_ray.pipelines.queries import kg_bgp
 
         timed("kg_bgp", lambda: kg_bgp(SF_DIR))
+        from ontology_time_machine_ray.pipelines.queries import kg_kcore
+
+        timed("kg_kcore", lambda: kg_kcore(SF_DIR))
 
     ray.shutdown()
     return {

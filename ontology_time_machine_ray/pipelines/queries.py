@@ -837,6 +837,27 @@ def kg_cooccur_triangles(sf_dir: str):
     )
 
 
+KG_KCORE_K = 2
+KG_KCORE_ROUNDS = 3
+
+
+def kg_kcore(sf_dir: str):
+    """k-core of the ontology co-mention graph: the densely co-used
+    ontology cluster after iteratively peeling ontologies co-mentioned
+    with fewer than k others (``stages/graph.kcore``); (ontology_id,
+    in-core degree) rows."""
+    from ontology_time_machine_ray.stages.graph import cooccurrence_edges, kcore
+
+    out = kcore(
+        cooccurrence_edges(_pipe(sf_dir).mentions()),
+        k=KG_KCORE_K,
+        rounds=KG_KCORE_ROUNDS,
+    )
+    return out.map_batches(
+        lambda df: df.rename(columns={"node": "ontology_id"}), batch_format="pandas"
+    )
+
+
 #: the time-machine sweep coordinates: spans the fixture's version range
 #: (2019 versions -> some ontologies unresolvable at the first coord)
 KG_TIMELINE_TS = ("2019-06-01", "2020-06-01", "2021-06-01", "2022-06-01")
@@ -1399,6 +1420,7 @@ QUERIES = {
     "kg_timeline": kg_timeline,
     "kg_two_hop": kg_two_hop,
     "kg_bgp": kg_bgp,
+    "kg_kcore": kg_kcore,
     "kg_reachability": kg_reachability,
     "media_catalog": media_catalog,
     "media_frames": media_frames,
@@ -1587,6 +1609,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         paths.root, KG_DIFF_OLD_TS, DEFAULT_CONFIG.timestamp
     )
     out["kg_cooccur_triangles"] = sql_oracles.cooccur_triangles_sql(paths.root)
+    out["kg_kcore"] = sql_oracles.kg_kcore_sql(paths.root, KG_KCORE_K, KG_KCORE_ROUNDS)
     out["kg_communities"] = sql_oracles.kg_communities_sql(paths.root, KG_LP_ROUNDS)
     out["kg_timeline"] = sql_oracles.kg_timeline_sql(paths.root, KG_TIMELINE_TS)
     out["kg_download_log"] = sql_oracles.kg_download_log_sql(paths.root)

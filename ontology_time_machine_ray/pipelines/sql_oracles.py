@@ -2166,3 +2166,33 @@ def kg_timeline_sql(fixture_root: str, timestamps: tuple) -> str:
             f"CAST({added} AS BIGINT) AS n_added, CAST({removed} AS BIGINT) AS n_removed"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def kg_kcore_sql(fixture_root: str, k: int, rounds: int) -> str:
+    """``kg_kcore`` restatement: the iterative peel unrolled one level
+    per round (the label-propagation precedent).  The engine may stop
+    early at a fixpoint; peeling is monotone, so the fixpoint equals the
+    fully-unrolled result -- the equality IS that claim."""
+    ctes = [
+        "mo AS (SELECT DISTINCT doc_id, ontology_id FROM mentions "
+        "WHERE ontology_id IS NOT NULL)",
+        "e AS (SELECT DISTINCT a.ontology_id AS a, b.ontology_id AS b\n"
+        "      FROM mo a JOIN mo b ON a.doc_id = b.doc_id "
+        "AND a.ontology_id < b.ontology_id)",
+        "e0 AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"d{i} AS (SELECT a AS node, count(*) AS deg FROM e{i - 1} GROUP BY 1)"
+        )
+        ctes.append(f"s{i} AS (SELECT node FROM d{i} WHERE deg >= {k})")
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT p.a, p.b FROM e{i - 1} p\n"
+            f"      JOIN s{i} x ON x.node = p.a JOIN s{i} y ON y.node = p.b)"
+        )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {_MENTIONS_CTES},\n{body}\n"
+        f"SELECT a AS ontology_id, CAST(count(*) AS BIGINT) AS degree\n"
+        f"FROM e{rounds} GROUP BY 1 HAVING count(*) >= {k}"
+    ).replace("__ROOT__", fixture_root)

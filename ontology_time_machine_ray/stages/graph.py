@@ -520,3 +520,93 @@ def label_propagation(edges_ds, rounds: int = 2) -> rd.Dataset:
             vote,
         ).materialize()
     return labels
+
+
+def kcore(edges_ds, k: int = 2, rounds: int = 3) -> rd.Dataset:
+    """k-core decomposition by iterative peel (Seidman 1983): drop nodes
+    with degree < k, remove their incident edges, repeat; after at most
+    ``rounds`` rounds emit the surviving nodes with their in-core degree.
+
+    Fixed ``rounds`` keeps the operator SQL-replayable (one unrolled
+    level per round, the label_propagation precedent); peeling stops
+    EARLY when a round removes nothing -- the peel is monotone, so a
+    fixpoint at round r equals the round-R result and early exit never
+    changes the output, it only saves shuffles.
+
+    Scale shape: per round ONE node-bucketed degree aggregate plus two
+    bucketed semi-joins (endpoint membership); the survivor set stays
+    bucketed -- nothing broadcasts, per-round shuffle volume is the
+    surviving edge set, strictly shrinking.  Below ``SMALL_EDGES_LIMIT``
+    the peel runs as a driver-side vectorized loop (co-mention graphs
+    are ontology-vocabulary scale; the distributed path is pytest-forced
+    with the limit at 0).
+    """
+    from ontology_time_machine_ray.stages.groupagg import (
+        bucketed_join,
+        grouped_aggregate,
+    )
+
+    und = edges_ds.map_batches(
+        lambda df: pd.concat(
+            [df[["a", "b"]], df.rename(columns={"a": "b", "b": "a"})[["a", "b"]]],
+            ignore_index=True,
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    if und.count() <= SMALL_EDGES_LIMIT:
+        e = und.to_pandas()
+        for _ in range(rounds):
+            deg = e.groupby("a").size()
+            keep = set(deg[deg >= k].index)
+            if len(keep) == len(deg):
+                break
+            e = e[e["a"].isin(keep) & e["b"].isin(keep)]
+            if e.empty:
+                break
+        deg = e.groupby("a").size()
+        out = deg[deg >= k]
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"node": out.index.to_numpy(), "degree": out.to_numpy(dtype="int64")}
+            )
+        )
+
+    n_nodes = None
+    for _ in range(rounds):
+        deg = grouped_aggregate(und, ["a"], {"degree": ("b", "size")})
+        surv = deg.map_batches(
+            lambda df: df.loc[df["degree"] >= k, ["a"]], batch_format="pandas"
+        ).materialize()
+        n_surv = surv.count()
+        if n_nodes is not None and n_surv == n_nodes:
+            break  # fixpoint: nothing peeled this round
+        n_nodes = n_surv
+        und = bucketed_join(
+            bucketed_join(
+                und,
+                surv,
+                on=["a"],
+                how="semi",
+                left_schema={"a": "object", "b": "object"},
+                right_schema={"a": "object"},
+            ),
+            surv.map_batches(
+                lambda df: df.rename(columns={"a": "b"}), batch_format="pandas"
+            ),
+            on=["b"],
+            how="semi",
+            left_schema={"a": "object", "b": "object"},
+            right_schema={"b": "object"},
+        ).materialize()  # checkpoint: the next round consumes it twice
+
+    final = grouped_aggregate(und, ["a"], {"degree": ("b", "size")})
+    return final.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "node": df.loc[df["degree"] >= k, "a"],
+                "degree": df.loc[df["degree"] >= k, "degree"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )

@@ -283,3 +283,37 @@ def test_bgp_match_hand_graph(ray_session):
         bgp_match(t, [("?p", "knows", "?q"), ("?z", "type", "Person")])
     with pytest.raises(ValueError, match="binds no variables"):
         bgp_match(t, [("a", "knows", "b")])
+
+
+def test_kcore_hand_graph_and_distributed_path(ray_session, monkeypatch):
+    """2-core of a hand graph: triangle + pendant chain. The pendant
+    chain peels away in cascading rounds; the triangle survives with
+    degree 2. Driver and pytest-forced distributed paths agree, and
+    extra rounds beyond the fixpoint change nothing."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages import graph
+    from ontology_time_machine_ray.stages.graph import kcore
+
+    # triangle a-b-c plus chain c-d-e (d,e peel in 2 cascading rounds)
+    edges = pd.DataFrame(
+        {"a": ["a", "b", "a", "c", "d"], "b": ["b", "c", "c", "d", "e"]}
+    )
+
+    out = kcore(rd.from_pandas(edges), k=2, rounds=3).to_pandas()
+    got = dict(zip(out["node"], out["degree"]))
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+    # fixpoint: more rounds, same answer
+    out2 = kcore(rd.from_pandas(edges), k=2, rounds=6).to_pandas()
+    assert dict(zip(out2["node"], out2["degree"])) == got
+
+    # distributed path (limit forced to 0) must match the driver path
+    monkeypatch.setattr(graph, "SMALL_EDGES_LIMIT", 0)
+    out3 = kcore(rd.from_pandas(edges), k=2, rounds=3).to_pandas()
+    assert dict(zip(out3["node"], out3["degree"])) == got
+
+    # k above the max degree: empty core
+    out4 = kcore(rd.from_pandas(edges), k=3, rounds=3).to_pandas()
+    assert len(out4) == 0
