@@ -282,6 +282,7 @@ def run_bench() -> dict:
         from ontology_time_machine_ray.pipelines.queries import kg_kcore
 
         timed("kg_kcore", lambda: kg_kcore(SF_DIR))
+        timed("rel_profile", lambda: relational.profile_lineitem(SF_DIR))
 
     ray.shutdown()
     return {

@@ -1484,6 +1484,7 @@ QUERIES = {
     "rel_grid_layout": _grid_layout,
     "rel_entity_resolution": _entity_resolution,
     "rel_price_quantiles_cont": relational.price_quantiles_cont,
+    "rel_profile": relational.profile_lineitem,
     "events_retention": relational.events_retention,
     "text_fingerprint": textops.fingerprints,
     "lang_id": textops.lang_id,

@@ -1249,3 +1249,109 @@ def customer_order_outer(sf_dir: str) -> rd.Dataset:
         )
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+#: (column, kind) pairs profiled by ``profile_lineitem``; kinds pin the
+#: canonical VARCHAR encoding shared with the SQL oracle.
+PROFILE_COLS = (
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_quantity", "cents"),
+    ("l_shipdate", "epoch"),
+)
+
+
+def _profile_canonical(values: pd.Series, kind: str) -> pd.Series:
+    """Canonical VARCHAR encoding per column kind: plain strings, or
+    zero-padded integer cents / epoch seconds so the lexicographic
+    min/max equals the numeric one and pandas and DuckDB agree
+    bit-exactly (no float-formatting dependence)."""
+    if kind == "str":
+        return values.astype("object")
+    if kind == "cents":
+        ints = pd.Series(values, dtype="float64").mul(100).round().astype("int64")
+    elif kind == "epoch":
+        ints = values.astype("datetime64[ns]").astype("int64") // 1_000_000_000
+    else:
+        raise ValueError(kind)
+    return ints.astype(str).str.zfill(12).astype("object")
+
+
+def profile_lineitem(sf_dir: str) -> rd.Dataset:
+    """Single-pass column profiling (the data-quality report every
+    ingest pipeline runs): per profiled column -- row count, null count,
+    exact distinct count, canonical min / max.
+
+    Scale shape: a per-batch value-count combiner collapses each batch
+    to (col_name, value, cnt) partials BOUNDED BY THE COLUMN'S
+    CARDINALITY (never the row count), one (col, value)-bucketed
+    aggregate merges them, and a column-bucketed rollup emits one row
+    per column.  Shuffle volume is the distinct-value set; raw rows
+    never leave the scan stage.  Columns with corpus-scale cardinality
+    belong in the KMV path (``rel_distinct_sketch``) instead -- the
+    exact profile is for the bounded-cardinality columns a real profile
+    targets (flags, enums, dates, bounded measures)."""
+    from ontology_time_machine_ray.stages.groupagg import (
+        grouped_aggregate,
+        grouped_apply,
+    )
+
+    cols = [c for c, _ in PROFILE_COLS]
+    ds = _read(sf_dir, "lineitem", columns=cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # nulls ride an explicit flag column (a None group KEY would be
+        # silently dropped by pandas groupby's dropna default)
+        out = []
+        for col, kind in PROFILE_COLS:
+            v = df[col]
+            nulls = int(v.isna().sum())
+            vc = _profile_canonical(v[v.notna()], kind).value_counts()
+            out.append(
+                pd.DataFrame(
+                    {
+                        "col_name": col,
+                        "v": vc.index.astype("object"),
+                        "is_null": np.int64(0),
+                        "cnt": vc.to_numpy(dtype="int64"),
+                    }
+                )
+            )
+            if nulls:
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "col_name": [col],
+                            "v": [""],
+                            "is_null": [np.int64(1)],
+                            "cnt": [nulls],
+                        }
+                    )
+                )
+        return pd.concat(out, ignore_index=True)
+
+    counts = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["col_name", "v", "is_null"],
+        {"cnt": ("cnt", "sum")},
+        bucket_keys=["col_name", "v"],
+    )
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for col, sub in g.groupby("col_name", sort=False):
+            null_mask = sub["is_null"] == 1
+            vals = sub.loc[~null_mask, "v"]
+            rows.append(
+                {
+                    "col_name": col,
+                    "n_rows": int(sub["cnt"].sum()),
+                    "n_null": int(sub.loc[null_mask, "cnt"].sum()),
+                    "n_distinct": int(len(vals)),
+                    "min_v": vals.min() if len(vals) else None,
+                    "max_v": vals.max() if len(vals) else None,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return grouped_apply(counts, ["col_name"], rollup)

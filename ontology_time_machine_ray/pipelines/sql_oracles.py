@@ -1453,6 +1453,30 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN s USING (doc_id)"""
 
 
+#: ``profile_lineitem`` restatement: same canonical VARCHAR encodings
+#: (plain strings; zero-padded integer cents / epoch seconds, so the
+#: lexicographic min/max is the numeric one and no float formatting is
+#: compared), plain SQL aggregates per column.
+TESTDATA_SQL["rel_profile"] = """
+WITH p AS (
+  SELECT 'l_returnflag' AS col_name, l_returnflag AS v FROM lineitem
+  UNION ALL
+  SELECT 'l_linestatus', l_linestatus FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity',
+         lpad(CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR), 12, '0')
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_shipdate',
+         lpad(CAST(CAST(epoch(l_shipdate) AS BIGINT) AS VARCHAR), 12, '0')
+  FROM lineitem)
+SELECT col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(v) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+       min(v) AS min_v, max(v) AS max_v
+FROM p GROUP BY 1"""
+
 TESTDATA_SQL["text_classify"] = _classifier_sql()
 TESTDATA_SQL["dedup_minhash"] = _minhash_sql()
 TESTDATA_SQL["dedup_simhash"] = _SIMHASH_SQL

@@ -222,3 +222,42 @@ def test_bloom_semi_anti_join_exact_and_prefilters(ray_session):
     bits = bloom_of(rds, "k")
     residue = int(bloom_contains(bits, left["k"]).sum())
     assert residue < len(left) // 10
+
+
+def test_profile_lineitem_null_and_encoding(ray_session, tmp_path):
+    """Profile rollup on a hand table with nulls: counts, distincts and
+    the zero-padded canonical encodings (lexicographic == numeric)."""
+    import pandas as pd
+
+    from ontology_time_machine_ray.pipelines import relational
+
+    df = pd.DataFrame(
+        {
+            "l_returnflag": ["A", None, "R", "A"],
+            "l_linestatus": ["O", "F", "O", "F"],
+            "l_quantity": [5.0, 45.0, None, 5.0],
+            "l_shipdate": pd.to_datetime(
+                ["1995-01-01", "1992-06-15", "1998-11-30", None]
+            ),
+        }
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "lineitem.parquet"))
+    out = (
+        relational.profile_lineitem(str(tmp_path))
+        .to_pandas()
+        .set_index("col_name")
+        .sort_index()
+    )
+    rf = out.loc["l_returnflag"]
+    assert (rf["n_rows"], rf["n_null"], rf["n_distinct"]) == (4, 1, 2)
+    assert (rf["min_v"], rf["max_v"]) == ("A", "R")
+    q = out.loc["l_quantity"]
+    assert (q["n_rows"], q["n_null"], q["n_distinct"]) == (4, 1, 2)
+    # 45.0 > 5.0 numerically AND lexicographically thanks to the padding
+    assert q["min_v"] == "000000000500" and q["max_v"] == "000000004500"
+    sd = out.loc["l_shipdate"]
+    assert sd["n_null"] == 1 and sd["n_distinct"] == 3
+    assert sd["min_v"] < sd["max_v"]
