@@ -283,6 +283,9 @@ def run_bench() -> dict:
 
         timed("kg_kcore", lambda: kg_kcore(SF_DIR))
         timed("rel_profile", lambda: relational.profile_lineitem(SF_DIR))
+        from ontology_time_machine_ray.pipelines.queries import media_phash
+
+        timed("media_phash", lambda: media_phash(SF_DIR))
 
     ray.shutdown()
     return {

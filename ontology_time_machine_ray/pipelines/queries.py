@@ -1170,6 +1170,14 @@ def media_decode_frames(sf_dir: str):
     return media.media_decode_frames(paths.media_assets)
 
 
+def media_phash(sf_dir: str):
+    """Image near-dup detection by perceptual average-hash: decode each
+    PPM from bytes, integer aHash (8x8 thumbnail, mean threshold), one
+    hash-bucketed pass labels cluster representative + size."""
+    paths = ensure_fixtures(sf_dir)
+    return media.media_phash_dedup(paths.media_assets)
+
+
 # --------------------------- training-data ops ------------------------ #
 def pii_scrub(sf_dir: str):
     """PII redaction over the planted-PII documents fixture (the raw
@@ -1427,6 +1435,7 @@ QUERIES = {
     "media_decode": media_decode,
     "media_features": media_features,
     "media_decode_frames": media_decode_frames,
+    "media_phash": media_phash,
     # relational / events engine ops
     "rel_q1_lineitem": relational.q1_lineitem,
     "rel_topk_orders": relational.topk_orders,
@@ -1617,4 +1626,5 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["media_decode"] = sql_oracles.media_decode_sql(paths.root)
     out["media_features"] = sql_oracles.media_features_sql(paths.root)
     out["media_decode_frames"] = sql_oracles.media_decode_frames_sql(paths.root)
+    out["media_phash"] = sql_oracles.media_phash_sql(paths.root)
     return out

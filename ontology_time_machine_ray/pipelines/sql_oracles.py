@@ -2220,3 +2220,40 @@ def kg_kcore_sql(fixture_root: str, k: int, rounds: int) -> str:
         f"SELECT a AS ontology_id, CAST(count(*) AS BIGINT) AS degree\n"
         f"FROM e{rounds} GROUP BY 1 HAVING count(*) >= {k}"
     ).replace("__ROOT__", fixture_root)
+
+
+def media_phash_sql(fixture_root: str) -> str:
+    """``media_phash`` oracle: replay the asset generator's pixel
+    formulas (ppm byte p = (i+p)%256) through the SAME integer aHash
+    math -- 8x8 nearest-neighbor thumbnail, integer grayscale, strict
+    mean threshold, 64 bits packed as two uint32 halves -- then window
+    the cluster representative / size per hash."""
+    return f"""
+WITH a AS (
+  SELECT media_ref, CAST(regexp_extract(media_ref, '([0-9]+)', 1) AS BIGINT) AS i
+  FROM read_parquet('{fixture_root}/media_assets.parquet')),
+p AS (
+  SELECT media_ref, i, 4 + (i % 13) AS w, 3 + ((i * 7) % 11) AS h
+  FROM a WHERE i % 2 = 0 AND i % 17 <> 0),
+cells AS (
+  SELECT media_ref, i, ty, tx,
+         (((ty * h) // 8) * w + ((tx * w) // 8)) * 3 AS o
+  FROM p
+  CROSS JOIN (SELECT unnest(range(8)) AS ty)
+  CROSS JOIN (SELECT unnest(range(8)) AS tx)),
+g AS (
+  SELECT media_ref, ty, tx,
+         (((i + o) % 256) + ((i + o + 1) % 256) + ((i + o + 2) % 256)) // 3 AS gray
+  FROM cells),
+m AS (SELECT media_ref, SUM(gray) // 64 AS mean FROM g GROUP BY 1),
+hs AS (
+  SELECT g.media_ref,
+    CAST(SUM(CASE WHEN gray > mean AND ty * 8 + tx >= 32
+             THEN 1::BIGINT << (ty * 8 + tx - 32) ELSE 0 END) AS BIGINT) AS ahash_hi,
+    CAST(SUM(CASE WHEN gray > mean AND ty * 8 + tx < 32
+             THEN 1::BIGINT << (ty * 8 + tx) ELSE 0 END) AS BIGINT) AS ahash_lo
+  FROM g JOIN m USING (media_ref) GROUP BY 1)
+SELECT media_ref, ahash_hi, ahash_lo,
+       min(media_ref) OVER (PARTITION BY ahash_hi, ahash_lo) AS cluster_rep,
+       CAST(count(*) OVER (PARTITION BY ahash_hi, ahash_lo) AS BIGINT) AS cluster_size
+FROM hs"""

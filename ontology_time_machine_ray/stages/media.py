@@ -395,3 +395,77 @@ def media_catalog(documents_path: str, concurrency: int | None = None) -> rd.Dat
             concurrency=concurrency or _media_pool_size(),
         )
     )
+
+
+class MediaAHasher:
+    """Actor-pool perceptual hashing of image BYTES: the average-hash
+    (aHash) every image-dedup pipeline starts with -- decode the PPM,
+    integer-grayscale an 8x8 nearest-neighbor thumbnail, threshold each
+    cell against the integer mean, pack the 64 bits.  All arithmetic is
+    integer (``//`` everywhere), so the oracle can replay the asset
+    generator's pixel formulas bit-exactly.  The hash ships as two
+    uint32 halves (``ahash_hi``/``ahash_lo``) -- bit 63 would overflow a
+    signed BIGINT in both engines.  Non-PPM and malformed payloads are
+    skipped (audio has no aHash; errors are handled upstream by
+    ``media_decode``'s parse_ok)."""
+
+    T = 8
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        T = self.T
+        refs: list[str] = []
+        his: list[int] = []
+        los: list[int] = []
+        for ref, payload in zip(df["media_ref"], df["payload"]):
+            if not ref.endswith(".ppm"):
+                continue
+            b = bytes(payload) if payload is not None else b""
+            dims = decode_ppm(b)
+            if dims is None:
+                continue
+            w, h = dims
+            m = _PPM_HDR.match(b)
+            px = np.frombuffer(b, dtype=np.uint8, offset=m.end()).reshape(h, w, 3)
+            ys = (np.arange(T) * h) // T
+            xs = (np.arange(T) * w) // T
+            thumb = px[np.ix_(ys, xs)].astype(np.int64)
+            gray = thumb.sum(axis=2) // 3  # integer grayscale per cell
+            bits = (gray > gray.sum() // (T * T)).astype(np.uint64).ravel()
+            packed = int((bits << np.arange(T * T, dtype=np.uint64)).sum())
+            refs.append(ref)
+            his.append(packed >> 32)
+            los.append(packed & 0xFFFFFFFF)
+        return pd.DataFrame(
+            {
+                "media_ref": pd.Series(refs, dtype="object"),
+                "ahash_hi": pd.Series(his, dtype="int64"),
+                "ahash_lo": pd.Series(los, dtype="int64"),
+            }
+        )
+
+
+def media_phash_dedup(assets_path: str, concurrency: int | None = None) -> rd.Dataset:
+    """Image near-dup detection by perceptual hash: aHash each decodable
+    image in an actor pool, then ONE hash-bucketed pass labels every
+    image with its cluster representative (min media_ref) and cluster
+    size -- equal hashes <=> visually-identical-after-downscale images.
+    Hamming-radius>0 matching would reuse the SimHash segment-blocking
+    machinery (``dedup_docs``); radius 0 is the exact-cluster base case
+    and needs no pair expansion at all."""
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply
+
+    hashes = rd.read_parquet(assets_path).map_batches(
+        MediaAHasher,
+        batch_format="pandas",
+        batch_size=64,  # rows carry binary payloads
+        concurrency=concurrency or _media_pool_size(),
+    )
+
+    def label(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values("media_ref", kind="stable").copy()
+        grp = out.groupby(["ahash_hi", "ahash_lo"], sort=False)
+        out["cluster_rep"] = grp["media_ref"].transform("first")
+        out["cluster_size"] = grp["media_ref"].transform("size").astype("int64")
+        return out
+
+    return grouped_apply(hashes, ["ahash_hi", "ahash_lo"], label)

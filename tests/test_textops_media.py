@@ -688,3 +688,58 @@ def test_dedup_incremental_planted_duplicates(ray_session, tmp_path):
     out = dedup_incremental(str(tmp_path)).to_pandas()
     assert sorted(out["doc_id"].tolist()) == [5, 6]
     assert out["fingerprint"].str.len().eq(32).all()
+
+
+def test_media_phash_clusters_identical_images(ray_session, tmp_path):
+    """aHash dedup: byte-identical images (and a scaled-up copy with the
+    same 8x8 thumbnail pattern) share a hash and cluster together; a
+    different image, audio, and corrupt payloads stay out."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_time_machine_ray.stages.media import MediaAHasher, media_phash_dedup
+
+    def ppm(w, h, fn):
+        px = bytes(fn(y, x, c) % 256 for y in range(h) for x in range(w) for c in range(3))
+        return f"P6\n{w} {h}\n255\n".encode() + px
+
+    # gradient image, its byte-identical copy, and an 2x-upscaled version
+    # (nearest-neighbor thumbnail of the upscale == thumbnail of the base)
+    base = ppm(8, 8, lambda y, x, c: 10 + 20 * x + 3 * y)
+    double = ppm(16, 16, lambda y, x, c: 10 + 20 * (x // 2) + 3 * (y // 2))
+    other = ppm(8, 8, lambda y, x, c: 200 - 25 * x)
+    assets = pd.DataFrame(
+        {
+            "media_ref": [
+                "media://t/00000.ppm",
+                "media://t/00001.ppm",
+                "media://t/00002.ppm",
+                "media://t/00003.ppm",
+                "media://t/00004.wav",
+                "media://t/00005.ppm",
+            ],
+            "payload": [base, base, double, other, b"RIFFxxxx", b"P6\n99"],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(assets), str(tmp_path / "assets.parquet"))
+    out = media_phash_dedup(str(tmp_path / "assets.parquet")).to_pandas()
+    # wav + corrupt ppm skipped
+    assert sorted(out["media_ref"]) == [f"media://t/0000{i}.ppm" for i in (0, 1, 2, 3)]
+    by_ref = out.set_index("media_ref")
+    trio = by_ref.loc[[f"media://t/0000{i}.ppm" for i in (0, 1, 2)]]
+    assert trio["cluster_size"].tolist() == [3, 3, 3]
+    assert (trio["cluster_rep"] == "media://t/00000.ppm").all()
+    assert by_ref.loc["media://t/00003.ppm", "cluster_size"] == 1
+    # hash equals an independent scalar recomputation of the base image
+    # (all three channels carry the same value, so gray = 3*v // 3)
+    vals = np.array(
+        [
+            [(3 * ((10 + 20 * x + 3 * y) % 256)) // 3 for x in range(8)]
+            for y in range(8)
+        ]
+    )
+    bits = (vals > vals.sum() // 64).astype(np.uint64).ravel()
+    packed = int((bits << np.arange(64, dtype=np.uint64)).sum())
+    assert int(by_ref.loc["media://t/00000.ppm", "ahash_hi"]) == packed >> 32
+    assert int(by_ref.loc["media://t/00000.ppm", "ahash_lo"]) == packed & 0xFFFFFFFF
