@@ -1494,6 +1494,7 @@ QUERIES = {
     "rel_entity_resolution": _entity_resolution,
     "rel_price_quantiles_cont": relational.price_quantiles_cont,
     "rel_profile": relational.profile_lineitem,
+    "sample_per_group": textops.sample_per_group,
     "events_retention": relational.events_retention,
     "text_fingerprint": textops.fingerprints,
     "lang_id": textops.lang_id,

@@ -1453,6 +1453,12 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN s USING (doc_id)"""
 
 
+#: ``sample_per_group`` restatement: same md5 rank, same tiebreak.
+TESTDATA_SQL["sample_per_group"] = """
+SELECT lang, doc_id, md5(concat('spg:', CAST(doc_id AS VARCHAR))) AS h
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) <= 5"""
+
 #: ``profile_lineitem`` restatement: same canonical VARCHAR encodings
 #: (plain strings; zero-padded integer cents / epoch seconds, so the
 #: lexicographic min/max is the numeric one and no float formatting is

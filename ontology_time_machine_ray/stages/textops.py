@@ -1318,3 +1318,50 @@ def dedup_incremental(sf_dir: str) -> rd.Dataset:
         return out[["doc_id", "fingerprint"]].astype({"doc_id": "int64"})
 
     return agg.map_batches(keep, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# deterministic per-group sampling (stratified eval-set construction)
+# ---------------------------------------------------------------------------
+
+SPG_K = 5
+
+
+def sample_per_group(sf_dir: str, k: int = SPG_K) -> rd.Dataset:
+    """k documents per language by deterministic md5 rank -- the
+    stratified eval-set constructor (uniform-without-replacement within
+    every stratum, rerun- and partitioning-invariant because the rank is
+    a pure function of the row).
+
+    Scale shape: the per-batch combiner keeps at most k rows per group
+    PER BATCH, so the single group-bucketed merge shuffles blocks x k
+    rows per group, never the corpus; groups stay bucketed (high-
+    cardinality group keys are fine -- nothing driver-side)."""
+    docs = _read_docs_cols(sf_dir, ["doc_id", "lang"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["lang", "h", "doc_id"], kind="stable")
+            .groupby("lang", sort=False)
+            .head(k)
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "doc_id": df["doc_id"].astype("int64"),
+                "h": content_md5_series("spg:" + df["doc_id"].astype(str)),
+            }
+        )
+        return topk(out)
+
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply
+
+    return grouped_apply(
+        docs.map_batches(partial, batch_format="pandas"), ["lang"], topk
+    )
+
+
+def _read_docs_cols(sf_dir: str, columns: list) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)

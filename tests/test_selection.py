@@ -69,3 +69,37 @@ def test_top_n_edges(ray_session):
         selection.exact_top_n(ds, id_col="doc_id")
     with pytest.raises(ValueError):
         selection.exact_top_n(ds, n=3, pct=10, id_col="doc_id")
+
+
+def test_sample_per_group_rank_and_invariance(ray_session, tmp_path):
+    """Per-group sample picks exactly k min-md5-rank docs per group and
+    is independent of input partitioning (the rank is a pure row
+    function)."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_time_machine_ray.stages.textops import sample_per_group
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": "x",
+            "lang": ["en", "de"] * 20,
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet")
+    )
+    out = sample_per_group(str(tmp_path), k=3).to_pandas()
+    assert out.groupby("lang").size().to_dict() == {"de": 3, "en": 3}
+    for lang, sub in docs.groupby("lang"):
+        ranks = sorted(
+            (hashlib.md5(f"spg:{d}".encode()).hexdigest(), d)
+            for d in sub["doc_id"]
+        )
+        expect = {d for _, d in ranks[:3]}
+        got = set(out.loc[out["lang"] == lang, "doc_id"])
+        assert got == expect
