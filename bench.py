@@ -286,6 +286,7 @@ def run_bench() -> dict:
         from ontology_time_machine_ray.pipelines.queries import media_phash
 
         timed("media_phash", lambda: media_phash(SF_DIR))
+        timed("embed_pca", lambda: similarity.embed_pca_power(SF_DIR))
 
     ray.shutdown()
     return {

@@ -1263,6 +1263,13 @@ def dedup_semantic(sf_dir: str):
     return similarity.semantic_dedup(sf_dir)
 
 
+def embed_pca(sf_dir: str):
+    """Top principal direction of the embedding corpus by integer power
+    iteration: one corpus-scale second-moment pass (per-batch Q^T Q
+    partials, d^2-bounded), driver matvecs at vocabulary scale."""
+    return similarity.embed_pca_power(sf_dir)
+
+
 def embed_kmeans(sf_dir: str):
     """Distributed k-means assignments over the embedding column
     (deterministic Lloyd).  The oracle unrolls the 3 Lloyd rounds into
@@ -1511,6 +1518,7 @@ QUERIES = {
     "dedup_embed_keep": dedup_embed_keep,
     "dedup_semantic": dedup_semantic,
     "embed_kmeans": embed_kmeans,        # unrolled-Lloyd SQL oracle
+    "embed_pca": embed_pca,              # integer power-iteration SQL oracle
     # similarity search
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
@@ -1599,6 +1607,12 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         pd.Timestamp(GRID_DATE_HI).value // 86_400_000_000_000 - 1,
     )
     out["embed_kmeans"] = sql_oracles.embed_kmeans_sql()
+    out["embed_pca"] = sql_oracles.pca_power_sql(
+        dim=similarity._emb_dim(os.path.join(sf_dir, "embeddings.parquet")),
+        iters=similarity.PCA_ITERS,
+        scale=similarity.PCA_SCALE,
+        target=similarity.PCA_NORM_TARGET,
+    )
     out["ann_ivf"] = sql_oracles.ann_ivf_sql()
     out["ann_pq"] = sql_oracles.ann_pq_sql(
         dim=similarity._emb_dim(os.path.join(sf_dir, "embeddings.parquet"))

@@ -2263,3 +2263,31 @@ SELECT media_ref, ahash_hi, ahash_lo,
        min(media_ref) OVER (PARTITION BY ahash_hi, ahash_lo) AS cluster_rep,
        CAST(count(*) OVER (PARTITION BY ahash_hi, ahash_lo) AS BIGINT) AS cluster_size
 FROM hs"""
+
+
+def pca_power_sql(
+    dim: int, iters: int = 3, scale: int = 1_000_000, target: int = 1000
+) -> str:
+    """``embed_pca_power`` restatement: quantize floor(x*scale + 0.5),
+    second-moment matrix as an exploded self-join, then one CTE pair per
+    power iteration (matvec + truncating renormalize -- DuckDB's ``//``
+    truncates toward zero, which the engine's _trunc_div mirrors)."""
+    parts = [
+        f"""x AS MATERIALIZED (
+  SELECT vec_id, unnest(range(len(embedding))) AS j,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale} + 0.5) AS BIGINT) AS q
+  FROM embeddings),
+c AS MATERIALIZED (
+  SELECT a.j, b.j AS k, CAST(SUM(a.q * b.q) AS BIGINT) AS c
+  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+v0 AS (SELECT j, 1::BIGINT AS v FROM range({dim}) t(j))"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""w{t} AS (SELECT c.j, CAST(SUM(c.c * v.v) AS BIGINT) AS w
+  FROM c JOIN v{t - 1} v ON v.j = c.k GROUP BY 1),
+d{t} AS (SELECT greatest(max(abs(w)) // {target}, 1) AS dv FROM w{t}),
+v{t} AS (SELECT j, w // dv AS v FROM w{t}, d{t})"""
+        )
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT j, CAST(v AS BIGINT) AS v FROM v{iters}"

@@ -667,3 +667,70 @@ def semantic_dedup(
         return pd.DataFrame({"vec_id": np.concatenate(keep_ids).astype("int64")})
 
     return grouped_apply(assigned, ["cluster"], prune_bucket)
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA: top principal direction by integer power iteration
+# ---------------------------------------------------------------------------
+
+PCA_SCALE = 1_000_000
+PCA_ITERS = 3
+PCA_NORM_TARGET = 1000
+
+
+def _trunc_div(a: np.ndarray, d: int) -> np.ndarray:
+    """Truncating integer division (toward zero) -- DuckDB's ``//``
+    semantics for negatives; numpy's ``//`` floors, which differs on
+    negative numerators."""
+    return np.sign(a) * (np.abs(a) // d)
+
+
+def embed_pca_power(sf_dir: str, iters: int = PCA_ITERS) -> pd.DataFrame:
+    """Top principal direction of the embedding second-moment matrix by
+    power iteration -- the dimensionality-analysis primitive (whitening,
+    drift detection, compression planning) a vector-corpus pipeline
+    runs.
+
+    Scale shape: the ONLY corpus-scale pass is the second-moment
+    accumulation -- each batch contributes ``Q^T Q`` (d x d int64, one
+    BLAS matmul over the quantized vectors), emitted in long form
+    bounded by d^2 per block; the driver reduce and the ``iters``
+    matvecs are d x d (vocabulary-scale).  All arithmetic is integer
+    (quantize -> floor(x * 1e6 + 0.5); renormalize each iteration by a
+    truncating divide that targets +-PCA_NORM_TARGET), so pandas and
+    DuckDB agree bit-exactly and no float summation-order noise leaks
+    into the oracle comparison.
+
+    Returns (j, v): the UNNORMALIZED integer direction after ``iters``
+    rounds; callers wanting a unit vector divide by its L2 norm (a
+    float post-step kept out of the exact-replay surface).
+    """
+    emb = _read_emb(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(
+            np.stack(df["embedding"].to_numpy()).astype("float64") * PCA_SCALE + 0.5
+        ).astype("int64")
+        c = q.T @ q  # (d, d) second-moment partial
+        d = c.shape[0]
+        jj, kk = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        return pd.DataFrame(
+            {
+                "j": jj.ravel().astype("int64"),
+                "k": kk.ravel().astype("int64"),
+                "c": c.ravel(),
+            }
+        )
+
+    long = emb.map_batches(partial, batch_format="pandas").to_pandas()
+    c = long.groupby(["j", "k"], as_index=False)["c"].sum()
+    d = int(c["j"].max()) + 1
+    cm = np.zeros((d, d), dtype="int64")
+    cm[c["j"].to_numpy(), c["k"].to_numpy()] = c["c"].to_numpy()
+
+    v = np.ones(d, dtype="int64")
+    for _ in range(iters):
+        w = cm @ v
+        div = max(int(np.abs(w).max()) // PCA_NORM_TARGET, 1)
+        v = _trunc_div(w, div)
+    return pd.DataFrame({"j": np.arange(d, dtype="int64"), "v": v})
