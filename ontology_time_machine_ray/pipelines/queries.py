@@ -837,6 +837,21 @@ def kg_cooccur_triangles(sf_dir: str):
     )
 
 
+def kg_bgp_optional(sf_dir: str):
+    """BGP with a SPARQL OPTIONAL clause: every owl:sameAs pair, plus
+    the peer's rdf:type where one exists (NULL otherwise) -- the
+    left-join pattern semantics over the same generic matcher."""
+    from ontology_time_machine_ray.schema import OWL_SAME_AS, RDF_TYPE
+    from ontology_time_machine_ray.stages.bgp import bgp_match
+
+    t = _pipe(sf_dir).triples().select_columns(["subj", "pred", "obj"]).materialize()
+    return bgp_match(
+        t,
+        [("?cls", OWL_SAME_AS, "?peer")],
+        optional=[("?peer", RDF_TYPE, "?ptype")],
+    )
+
+
 KG_KCORE_K = 2
 KG_KCORE_ROUNDS = 3
 
@@ -1435,6 +1450,7 @@ QUERIES = {
     "kg_timeline": kg_timeline,
     "kg_two_hop": kg_two_hop,
     "kg_bgp": kg_bgp,
+    "kg_bgp_optional": kg_bgp_optional,
     "kg_kcore": kg_kcore,
     "kg_reachability": kg_reachability,
     "media_catalog": media_catalog,
@@ -1543,6 +1559,7 @@ _KG_ORACLE_NAMES = (
     "kg_incremental",
     "kg_two_hop",
     "kg_bgp",
+    "kg_bgp_optional",
     "kg_reachability",
     "kg_incremental_canonical",
     "kg_intercept_archivo",

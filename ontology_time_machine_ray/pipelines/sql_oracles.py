@@ -531,6 +531,13 @@ FROM t sa
 JOIN t tc ON tc.subj = sa.subj AND tc.pred = '{RDF_TYPE}' AND tc.obj = '{OWL_CLASS}'
 JOIN t tp ON tp.subj = sa.obj AND tp.pred = '{RDF_TYPE}' AND tp.obj = '{OWL_CLASS}'
 WHERE sa.pred = '{SAME_AS}'""",
+        # OPTIONAL clause = LEFT JOIN in the binding algebra
+        "kg_bgp_optional": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
+        f"""t AS (SELECT DISTINCT subj, pred, obj FROM dedup)
+SELECT sa.subj AS cls, sa.obj AS peer, tp.obj AS ptype
+FROM t sa
+LEFT JOIN t tp ON tp.subj = sa.obj AND tp.pred = '{RDF_TYPE}'
+WHERE sa.pred = '{SAME_AS}'""",
         # bounded-hop reachability: the kg_reachability frontier expansion
         # unrolled (walks of length 1..3, min hops per pair)
         "kg_reachability": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"

@@ -81,9 +81,20 @@ def _scan(triples, pattern: Sequence[str]):
     return triples.map_batches(scan_batch, batch_format="pandas"), out_schema
 
 
-def bgp_match(triples, patterns: Sequence[Sequence[str]]):
+def bgp_match(
+    triples,
+    patterns: Sequence[Sequence[str]],
+    optional: Sequence[Sequence[str]] = (),
+):
     """Match a conjunction of triple patterns; returns a Dataset of the
     distinct variable bindings (one column per ``?variable``).
+
+    ``optional`` patterns are SPARQL OPTIONAL clauses: each LEFT-joins
+    onto the required match on its shared variables, so unmatched rows
+    keep their required bindings with NULLs in the optional-only
+    columns.  Each optional must share a variable with the REQUIRED
+    prefix (optionals are independent of each other -- chained
+    optional-on-optional scoping is not modeled).
 
     ``triples`` must be distinct on (subj, pred, obj) -- the deduped
     store guarantees it -- and should be ``materialize()``d by the
@@ -106,6 +117,24 @@ def bgp_match(triples, patterns: Sequence[Sequence[str]]):
             acc,
             scan,
             on=shared,
+            left_schema=acc_schema,
+            right_schema=scan_schema,
+        )
+        acc_schema = {**acc_schema, **scan_schema}
+    required_vars = set(acc_schema)
+    for pattern in optional:
+        scan, scan_schema = _scan(triples, pattern)
+        shared = [v for v in scan_schema if v in required_vars]
+        if not shared:
+            raise ValueError(
+                f"optional pattern {pattern} shares no variable with the "
+                "required match"
+            )
+        acc = bucketed_join(
+            acc,
+            scan,
+            on=shared,
+            how="left",
             left_schema=acc_schema,
             right_schema=scan_schema,
         )

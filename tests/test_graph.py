@@ -317,3 +317,35 @@ def test_kcore_hand_graph_and_distributed_path(ray_session, monkeypatch):
     # k above the max degree: empty core
     out4 = kcore(rd.from_pandas(edges), k=3, rounds=3).to_pandas()
     assert len(out4) == 0
+
+
+def test_bgp_optional_left_join_semantics(ray_session):
+    """OPTIONAL patterns keep unmatched required rows with NULLs; a
+    disconnected optional is rejected."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.bgp import bgp_match
+
+    t = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "subj": ["a", "b", "b"],
+                "pred": ["knows", "knows", "age"],
+                "obj": ["b", "c", "41"],
+            }
+        )
+    )
+    out = (
+        bgp_match(t, [("?p", "knows", "?q")], optional=[("?p", "age", "?age")])
+        .to_pandas()
+        .sort_values("p")
+        .reset_index(drop=True)
+    )
+    assert out["p"].tolist() == ["a", "b"]
+    assert pd.isna(out.loc[0, "age"])  # a has no age triple
+    assert out.loc[1, "age"] == "41"
+
+    with pytest.raises(ValueError, match="optional pattern"):
+        bgp_match(t, [("?p", "knows", "?q")], optional=[("?z", "age", "?v")])
