@@ -1519,6 +1519,7 @@ QUERIES = {
     "rel_profile": relational.profile_lineitem,
     "sample_per_group": textops.sample_per_group,
     "events_retention": relational.events_retention,
+    "events_outliers": relational.events_outliers,
     "text_fingerprint": textops.fingerprints,
     "lang_id": textops.lang_id,
     # dedup family

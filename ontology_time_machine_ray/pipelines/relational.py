@@ -1355,3 +1355,58 @@ def profile_lineitem(sf_dir: str) -> rd.Dataset:
         return pd.DataFrame(rows)
 
     return grouped_apply(counts, ["col_name"], rollup)
+
+
+#: outlier threshold: flag events more than K standard deviations from
+#: their user's mean value (integer-squared form, see events_outliers).
+OUTLIER_K = 3
+
+
+def events_outliers(sf_dir: str, k: int = OUTLIER_K) -> rd.Dataset:
+    """Per-user statistical outlier detection -- flag events whose value
+    sits more than k standard deviations from the user's own mean (the
+    fraud/telemetry anomaly primitive).
+
+    The z-score test runs ENTIRELY in integers: with cent-quantized
+    values v, per-user n / sum(v) / sum(v^2),
+
+        |v - mean| > k*sigma   <=>   (n*v - sum)^2 > k^2 * (n*sumsq - sum^2)
+
+    (multiply through by n^2; var = (n*sumsq - sum^2)/n^2) -- no sqrt,
+    no division, so pandas int64 and DuckDB BIGINT agree bit-exactly.
+
+    Scale shape: a per-batch combiner collapses each batch to per-user
+    (n, sum, sumsq) partials; ONE user-bucketed pass merges partials and
+    rejoins them to that bucket's events (users are co-located with
+    their events by the same shuffle key), flagging in-bucket
+    vectorized.  Only flagged rows leave the bucket stage."""
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"]).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "v": df["value"].mul(100).round().astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        st = g.groupby("user_id", as_index=False).agg(
+            n=("v", "size"), s=("v", "sum"), sq=("v", lambda x: int((x.to_numpy() ** 2).sum()))
+        )
+        m = g.merge(st, on="user_id")
+        lhs = (m["n"] * m["v"] - m["s"]) ** 2
+        rhs = k * k * (m["n"] * m["sq"] - m["s"] ** 2)
+        out = m[lhs > rhs]
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"],
+                "user_id": out["user_id"],
+                "value_c": out["v"],
+            }
+        )
+
+    return grouped_apply(ds, ["user_id"], flag, bucket_keys=["user_id"])

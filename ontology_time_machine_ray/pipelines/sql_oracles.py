@@ -1460,6 +1460,20 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN s USING (doc_id)"""
 
 
+#: ``events_outliers`` restatement: the integer-squared z-score test --
+#: (n*v - sum)^2 > k^2 * (n*sumsq - sum^2), no sqrt and no division.
+TESTDATA_SQL["events_outliers"] = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+st AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS sq
+  FROM e GROUP BY 1)
+SELECT e.event_id, e.user_id, e.v AS value_c
+FROM e JOIN st USING (user_id)
+WHERE (st.n * e.v - st.s) * (st.n * e.v - st.s)
+      > 9 * (st.n * st.sq - st.s * st.s)"""
+
 #: ``sample_per_group`` restatement: same md5 rank, same tiebreak.
 TESTDATA_SQL["sample_per_group"] = """
 SELECT lang, doc_id, md5(concat('spg:', CAST(doc_id AS VARCHAR))) AS h

@@ -261,3 +261,32 @@ def test_profile_lineitem_null_and_encoding(ray_session, tmp_path):
     sd = out.loc["l_shipdate"]
     assert sd["n_null"] == 1 and sd["n_distinct"] == 3
     assert sd["min_v"] < sd["max_v"]
+
+
+def test_events_outliers_integer_zscore(ray_session, tmp_path):
+    """The integer-squared z-score test flags exactly the >3-sigma event
+    and never flags degenerate groups (n=1 and n=2 can't exceed 3
+    sigma by construction)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_time_machine_ray.pipelines.relational import events_outliers
+
+    vals = [10.0] * 30 + [10.5] * 30 + [9.5] * 30 + [500.0]  # one spike
+    ev = pd.DataFrame(
+        {
+            "event_id": range(len(vals) + 3),
+            "user_id": [1] * len(vals) + [2] + [3, 3],
+            "value": vals + [42.0, 7.0, 9.0],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(ev), str(tmp_path / "events.parquet"))
+    out = events_outliers(str(tmp_path)).to_pandas()
+    assert out["event_id"].tolist() == [len(vals) - 1]  # the 500.0 spike
+    assert out["value_c"].tolist() == [50000]
+    # scalar replay of the inequality on the spike row
+    v = np.array([round(x * 100) for x in vals], dtype="int64")
+    n, s, sq = len(v), int(v.sum()), int((v**2).sum())
+    assert (n * 50000 - s) ** 2 > 9 * (n * sq - s * s)
