@@ -1410,3 +1410,87 @@ def events_outliers(sf_dir: str, k: int = OUTLIER_K) -> rd.Dataset:
         )
 
     return grouped_apply(ds, ["user_id"], flag, bucket_keys=["user_id"])
+
+
+#: Q18 parameters: orders whose total quantity exceeds the threshold.
+Q18_MIN_QTY = 180
+Q18_K = 20
+
+
+def q18_large_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 shape (large-volume customers): HAVING over FACT-SCALE
+    groups -- sum lineitem quantity per order, keep orders above the
+    threshold, attach order + customer attributes, top-k by price.
+
+    Scale shape: a per-batch combiner pre-sums quantities per orderkey
+    (order cardinality per block, not row cardinality), ONE
+    orderkey-bucketed aggregate applies the HAVING filter in-bucket --
+    only qualifying orders (a tiny fraction) continue.  Orders join the
+    qualifiers orderkey-bucketed, customers custkey-bucketed (BOTH fact
+    tables grow with SF -- nothing broadcasts), and the final top-k is
+    per-block partials merged on the driver (blocks x k rows)."""
+    from ontology_time_machine_ray.stages.groupagg import (
+        bucketed_join,
+        grouped_aggregate,
+    )
+
+    def combine(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(),
+                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()).to_numpy(),
+            }
+        )
+        return df.groupby("l_orderkey", as_index=False).agg(qty=("qty", "sum"))
+
+    partials = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        combine, batch_format="pyarrow"
+    )
+    big = grouped_aggregate(partials, ["l_orderkey"], {"sum_qty": ("qty", "sum")}).map_batches(
+        lambda df: df[df["sum_qty"] > Q18_MIN_QTY].rename(
+            columns={"l_orderkey": "o_orderkey"}
+        ),
+        batch_format="pandas",
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pd.DataFrame(
+            {
+                "o_orderkey": t["o_orderkey"].to_numpy(),
+                "c_custkey": t["o_custkey"].to_numpy(),
+                "price_c": pc.cast(
+                    pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+                ).to_numpy(),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j1 = bucketed_join(
+        big,
+        orders,
+        on=["o_orderkey"],
+        left_schema={"o_orderkey": "int64", "sum_qty": "int64"},
+        right_schema={"o_orderkey": "int64", "c_custkey": "int64", "price_c": "int64"},
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    j2 = bucketed_join(
+        j1,
+        cust,
+        on=["c_custkey"],
+        left_schema={
+            "o_orderkey": "int64",
+            "sum_qty": "int64",
+            "c_custkey": "int64",
+            "price_c": "int64",
+        },
+        right_schema={"c_custkey": "int64", "c_name": "object"},
+    )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["price_c", "o_orderkey"], ascending=[False, True], kind="stable"
+        ).head(Q18_K)
+
+    merged = j2.map_batches(topk, batch_format="pandas").to_pandas()
+    out = topk(merged).reset_index(drop=True)
+    return out[["c_name", "o_orderkey", "price_c", "sum_qty"]]

@@ -1460,6 +1460,20 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN s USING (doc_id)"""
 
 
+#: ``rel_q18_large_orders`` restatement: plain HAVING + joins + LIMIT.
+TESTDATA_SQL["rel_q18_large_orders"] = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 180)
+SELECT c.c_name, o.o_orderkey,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c, b.sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY price_c DESC, o.o_orderkey LIMIT 20"""
+
 #: ``events_outliers`` restatement: the integer-squared z-score test --
 #: (n*v - sum)^2 > k^2 * (n*sumsq - sum^2), no sqrt and no division.
 TESTDATA_SQL["events_outliers"] = """
