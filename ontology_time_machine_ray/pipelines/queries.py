@@ -837,6 +837,30 @@ def kg_cooccur_triangles(sf_dir: str):
     )
 
 
+def kg_nt_roundtrip(sf_dir: str):
+    """RDF round-trip through serialized form: export the deduped triple
+    store to N-Triples shards (distributed, content-addressed, atomic),
+    then re-ingest the directory with the distributed NT reader.
+    Equality with the store's distinct (subj, pred, obj) IS the
+    serializer+parser correctness claim -- the OUTPUT side of the
+    engine's RDF surface (kg_triples_from_rdf covers the input side)."""
+    import hashlib
+    import shutil
+
+    from ontology_time_machine_ray.sources.readers import read_ntriples
+    from ontology_time_machine_ray.sources.writers import write_ntriples
+
+    paths = ensure_fixtures(sf_dir)
+    t = _pipe(sf_dir).triples().select_columns(["subj", "pred", "obj"])
+    out = os.path.join(
+        "/tmp/otm_nt_export", hashlib.sha1(paths.root.encode()).hexdigest()[:8]
+    )
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    write_ntriples(t, out)
+    return read_ntriples(out)
+
+
 def kg_bgp_optional(sf_dir: str):
     """BGP with a SPARQL OPTIONAL clause: every owl:sameAs pair, plus
     the peer's rdf:type where one exists (NULL otherwise) -- the
@@ -1451,6 +1475,7 @@ QUERIES = {
     "kg_two_hop": kg_two_hop,
     "kg_bgp": kg_bgp,
     "kg_bgp_optional": kg_bgp_optional,
+    "kg_nt_roundtrip": kg_nt_roundtrip,
     "kg_kcore": kg_kcore,
     "kg_reachability": kg_reachability,
     "media_catalog": media_catalog,
@@ -1562,6 +1587,7 @@ _KG_ORACLE_NAMES = (
     "kg_two_hop",
     "kg_bgp",
     "kg_bgp_optional",
+    "kg_nt_roundtrip",
     "kg_reachability",
     "kg_incremental_canonical",
     "kg_intercept_archivo",

@@ -531,6 +531,9 @@ FROM t sa
 JOIN t tc ON tc.subj = sa.subj AND tc.pred = '{RDF_TYPE}' AND tc.obj = '{OWL_CLASS}'
 JOIN t tp ON tp.subj = sa.obj AND tp.pred = '{RDF_TYPE}' AND tp.obj = '{OWL_CLASS}'
 WHERE sa.pred = '{SAME_AS}'""",
+        # NT export -> re-ingest must equal the store's distinct keys
+        "kg_nt_roundtrip": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES}\n"
+        "SELECT DISTINCT subj, pred, obj FROM dedup",
         # OPTIONAL clause = LEFT JOIN in the binding algebra
         "kg_bgp_optional": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
         f"""t AS (SELECT DISTINCT subj, pred, obj FROM dedup)

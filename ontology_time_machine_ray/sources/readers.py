@@ -269,3 +269,34 @@ def read_conformance_tsv(path: str) -> pa.Table:
 def write_report_tsv(df, path: str) -> None:
     """S8: small aggregate -> TSV (aggregate_results.py:154-165)."""
     df.to_csv(path, sep="\t", index=False)
+
+
+_NT_LINE = None
+
+
+def read_ntriples(nt_dir: str):
+    """Distributed N-Triples ingestion: one Dataset row per triple from a
+    directory of ``.nt`` shards.  Shards parallelize at file grain
+    (``read_text`` assigns whole files to read tasks); each batch of
+    lines parses with ONE compiled-regex extract -- no Python loop over
+    lines."""
+    import re
+
+    import pandas as pd
+    import ray.data as rd
+
+    pat = re.compile(r"^<([^>]*)> <([^>]*)> <([^>]*)> \.$")
+
+    def parse(df: pd.DataFrame) -> pd.DataFrame:
+        ext = df["text"].str.extract(pat)
+        ext.columns = ["subj", "pred", "obj"]
+        bad = ext["subj"].isna() & df["text"].str.strip().astype(bool)
+        if bad.any():
+            raise ValueError(
+                f"unparseable N-Triples line: {df.loc[bad, 'text'].iloc[0]!r}"
+            )
+        return ext.dropna().reset_index(drop=True)
+
+    return rd.read_text(os.path.join(nt_dir)).map_batches(
+        parse, batch_format="pandas"
+    )

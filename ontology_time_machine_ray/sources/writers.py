@@ -554,3 +554,37 @@ def read_mapping(out_dir: str, max_rows: int | None = None) -> pd.DataFrame:
                 "driver)"
             )
     return pd.concat([pd.read_parquet(p) for p in paths], ignore_index=True)
+
+
+def write_ntriples(ds, out_dir: str) -> int:
+    """Distributed N-Triples export of a (subj, pred, obj) Dataset: each
+    block formats its rows vectorized (`<s> <p> <o> .` per line) and
+    writes ONE shard file via the atomic tmp+rename pattern -- the RDF
+    OUTPUT side of the engine (the reference consumes and serves
+    serialized ontologies; a KG build must also emit them).  Shard
+    names are content-addressed (md5 of the shard's own lines), so a
+    re-export of the same data is idempotent -- same shards, no
+    duplicates -- and a crashed export leaves only complete shards.
+    Returns the number of triples written."""
+    import hashlib
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"n": pd.Series([], dtype="int64")})
+        lines = ("<" + df["subj"] + "> <" + df["pred"] + "> <" + df["obj"] + "> .")
+        body = "\n".join(sorted(lines)) + "\n"
+        name = hashlib.md5(body.encode()).hexdigest()[:16]
+        final = os.path.join(out_dir, f"part-{name}.nt")
+        if not os.path.exists(final):
+            tmp = final + f".tmp{os.getpid()}"
+            with open(tmp, "w") as f:
+                f.write(body)
+            os.replace(tmp, final)
+        return pd.DataFrame({"n": [len(df)]})
+
+    counts = ds.map_batches(write_block, batch_format="pandas").to_pandas()
+    return int(counts["n"].sum())

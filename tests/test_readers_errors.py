@@ -103,3 +103,39 @@ def test_snapshot_rdf_roundtrip():
         got = [list(x) for x in parsed[col]]
         want = [list(x) for x in orig[col]]
         assert got == want, col
+
+
+def test_ntriples_roundtrip_and_idempotent_export(ray_session, tmp_path):
+    """write_ntriples -> read_ntriples round-trips exactly; re-export of
+    the same data creates no new shards (content-addressed names); bad
+    lines raise instead of silently dropping."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from ontology_time_machine_ray.sources.readers import read_ntriples
+    from ontology_time_machine_ray.sources.writers import write_ntriples
+
+    t = pd.DataFrame(
+        {
+            "subj": ["http://a/1", "http://a/2"],
+            "pred": ["http://p/knows"] * 2,
+            "obj": ["http://a/2", "http://a/3"],
+        }
+    )
+    out = str(tmp_path / "nt")
+    n = write_ntriples(rd.from_pandas(t), out)
+    assert n == 2
+    shards = sorted(os.listdir(out))
+    got = read_ntriples(out).to_pandas().sort_values("subj").reset_index(drop=True)
+    assert got.to_dict("list") == t.to_dict("list")
+
+    # idempotent re-export: identical content-addressed shard set
+    assert write_ntriples(rd.from_pandas(t), out) == 2
+    assert sorted(os.listdir(out)) == shards
+
+    # malformed line -> loud failure
+    with open(os.path.join(out, "part-bad.nt"), "w") as f:
+        f.write("this is not a triple\n")
+    with pytest.raises(Exception, match="unparseable"):
+        read_ntriples(out).materialize()
