@@ -287,6 +287,9 @@ def run_bench() -> dict:
 
         timed("media_phash", lambda: media_phash(SF_DIR))
         timed("embed_pca", lambda: similarity.embed_pca_power(SF_DIR))
+        from ontology_time_machine_ray.stages.dedup_docs import corpus_curate
+
+        timed("corpus_curate", lambda: corpus_curate(SF_DIR))
 
     ray.shutdown()
     return {

@@ -1276,6 +1276,15 @@ def dedup_minhash(sf_dir: str):
     return dedup_docs.minhash_clusters(sf_dir)
 
 
+def _corpus_curate(sf_dir: str):
+    """Full model-aware curation funnel: classifier accept AND quality
+    floor AND MinHash-cluster quality-keeper (stages/dedup_docs
+    .corpus_curate -- one streaming pass + two bucketed joins)."""
+    from ontology_time_machine_ray.stages.dedup_docs import corpus_curate
+
+    return corpus_curate(sf_dir)
+
+
 def dedup_quality_keep(sf_dir: str):
     return dedup_docs.quality_dedup_keep(sf_dir)
 
@@ -1556,6 +1565,7 @@ QUERIES = {
     "dedup_jaccard": dedup_jaccard,
     "dedup_minhash": dedup_minhash,
     "dedup_quality_keep": dedup_quality_keep,
+    "corpus_curate": _corpus_curate,
     "dedup_simhash": dedup_simhash,
     "dedup_embed": dedup_embed,
     "dedup_embed_keep": dedup_embed_keep,
@@ -1619,6 +1629,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     )
     out["tfidf_topk"] = sql_oracles.tfidf_topk_sql(TFIDF_K, textops.TFIDF_SCALE)
     out["dedup_quality_keep"] = sql_oracles.quality_dedup_keep_sql()
+    out["corpus_curate"] = sql_oracles.corpus_curate_sql()
     out["text_bm25"] = sql_oracles.bm25_topk_sql(BM25_QUERY, BM25_K, textops.BM25_SCALE)
     out["winnow_dup_pairs"] = sql_oracles.winnow_dup_pairs_sql(
         WINNOW_MIN_SHARED, WINNOW_MAX_FP_DF

@@ -2329,3 +2329,16 @@ v{t} AS (SELECT j, w // dv AS v FROM w{t}, d{t})"""
         )
     body = ",\n".join(parts)
     return f"WITH {body}\nSELECT j, CAST(v AS BIGINT) AS v FROM v{iters}"
+
+
+def corpus_curate_sql() -> str:
+    """``corpus_curate`` restatement: the quality_dedup_keep statement
+    inner-joined to the classifier's accepted docs, quality floor
+    applied last."""
+    return f"""
+WITH keepers AS ({quality_dedup_keep_sql()}),
+clf AS ({_classifier_sql()})
+SELECT k.doc_id, k.cluster, k.quality, clf.clf_score
+FROM keepers k
+JOIN clf ON clf.doc_id = k.doc_id AND clf.keep = 1
+WHERE k.quality >= 2"""

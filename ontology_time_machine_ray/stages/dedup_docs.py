@@ -477,3 +477,40 @@ def quality_dedup_keep(
         return g.drop_duplicates("cluster")[["doc_id", "cluster", "quality"]]
 
     return grouped_apply(j, ["cluster"], keep_best)
+
+
+def corpus_curate(sf_dir: str) -> "rd.Dataset":
+    """End-to-end model-aware curation -- the full FineWeb-style funnel
+    as ONE composition of existing stages: a document survives iff
+
+      1. the hashed linear classifier accepts it (clf_score >= 0),
+      2. its heuristic quality score clears the floor (quality >= 2),
+      3. it is the quality-keeper of its MinHash near-dup cluster
+         (quality DESC, doc_id ASC -- singletons keep themselves).
+
+    Scale shape inherited from the parts: the classifier adds one
+    shuffle-free streaming pass; the near-dup keeper is the existing
+    doc_id-bucketed join + cluster-bucketed argmax; the conjunction is
+    ONE more doc_id-bucketed join (schema-hinted; nothing broadcasts).
+    Output: (doc_id, cluster, quality, clf_score) of surviving docs."""
+    from ontology_time_machine_ray.stages.groupagg import bucketed_join
+    from ontology_time_machine_ray.stages.textops import classifier_filter
+
+    keepers = quality_dedup_keep(sf_dir)
+    clf = classifier_filter(sf_dir).map_batches(
+        lambda df: df.loc[df["keep"] == 1, ["doc_id", "clf_score"]],
+        batch_format="pandas",
+    )
+    j = bucketed_join(
+        keepers,
+        clf,
+        on=["doc_id"],
+        left_schema={"doc_id": "int64", "cluster": "object", "quality": "int64"},
+        right_schema={"doc_id": "int64", "clf_score": "int64"},
+    )
+    return j.map_batches(
+        lambda df: df.loc[
+            df["quality"] >= 2, ["doc_id", "cluster", "quality", "clf_score"]
+        ],
+        batch_format="pandas",
+    )
