@@ -465,3 +465,36 @@ class KgPipeline:
         snapshot store resolves each ontology to the latest version_ts <=
         timestamp; config.py:73-84)."""
         return replace(self, config=replace(self.config, timestamp=timestamp))
+
+    def triples_at(self, timestamps) -> list:
+        """Deduped triple stores for SEVERAL time-machine coordinates
+        with the mention-detection pass shared: detection is
+        timestamp-INDEPENDENT, so a K-coordinate sweep (kg_timeline /
+        kg_version_diff) that rebuilt from raw documents per coordinate
+        paid K detection passes for one detection's worth of output.
+        Here the mention stream is detected once and pinned, and each
+        coordinate only re-runs the linker (an ``EntityLinker`` actor
+        pool with that coordinate's config) + its dedup.  The pin is the
+        standard corpus-scale checkpoint boundary (at production scale a
+        Parquet/Lance checkpoint, exactly like triples_canonical's)."""
+        from ontology_time_machine_ray.stages.link import EntityLinker
+
+        mts = self.mentions().materialize()
+        out = []
+        for ts in timestamps:
+            cfg = replace(self.config, timestamp=ts)
+            raw = mts.map_batches(
+                EntityLinker,
+                fn_constructor_kwargs={
+                    "origins_path": self.paths.origins,
+                    "content_path": self.paths.snapshot_content,
+                    "status_path": self.paths.snapshot_status,
+                    "config": cfg,
+                    "emit": "triples",
+                },
+                batch_format="pyarrow",
+                batch_size=self.batch_size,
+                concurrency=self.link_concurrency or _default_pool_size(),
+            )
+            out.append(dedupe_triples(raw, bucket_keys=["subj"]))
+        return out

@@ -105,11 +105,9 @@ def kg_version_diff(sf_dir: str):
 
         return f
 
-    both = (
-        p.with_timestamp(KG_DIFF_OLD_TS)
-        .triples()
-        .map_batches(tag("old"), batch_format="pandas")
-        .union(p.triples().map_batches(tag("new"), batch_format="pandas"))
+    old_ds, new_ds = p.triples_at([KG_DIFF_OLD_TS, p.config.timestamp])
+    both = old_ds.map_batches(tag("old"), batch_format="pandas").union(
+        new_ds.map_batches(tag("new"), batch_format="pandas")
     )
     # (subj,pred,obj,doc_id) is unique within a side (triples() is the
     # deduped store), so max() just selects the present value per side
@@ -932,8 +930,9 @@ def kg_timeline(sf_dir: str):
         return f
 
     allu = None
-    for i, ts in enumerate(KG_TIMELINE_TS):
-        part = p.with_timestamp(ts).triples().map_batches(tag(i), batch_format="pandas")
+    # one shared detection pass; only the linker re-runs per coordinate
+    for i, store in enumerate(p.triples_at(KG_TIMELINE_TS)):
+        part = store.map_batches(tag(i), batch_format="pandas")
         allu = part if allu is None else allu.union(part)
 
     def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
