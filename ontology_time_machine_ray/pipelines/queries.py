@@ -1554,6 +1554,7 @@ QUERIES = {
     "sample_per_group": textops.sample_per_group,
     "events_retention": relational.events_retention,
     "events_outliers": relational.events_outliers,
+    "events_late_arrivals": relational.events_late_arrivals,
     "text_fingerprint": textops.fingerprints,
     "lang_id": textops.lang_id,
     # dedup family

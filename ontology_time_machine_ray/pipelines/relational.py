@@ -1494,3 +1494,75 @@ def q18_large_orders(sf_dir: str) -> pd.DataFrame:
     merged = j2.map_batches(topk, batch_format="pandas").to_pandas()
     out = topk(merged).reset_index(drop=True)
     return out[["c_name", "o_orderkey", "price_c", "sum_qty"]]
+
+
+#: allowed lateness for the watermark accounting (seconds).
+LATENESS_S = 300
+
+
+def events_late_arrivals(sf_dir: str, lateness_s: int = LATENESS_S) -> rd.Dataset:
+    """Streaming late-data accounting: per hourly event-time window,
+    how many events arrived AFTER the per-user watermark had passed --
+    the event-time-vs-processing-time bookkeeping every streaming
+    ingest needs (what to send to the late-data side output).
+
+    The arrival sequence is ``event_id`` with every 11th delivery
+    DELAYED by 50 sequence slots (the fixture's event_id order tracks
+    event time exactly, so an undelayed replay has no late data; the
+    deterministic delay models the straggling deliveries real ingest
+    sees).  The watermark at each arrival is the running max event-time
+    of the user's PRIOR arrivals minus the allowed lateness, and an
+    event is late iff its event time sits below that.  Epoch-second
+    integers keep both engines bit-exact.
+
+    Scale shape: ONE user-bucketed pass (sort by arrival within the
+    bucket, vectorized cummax/shift -- the events_window_funcs
+    machinery) emits per-(hour) combiner partials, and one
+    vocabulary-scale hour-bucketed aggregate rolls them up; raw events
+    never leave the first shuffle."""
+    from ontology_time_machine_ray.stages.groupagg import (
+        grouped_aggregate,
+        grouped_apply,
+    )
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "t": df["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000,
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "hour": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "n_late": pd.Series([], dtype="int64"),
+                }
+            )
+        # vectorized per-user running max of PRIOR arrivals: one sort,
+        # two cython groupby kernels (cummax, shift) -- no user loop
+        eid = g["event_id"].to_numpy()
+        g = g.assign(arr=eid + 50 * (eid % 11 == 0))
+        g = g.sort_values(["user_id", "arr", "event_id"], kind="stable")
+        cm = g.groupby("user_id", sort=False)["t"].cummax()
+        wm = cm.groupby(g["user_id"], sort=False).shift(1)
+        late = (g["t"] + lateness_s < wm).fillna(False)
+        f = pd.DataFrame(
+            {"hour": g["t"].to_numpy() // 3600, "late": late.to_numpy().astype("int64")}
+        )
+        return f.groupby("hour", as_index=False).agg(
+            n_events=("late", "size"), n_late=("late", "sum")
+        )
+
+    partials = grouped_apply(ds, ["user_id"], flag, bucket_keys=["user_id"])
+    return grouped_aggregate(
+        partials,
+        ["hour"],
+        {"n_events": ("n_events", "sum"), "n_late": ("n_late", "sum")},
+    )

@@ -1463,6 +1463,26 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN s USING (doc_id)"""
 
 
+#: ``events_late_arrivals`` restatement: per-user arrival-order running
+#: max as a window function, the same integer lateness test, hour rollup.
+TESTDATA_SQL["events_late_arrivals"] = """
+WITH e AS (
+  -- floor, not CAST: epoch() is a fractional DOUBLE here and CAST
+  -- rounds, while the engine's ns // 1e9 floors
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+w AS (
+  SELECT t, max(t) OVER (
+    PARTITION BY user_id
+    ORDER BY event_id + CASE WHEN event_id % 11 = 0 THEN 50 ELSE 0 END, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM e),
+f AS (SELECT t // 3600 AS hour,
+             CAST(wm IS NOT NULL AND t + 300 < wm AS BIGINT) AS late
+      FROM w)
+SELECT hour, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(late) AS BIGINT) AS n_late
+FROM f GROUP BY 1"""
+
 #: ``rel_q18_large_orders`` restatement: plain HAVING + joins + LIMIT.
 TESTDATA_SQL["rel_q18_large_orders"] = """
 WITH big AS (

@@ -290,3 +290,33 @@ def test_events_outliers_integer_zscore(ray_session, tmp_path):
     v = np.array([round(x * 100) for x in vals], dtype="int64")
     n, s, sq = len(v), int(v.sum()), int((v**2).sum())
     assert (n * 50000 - s) ** 2 > 9 * (n * sq - s * s)
+
+
+def test_events_late_arrivals_watermark(ray_session, tmp_path):
+    """Watermark semantics on a hand stream: event_id 11 (delayed by
+    the %11 rule to arrive after ids 12..60) has event-time far below
+    the watermark its successors advanced -> exactly one late event."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_time_machine_ray.pipelines.relational import events_late_arrivals
+
+    base = pd.Timestamp("2024-01-01")
+    ids = list(range(1, 70))
+    ev = pd.DataFrame(
+        {
+            "event_id": ids,
+            "user_id": 7,
+            # event time tracks id: 1 minute apart
+            "ts": [base + pd.Timedelta(minutes=i) for i in ids],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(ev), str(tmp_path / "events.parquet"))
+    out = events_late_arrivals(str(tmp_path)).to_pandas()
+    assert int(out["n_events"].sum()) == len(ids)
+    # delayed ids 11, 22, 33, 44, 55 arrive 50 slots late; each is then
+    # ~50 minutes behind the watermark (>> 300 s lateness) -> all late.
+    # id 66 arrives last (slot 116) but only 3 min behind the max event
+    # time (< 300 s allowed lateness) -> on time.
+    assert int(out["n_late"].sum()) == 5
