@@ -1546,6 +1546,7 @@ QUERIES = {
     "rel_q3_shipping": relational.q3_shipping,
     "rel_q5_local_volume": relational.q5_local_volume,
     "rel_q18_large_orders": relational.q18_large_orders,
+    "rel_cheapest_part": relational.cheapest_part,
     "events_funnel": relational.events_funnel,
     "rel_grid_layout": _grid_layout,
     "rel_entity_resolution": _entity_resolution,

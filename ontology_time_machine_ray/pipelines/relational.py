@@ -1566,3 +1566,34 @@ def events_late_arrivals(sf_dir: str, lateness_s: int = LATENESS_S) -> rd.Datase
         ["hour"],
         {"n_events": ("n_events", "sum"), "n_late": ("n_late", "sum")},
     )
+
+
+def cheapest_part(sf_dir: str) -> rd.Dataset:
+    """Argmin-per-group WITH attribute recovery (the TPC-H Q2 core, at
+    the grain this schema supports): for every (brand, size) the
+    cheapest part, carrying its key/name -- NOT expressible as a plain
+    grouped aggregate because non-grouped attributes must survive.
+
+    Scale shape: ``grouped_head1`` -- per-batch local head-1 combiner,
+    then one (brand, size)-bucketed vectorized head-1; ties break on
+    p_partkey so the winner is unique and rerun-stable.  Price rides as
+    exact cents."""
+    from ontology_time_machine_ray.stages.groupagg import grouped_head1
+
+    ds = _read(
+        sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_size", "p_retailprice"]
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "p_brand": df["p_brand"],
+                "p_size": df["p_size"].astype("int64"),
+                "price_c": df["p_retailprice"].mul(100).round().astype("int64"),
+                "p_partkey": df["p_partkey"].astype("int64"),
+                "p_name": df["p_name"],
+            }
+        ),
+        batch_format="pandas",
+    )
+    return grouped_head1(
+        ds, keys=["p_brand", "p_size"], order_by=["price_c", "p_partkey"]
+    )

@@ -1463,6 +1463,16 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN s USING (doc_id)"""
 
 
+#: ``rel_cheapest_part`` restatement: row_number argmin per group.
+TESTDATA_SQL["rel_cheapest_part"] = """
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+       CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+       p_partkey, p_name
+FROM part
+QUALIFY row_number() OVER (
+  PARTITION BY p_brand, p_size
+  ORDER BY CAST(round(p_retailprice * 100) AS BIGINT), p_partkey) = 1"""
+
 #: ``events_late_arrivals`` restatement: per-user arrival-order running
 #: max as a window function, the same integer lateness test, hour rollup.
 TESTDATA_SQL["events_late_arrivals"] = """
