@@ -290,6 +290,12 @@ def run_bench() -> dict:
         from ontology_time_machine_ray.stages.dedup_docs import corpus_curate
 
         timed("corpus_curate", lambda: corpus_curate(SF_DIR))
+        timed("events_outliers", lambda: relational.events_outliers(SF_DIR))
+        timed("events_late_arrivals", lambda: relational.events_late_arrivals(SF_DIR))
+        timed("rel_q18_large_orders", lambda: relational.q18_large_orders(SF_DIR))
+        from ontology_time_machine_ray.stages.textops import sample_per_group
+
+        timed("sample_per_group", lambda: sample_per_group(SF_DIR))
 
     ray.shutdown()
     return {
