@@ -306,6 +306,24 @@ def kg_components(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("node").reset_index(drop=True)
 
 
+def kg_component_sizes(sf_dir: str) -> pd.DataFrame:
+    """Equivalence-component size distribution -- the HUB-ENTITY SKEW
+    diagnostic: at web scale a handful of owl:sameAs hub components
+    absorb millions of members and are exactly what the canonicalize
+    stage's salting exists for; this query is the monitoring view that
+    catches them (size, n_components, largest component root per size
+    for drill-down).  Same distributed CC as the build, one extra
+    component-bucketed count."""
+    cc = kg_components(sf_dir)
+    sizes = cc.groupby("component", as_index=False).agg(size=("node", "size"))
+    out = sizes.groupby("size", as_index=False).agg(
+        n_components=("component", "size"), min_root=("component", "min")
+    )
+    out["size"] = out["size"].astype("int64")
+    out["n_components"] = out["n_components"].astype("int64")
+    return out
+
+
 def kg_restricted_denied(sf_dir: str):
     """restrictedAccess mode: non-Archivo mentions denied with 403
     (proxy_logic.py:39-54, M3)."""
@@ -1462,6 +1480,7 @@ QUERIES = {
     "kg_triples_canonical": kg_triples_canonical,
     "kg_version_diff": kg_version_diff,
     "kg_components": kg_components,
+    "kg_component_sizes": kg_component_sizes,
     "kg_restricted_denied": kg_restricted_denied,
     "kg_formats_complete": kg_formats_complete,
     "kg_spans_passthrough": kg_spans_passthrough,
@@ -1588,6 +1607,7 @@ _KG_ORACLE_NAMES = (
     "kg_triples",
     "kg_triples_canonical",
     "kg_components",
+    "kg_component_sizes",
     "kg_restricted_denied",
     "kg_formats_complete",
     "kg_spans_passthrough",

@@ -578,6 +578,13 @@ QUALIFY row_number() OVER (
   PARTITION BY subj, pred, obj ORDER BY doc_id, ontology_version, format) = 1""",
         "kg_components": f"WITH RECURSIVE {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},{_COMPONENT_CTES}\n"
         "SELECT node, component FROM comp",
+        # hub-skew diagnostic: the component-size distribution
+        "kg_component_sizes": f"WITH RECURSIVE {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},{_COMPONENT_CTES},\n"
+        """sizes AS (SELECT component, count(*) AS size FROM comp GROUP BY 1)
+SELECT CAST(size AS BIGINT) AS size,
+       CAST(count(*) AS BIGINT) AS n_components,
+       min(component) AS min_root
+FROM sizes GROUP BY size""",
         "kg_triples_canonical": f"WITH RECURSIVE {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},{_COMPONENT_CTES},\n"
         f"""  rewritten AS (
     SELECT coalesce(c1.component, d.subj) AS subj, d.pred,
