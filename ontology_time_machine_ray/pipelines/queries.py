@@ -860,21 +860,23 @@ def kg_nt_roundtrip(sf_dir: str):
     Equality with the store's distinct (subj, pred, obj) IS the
     serializer+parser correctness claim -- the OUTPUT side of the
     engine's RDF surface (kg_triples_from_rdf covers the input side)."""
-    import hashlib
     import shutil
+    import tempfile
 
     from ontology_time_machine_ray.sources.readers import read_ntriples
     from ontology_time_machine_ray.sources.writers import write_ntriples
 
-    paths = ensure_fixtures(sf_dir)
+    ensure_fixtures(sf_dir)
     t = _pipe(sf_dir).triples().select_columns(["subj", "pred", "obj"])
-    out = os.path.join(
-        "/tmp/otm_nt_export", hashlib.sha1(paths.root.encode()).hexdigest()[:8]
-    )
-    if os.path.isdir(out):
-        shutil.rmtree(out)
-    write_ntriples(t, out)
-    return read_ntriples(out)
+    # per-invocation private dir: concurrent runs over the same sf_dir
+    # (bench + oracle harness) must not race on a shared export path
+    os.makedirs("/tmp/otm_nt_export", exist_ok=True)
+    out = tempfile.mkdtemp(dir="/tmp/otm_nt_export")
+    try:
+        write_ntriples(t, out)  # mkdtemp dir is fresh, check passes
+        return read_ntriples(out).materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def kg_bgp_optional(sf_dir: str):

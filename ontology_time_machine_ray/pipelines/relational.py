@@ -1274,6 +1274,15 @@ def _profile_canonical(values: pd.Series, kind: str) -> pd.Series:
         ints = values.astype("datetime64[ns]").astype("int64") // 1_000_000_000
     else:
         raise ValueError(kind)
+    if len(ints) and int(ints.min()) < 0:
+        # zfill keeps the sign FIRST while SQL lpad pads before it, and
+        # neither orders negatives numerically -- refuse loudly rather
+        # than report a wrong min/max (negative measures need a biased
+        # encoding, e.g. value + offset, chosen per column)
+        raise ValueError(
+            f"canonical {kind} encoding requires non-negative values "
+            f"(got min {int(ints.min())})"
+        )
     return ints.astype(str).str.zfill(12).astype("object")
 
 
@@ -1375,11 +1384,11 @@ def events_outliers(sf_dir: str, k: int = OUTLIER_K) -> rd.Dataset:
     (multiply through by n^2; var = (n*sumsq - sum^2)/n^2) -- no sqrt,
     no division, so pandas int64 and DuckDB BIGINT agree bit-exactly.
 
-    Scale shape: a per-batch combiner collapses each batch to per-user
-    (n, sum, sumsq) partials; ONE user-bucketed pass merges partials and
-    rejoins them to that bucket's events (users are co-located with
-    their events by the same shuffle key), flagging in-bucket
-    vectorized.  Only flagged rows leave the bucket stage."""
+    Scale shape: ONE user-bucketed shuffle of the (pruned) events --
+    unavoidable, since the flagged rows ARE events and each needs its
+    user's full-stream statistics; inside the bucket the per-user
+    (n, sum, sumsq) reduction and the flag test are single cython
+    groupby/vector kernels.  Only flagged rows leave the bucket stage."""
     from ontology_time_machine_ray.stages.groupagg import grouped_apply
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"]).map_batches(
@@ -1394,12 +1403,29 @@ def events_outliers(sf_dir: str, k: int = OUTLIER_K) -> rd.Dataset:
     )
 
     def flag(g: pd.DataFrame) -> pd.DataFrame:
-        st = g.groupby("user_id", as_index=False).agg(
-            n=("v", "size"), s=("v", "sum"), sq=("v", lambda x: int((x.to_numpy() ** 2).sum()))
+        # cython-path aggregates only (a Python lambda agg would run once
+        # per user -- interpreter-bound at corpus-scale user cardinality)
+        st = (
+            g.assign(v2=g["v"] * g["v"])
+            .groupby("user_id", as_index=False)
+            .agg(n=("v", "size"), s=("v", "sum"), sq=("v2", "sum"))
         )
         m = g.merge(st, on="user_id")
-        lhs = (m["n"] * m["v"] - m["s"]) ** 2
-        rhs = k * k * (m["n"] * m["sq"] - m["s"] ** 2)
+        d = m["n"] * m["v"] - m["s"]
+        # int64 overflow guard: numpy wraps silently where the SQL oracle
+        # would error loudly -- fail the same way it does.  |d| and the
+        # rhs terms must square/multiply inside 2^63.
+        if len(m) and (
+            int(d.abs().max()) > 3_000_000_000
+            or int((m["n"] * m["sq"]).max()) > (1 << 62)
+            or int(m["s"].abs().max()) > 3_000_000_000
+        ):
+            raise OverflowError(
+                "events_outliers int64 range exceeded -- rescale the value "
+                "unit (cents -> dollars) or shard users before the z-test"
+            )
+        lhs = d * d
+        rhs = k * k * (m["n"] * m["sq"] - m["s"] * m["s"])
         out = m[lhs > rhs]
         return pd.DataFrame(
             {

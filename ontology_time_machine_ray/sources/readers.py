@@ -271,7 +271,18 @@ def write_report_tsv(df, path: str) -> None:
     df.to_csv(path, sep="\t", index=False)
 
 
+#: compiled N-Triples line grammar, cached per process (each Ray worker
+#: compiles it once, the per-actor-state pattern).
 _NT_LINE = None
+
+
+def _nt_pattern():
+    global _NT_LINE
+    if _NT_LINE is None:
+        import re
+
+        _NT_LINE = re.compile(r"^<([^>]*)> <([^>]*)> <([^>]*)> \.$")
+    return _NT_LINE
 
 
 def read_ntriples(nt_dir: str):
@@ -280,15 +291,11 @@ def read_ntriples(nt_dir: str):
     (``read_text`` assigns whole files to read tasks); each batch of
     lines parses with ONE compiled-regex extract -- no Python loop over
     lines."""
-    import re
-
     import pandas as pd
     import ray.data as rd
 
-    pat = re.compile(r"^<([^>]*)> <([^>]*)> <([^>]*)> \.$")
-
     def parse(df: pd.DataFrame) -> pd.DataFrame:
-        ext = df["text"].str.extract(pat)
+        ext = df["text"].str.extract(_nt_pattern())
         ext.columns = ["subj", "pred", "obj"]
         bad = ext["subj"].isna() & df["text"].str.strip().astype(bool)
         if bad.any():
@@ -297,6 +304,4 @@ def read_ntriples(nt_dir: str):
             )
         return ext.dropna().reset_index(drop=True)
 
-    return rd.read_text(os.path.join(nt_dir)).map_batches(
-        parse, batch_format="pandas"
-    )
+    return rd.read_text(nt_dir).map_batches(parse, batch_format="pandas")

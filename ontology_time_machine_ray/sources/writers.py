@@ -556,20 +556,37 @@ def read_mapping(out_dir: str, max_rows: int | None = None) -> pd.DataFrame:
     return pd.concat([pd.read_parquet(p) for p in paths], ignore_index=True)
 
 
-def write_ntriples(ds, out_dir: str) -> int:
-    """Distributed N-Triples export of a (subj, pred, obj) Dataset: each
-    block formats its rows vectorized (`<s> <p> <o> .` per line) and
-    writes ONE shard file via the atomic tmp+rename pattern -- the RDF
-    OUTPUT side of the engine (the reference consumes and serves
-    serialized ontologies; a KG build must also emit them).  Shard
-    names are content-addressed (md5 of the shard's own lines), so a
-    re-export of the same data is idempotent -- same shards, no
-    duplicates -- and a crashed export leaves only complete shards.
+def write_ntriples(ds, out_dir: str, resume: bool = False) -> int:
+    """Distributed N-Triples export of a DISTINCT (subj, pred, obj)
+    Dataset -- the RDF OUTPUT side of the engine (the reference consumes
+    and serves serialized ontologies; a KG build must also emit them).
+    Each block formats its rows vectorized (`<s> <p> <o> .` per line)
+    and writes ONE content-addressed shard via the atomic tmp+rename
+    pattern, so a crashed export leaves only complete shards.
+
+    The target directory must hold no prior export unless
+    ``resume=True``: shard names are content-addressed PER BLOCK, so
+    re-running into a populated directory is only a safe no-op when the
+    block split is unchanged -- under a different partitioning the old
+    and new shard sets would coexist and double the data on read.
+    ``resume=True`` is for finishing a crashed export with the same
+    input and parallelism; a fresh export should replace the directory
+    (the kg_nt_roundtrip pattern).  Input rows must be globally
+    distinct (byte-identical blocks would collapse onto one shard).
     Returns the number of triples written."""
     import hashlib
 
     import pandas as pd
 
+    if (
+        not resume
+        and os.path.isdir(out_dir)
+        and any(f.endswith(".nt") for f in os.listdir(out_dir))
+    ):
+        raise FileExistsError(
+            f"{out_dir} already holds an export; remove it or pass resume=True "
+            "(same input AND same block split only)"
+        )
     os.makedirs(out_dir, exist_ok=True)
 
     def write_block(df: pd.DataFrame) -> pd.DataFrame:

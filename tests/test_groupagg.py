@@ -320,3 +320,35 @@ def test_events_late_arrivals_watermark(ray_session, tmp_path):
     # id 66 arrives last (slot 116) but only 3 min behind the max event
     # time (< 300 s allowed lateness) -> on time.
     assert int(out["n_late"].sum()) == 5
+
+
+def test_profile_encoding_rejects_negatives():
+    import pandas as pd
+    import pytest
+
+    from ontology_time_machine_ray.pipelines.relational import _profile_canonical
+
+    with pytest.raises(ValueError, match="non-negative"):
+        _profile_canonical(pd.Series([1.0, -5.0]), "cents")
+
+
+def test_events_outliers_overflow_guard(ray_session, tmp_path):
+    """Values big enough to overflow the int64 z-test raise loudly (the
+    SQL oracle errors on BIGINT overflow; numpy must not wrap silently)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from ontology_time_machine_ray.pipelines.relational import events_outliers
+
+    ev = pd.DataFrame(
+        {
+            "event_id": range(4),
+            "user_id": 1,
+            "value": [9e7, 9e7, 9e7, 1e8],  # ~1e10 cents each: s ~ 4e10
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(ev), str(tmp_path / "events.parquet"))
+    with pytest.raises(Exception, match="int64 range"):
+        events_outliers(str(tmp_path)).materialize()

@@ -130,8 +130,12 @@ def test_ntriples_roundtrip_and_idempotent_export(ray_session, tmp_path):
     got = read_ntriples(out).to_pandas().sort_values("subj").reset_index(drop=True)
     assert got.to_dict("list") == t.to_dict("list")
 
-    # idempotent re-export: identical content-addressed shard set
-    assert write_ntriples(rd.from_pandas(t), out) == 2
+    # a populated dir refuses a fresh export (different block splits
+    # would double the data); resume=True re-runs as a no-op with the
+    # same input/split -- identical content-addressed shard set
+    with pytest.raises(FileExistsError, match="already holds"):
+        write_ntriples(rd.from_pandas(t), out)
+    assert write_ntriples(rd.from_pandas(t), out, resume=True) == 2
     assert sorted(os.listdir(out)) == shards
 
     # malformed line -> loud failure
