@@ -296,6 +296,9 @@ def run_bench() -> dict:
         from ontology_time_machine_ray.stages.textops import sample_per_group
 
         timed("sample_per_group", lambda: sample_per_group(SF_DIR))
+        from ontology_time_machine_ray.pipelines.queries import kg_timeline
+
+        timed("kg_timeline", lambda: kg_timeline(SF_DIR))
 
     ray.shutdown()
     return {

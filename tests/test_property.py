@@ -350,3 +350,38 @@ def test_decode_wav_property(channels, rate, n_frames):
         + b"data" + struct.pack("<I", len(data)) + data
     )
     assert decode_wav(wav) == (channels, rate, n_frames)
+
+
+def test_bgp_match_random_patterns_vs_pandas(ray_session):
+    """Property: for random small graphs and random 2-pattern BGPs, the
+    distributed matcher equals a direct pandas evaluation."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.bgp import bgp_match
+
+    rng = np.random.RandomState(29)
+    for trial in range(5):
+        n = 40
+        t = pd.DataFrame(
+            {
+                "subj": rng.choice([f"n{i}" for i in range(8)], n),
+                "pred": rng.choice(["p", "q", "r"], n),
+                "obj": rng.choice([f"n{i}" for i in range(8)], n),
+            }
+        ).drop_duplicates()
+        pred1, pred2 = rng.choice(["p", "q", "r"], 2)
+        got = (
+            bgp_match(
+                rd.from_pandas(t),
+                [("?a", pred1, "?b"), ("?b", pred2, "?c")],
+            )
+            .to_pandas()
+            .drop_duplicates()
+        )
+        s1 = t[t["pred"] == pred1].rename(columns={"subj": "a", "obj": "b"})[["a", "b"]]
+        s2 = t[t["pred"] == pred2].rename(columns={"subj": "b", "obj": "c"})[["b", "c"]]
+        want = s1.merge(s2, on="b").drop_duplicates()
+        key = lambda df: sorted(map(tuple, df[["a", "b", "c"]].itertuples(index=False)))
+        assert key(got) == key(want), f"trial {trial}: {pred1}/{pred2}"
