@@ -1330,6 +1330,12 @@ def dedup_semantic(sf_dir: str):
     return similarity.semantic_dedup(sf_dir)
 
 
+def embed_outliers(sf_dir: str):
+    """Embedding-space outliers: vectors whose cosine to their own
+    k-means centroid is below the threshold (vector-corpus QA)."""
+    return similarity.embedding_outliers(sf_dir)
+
+
 def embed_pca(sf_dir: str):
     """Top principal direction of the embedding corpus by integer power
     iteration: one corpus-scale second-moment pass (per-batch Q^T Q
@@ -1594,6 +1600,7 @@ QUERIES = {
     "dedup_semantic": dedup_semantic,
     "embed_kmeans": embed_kmeans,        # unrolled-Lloyd SQL oracle
     "embed_pca": embed_pca,              # integer power-iteration SQL oracle
+    "embed_outliers": embed_outliers,    # unrolled-Lloyd + threshold SQL oracle
     # similarity search
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
@@ -1686,6 +1693,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         pd.Timestamp(GRID_DATE_HI).value // 86_400_000_000_000 - 1,
     )
     out["embed_kmeans"] = sql_oracles.embed_kmeans_sql()
+    out["embed_outliers"] = sql_oracles.embed_outliers_sql(
+        tau_e6=similarity.EMB_OUTLIER_TAU_E6
+    )
     out["embed_pca"] = sql_oracles.pca_power_sql(
         dim=similarity._emb_dim(os.path.join(sf_dir, "embeddings.parquet")),
         iters=similarity.PCA_ITERS,

@@ -2379,3 +2379,27 @@ SELECT k.doc_id, k.cluster, k.quality, clf.clf_score
 FROM keepers k
 JOIN clf ON clf.doc_id = k.doc_id AND clf.keep = 1
 WHERE k.quality >= 2"""
+
+
+def embed_outliers_sql(
+    n_clusters: int = 16, iters: int = 3, tau_e6: int = 250_000
+) -> str:
+    """``embed_outliers`` restatement: the unrolled-Lloyd CTEs, each
+    vector's best (cos DESC, cluster ASC) centroid WITH its score, the
+    same round(cos*1e6) threshold."""
+    return (
+        "WITH "
+        + _kmeans_ctes(n_clusters, iters)
+        + f""",
+sc AS (
+  SELECT v.vec_id, c.cluster, sum(v.x * c.x) AS cos
+  FROM vn v JOIN c{iters} c ON c.j = v.j GROUP BY 1, 2),
+best AS (
+  SELECT vec_id, cluster, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cluster ASC) AS rn
+  FROM sc)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+       CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
+FROM best WHERE rn = 1 AND CAST(round(cos * 1e6) AS BIGINT) < {tau_e6}"""
+    )

@@ -734,3 +734,47 @@ def embed_pca_power(sf_dir: str, iters: int = PCA_ITERS) -> pd.DataFrame:
         div = max(int(np.abs(w).max()) // PCA_NORM_TARGET, 1)
         v = _trunc_div(w, div)
     return pd.DataFrame({"j": np.arange(d, dtype="int64"), "v": v})
+
+
+#: embed_outliers threshold: vectors whose cosine to their own centroid
+#: falls below this (in integer millionths) are flagged as outliers.
+EMB_OUTLIER_TAU_E6 = 250_000
+
+
+def embedding_outliers(
+    sf_dir: str,
+    n_clusters: int = 16,
+    iters: int = 3,
+    tau_e6: int = EMB_OUTLIER_TAU_E6,
+) -> rd.Dataset:
+    """Embedding-space outlier detection (the vector-corpus QA step):
+    flag vectors that fit NO cluster well -- cosine to their own (argmax)
+    centroid below ``tau_e6`` millionths.  Mislabeled, corrupted or
+    out-of-distribution embeddings surface here before they pollute
+    ANN indexes or semantic dedup.
+
+    Distribution: the same broadcast-centroid machinery as
+    ``semantic_dedup`` -- k x dim centroids from the deterministic
+    distributed Lloyd, then ONE vectorized assignment pass that keeps
+    only sub-threshold rows; zero shuffles.  Cosine is compared on
+    round(cos * 1e6) integers, the family's cross-engine contract."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    centroids = _kmeans_centroids(sf_dir, n_clusters, iters, emb_path)
+    c_ref = ray.put(centroids)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        c = _cached_get(c_ref)
+        mat = _normalized(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        scores = mat @ c.T
+        cluster = np.argmax(scores, axis=1)
+        cos_e6 = np.round(scores[np.arange(len(df)), cluster] * 1e6).astype("int64")
+        keep = cos_e6 < tau_e6
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].astype("int64")[keep],
+                "cluster": cluster.astype("int64")[keep],
+                "cos_e6": cos_e6[keep],
+            }
+        )
+
+    return _read_emb(emb_path).map_batches(flag, batch_format="pandas")
