@@ -306,6 +306,31 @@ def kg_components(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("node").reset_index(drop=True)
 
 
+def kg_entity_profile(sf_dir: str):
+    """Entity cards: per-subject rollup of the deduped store -- triple /
+    predicate / provenance-document counts and the resolved-version
+    range.  The KG-serving view a consumer reads before dereferencing an
+    entity.  One subj-bucketed pass (the store's native partitioning
+    key), cython nunique/min/max kernels in-bucket."""
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply
+
+    t = _pipe(sf_dir).triples()
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("subj", as_index=False).agg(
+            n_triples=("pred", "size"),
+            n_preds=("pred", "nunique"),
+            n_docs=("doc_id", "nunique"),
+            v_min=("ontology_version", "min"),
+            v_max=("ontology_version", "max"),
+        )
+        for c in ("n_triples", "n_preds", "n_docs"):
+            agg[c] = agg[c].astype("int64")
+        return agg
+
+    return grouped_apply(t, ["subj"], rollup)
+
+
 def kg_component_sizes(sf_dir: str) -> pd.DataFrame:
     """Equivalence-component size distribution -- the HUB-ENTITY SKEW
     diagnostic: at web scale a handful of owl:sameAs hub components
@@ -1489,6 +1514,7 @@ QUERIES = {
     "kg_version_diff": kg_version_diff,
     "kg_components": kg_components,
     "kg_component_sizes": kg_component_sizes,
+    "kg_entity_profile": kg_entity_profile,
     "kg_restricted_denied": kg_restricted_denied,
     "kg_formats_complete": kg_formats_complete,
     "kg_spans_passthrough": kg_spans_passthrough,
@@ -1617,6 +1643,7 @@ _KG_ORACLE_NAMES = (
     "kg_triples_canonical",
     "kg_components",
     "kg_component_sizes",
+    "kg_entity_profile",
     "kg_restricted_denied",
     "kg_formats_complete",
     "kg_spans_passthrough",

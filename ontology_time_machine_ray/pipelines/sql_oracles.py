@@ -578,6 +578,15 @@ QUALIFY row_number() OVER (
   PARTITION BY subj, pred, obj ORDER BY doc_id, ontology_version, format) = 1""",
         "kg_components": f"WITH RECURSIVE {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},{_COMPONENT_CTES}\n"
         "SELECT node, component FROM comp",
+        # entity cards: per-subject provenance/version rollup
+        "kg_entity_profile": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES}\n"
+        """SELECT subj,
+       CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT pred) AS BIGINT) AS n_preds,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(ontology_version) AS v_min,
+       max(ontology_version) AS v_max
+FROM dedup GROUP BY 1""",
         # hub-skew diagnostic: the component-size distribution
         "kg_component_sizes": f"WITH RECURSIVE {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},{_COMPONENT_CTES},\n"
         """sizes AS (SELECT component, count(*) AS size FROM comp GROUP BY 1)
