@@ -1464,6 +1464,35 @@ def _chunk_documents(sf_dir: str):
     return chunk_documents(sf_dir)
 
 
+def _chunk_pack(sf_dir: str):
+    """The actual pretraining prep chain as ONE composition: chunk long
+    documents into overlapping token windows, then pack the CHUNKS into
+    fixed-budget training shards (chunking bounds sequence length; the
+    distributed prefix-sum packer assigns shards).  Chunk identity rides
+    as doc_id * 4096 + chunk_idx so the packer's id-ordered
+    concatenation preserves (doc, window) order."""
+    import numpy as np
+
+    from ontology_time_machine_ray.stages.packing import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    def as_docs(df: pd.DataFrame) -> pd.DataFrame:
+        idx = df["chunk_idx"].to_numpy(dtype="int64")
+        if len(idx) and idx.max() >= 4096:
+            raise ValueError("chunk_idx >= 4096 breaks the composite id")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype="int64") * 4096 + idx,
+                "text": df["chunk_text"],
+            }
+        )
+
+    chunks = chunk_documents(sf_dir).map_batches(as_docs, batch_format="pandas")
+    return pack_sequences(sf_dir, docs_ds=chunks)
+
+
 def _shuffle_index(sf_dir: str):
     """Deterministic global shuffle order (md5 rank) via ordered
     hash-prefix buckets -- no global sort (see stages/packing.py)."""
@@ -1579,6 +1608,7 @@ QUERIES = {
     "pack_sequences": _pack_sequences,
     "shuffle_index": _shuffle_index,
     "chunk_documents": _chunk_documents,
+    "chunk_pack": _chunk_pack,
     "corpus_mix": _corpus_mix,
     "text_top_terms": textops.top_terms,
     "text_tokens_bpe": textops.tokens_bpe,

@@ -1088,6 +1088,21 @@ SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
        CAST(least(n - chunk_idx * 48, 64) AS BIGINT) AS n_tokens,
        array_to_string(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
 FROM e""",
+    "chunk_pack": """
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+c AS (SELECT doc_id, w, len(w) AS n,
+             CASE WHEN len(w) = 0 THEN 0
+                  WHEN len(w) <= 64 THEN 1
+                  ELSE 1 + (len(w) - 64 + 47) // 48 END AS n_chunks
+      FROM w),
+e AS (SELECT doc_id, n, unnest(range(0, n_chunks)) AS chunk_idx FROM c),
+t AS (SELECT doc_id * 4096 + chunk_idx AS doc_id,
+             CAST(least(n - chunk_idx * 48, 64) AS BIGINT) AS n_tokens
+      FROM e)
+SELECT doc_id, n_tokens,
+  (SUM(n_tokens) OVER (ORDER BY doc_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2048 AS shard
+FROM t""",
     "shuffle_index": """
 SELECT doc_id,
   row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS shuffle_pos
