@@ -1035,9 +1035,11 @@ FROM documents""",
     "text_quality": f"""
 SELECT doc_id,
   CAST(length(text) BETWEEN 100 AND 20000 AS BIGINT)
-  + CAST(len(regexp_extract_all(text, '\\b({STOP_RE})\\b')) * 100
+  + CAST(len(regexp_extract_all(text, '\\S+')) > 0
+         AND len(regexp_extract_all(text, '\\b({STOP_RE})\\b')) * 100
          >= len(regexp_extract_all(text, '\\S+')) AS BIGINT)
-  + CAST(len(regexp_extract_all(text, '[.,;:!?]')) * 10
+  + CAST(len(regexp_extract_all(text, '\\S+')) > 0
+         AND len(regexp_extract_all(text, '[.,;:!?]')) * 10
          <= len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS quality
 FROM documents""",
     "text_repetition": """
@@ -1125,8 +1127,10 @@ QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1""",
 WITH w AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS tok FROM documents),
 q AS (SELECT doc_id,
   CAST(length(text) BETWEEN 100 AND 20000 AS BIGINT)
-  + CAST(len(regexp_extract_all(text, '\\b({STOP_RE})\\b')) * 100 >= len(tok) AS BIGINT)
-  + CAST(len(regexp_extract_all(text, '[.,;:!?]')) * 10 <= len(tok) AS BIGINT) AS quality
+  + CAST(len(tok) > 0 AND
+         len(regexp_extract_all(text, '\\b({STOP_RE})\\b')) * 100 >= len(tok) AS BIGINT)
+  + CAST(len(tok) > 0 AND
+         len(regexp_extract_all(text, '[.,;:!?]')) * 10 <= len(tok) AS BIGINT) AS quality
   FROM w),
 e AS (SELECT doc_id, unnest(list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1])) AS g
       FROM w WHERE len(tok) >= 2),

@@ -39,6 +39,49 @@ def add_partition_column(df: pd.DataFrame, num_partitions: int, key: str = "subj
     return df.assign(partition=part)
 
 
+def _swap_partition_dir(tmp: str, pdir: str) -> None:
+    """Replace ``pdir`` with ``tmp`` WITHOUT a destructive window: the
+    old directory is renamed aside before the new one lands, so at every
+    instant at least one complete copy of the partition exists on disk.
+    (The previous rmtree-then-rename had a crash window in which the
+    merged data lived only in the .tmp dir -- and the retry path's
+    .tmp cleanup would then delete the sole surviving copy.)  A crash
+    mid-swap is healed by ``_recover_partition`` at the next write."""
+    old = pdir + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(pdir):
+        os.rename(pdir, old)
+    os.rename(tmp, pdir)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+
+
+def _recover_partition(pdir: str) -> None:
+    """Heal a partition directory after a crash mid-swap: if the live dir
+    is missing but the .old aside exists, restore it (the re-applied
+    delta/write then reproduces the merge -- updates are idempotent); if
+    both exist the swap completed, sweep the leftover."""
+    old = pdir + ".old"
+    if os.path.isdir(old):
+        if os.path.isdir(pdir):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, pdir)
+
+
+def _recover_store(out_dir: str) -> None:
+    """Heal every partition left mid-swap by a crashed writer: one
+    driver-side directory listing (P entries, vocabulary-scale) at the
+    start of each write/update, so a crashed swap on a partition the
+    NEXT delta does not touch is still restored."""
+    if not os.path.isdir(out_dir):
+        return
+    for name in os.listdir(out_dir):
+        if name.startswith("part=") and name.endswith(".old"):
+            _recover_partition(os.path.join(out_dir, name[: -len(".old")]))
+
+
 def _manifest_path(out_dir: str, part: int) -> str:
     return os.path.join(out_dir, f"part={part:05d}", "_manifest.json")
 
@@ -57,7 +100,7 @@ def completed_partitions(
     if not os.path.isdir(out_dir):
         return done
     for name in os.listdir(out_dir):
-        if not name.startswith("part=") or name.endswith(".tmp"):
+        if not name.startswith("part=") or name.endswith((".tmp", ".old")):
             continue
         mpath = os.path.join(out_dir, name, "_manifest.json")
         if os.path.exists(mpath):
@@ -106,6 +149,7 @@ def write_partitioned(
     if dedup_keys is not None:
         assert key in dedup_keys, "fused dedup requires the partition key in dedup_keys"
     os.makedirs(out_dir, exist_ok=True)
+    _recover_store(out_dir)
     done = set() if overwrite else completed_partitions(
         out_dir, config_hash, num_partitions, key
     )
@@ -133,6 +177,7 @@ def write_partitioned(
     # directory atomically and returns one lineage row
     def _write_group(g: pd.DataFrame) -> pd.DataFrame:
         part = int(g["partition"].iloc[0])
+        _recover_partition(os.path.join(out_dir, f"part={part:05d}"))
         mpath_pre = os.path.join(out_dir, f"part={part:05d}", "_manifest.json")
         if overwrite and os.path.exists(mpath_pre):
             m_prev = json.load(open(mpath_pre))
@@ -183,9 +228,7 @@ def write_partitioned(
         elif overwrite:
             version = new_version
             created_version = new_version
-        if os.path.isdir(pdir):
-            shutil.rmtree(pdir)
-        os.rename(tmp, pdir)
+        _swap_partition_dir(tmp, pdir)
         manifest = {
             "status": "DONE",
             "partition": part,
@@ -239,15 +282,18 @@ def write_partitioned(
                         shutil.copy2(os.path.join(pdir, name), os.path.join(tmp, name))
             with open(os.path.join(tmp, "_manifest.json"), "w") as f:
                 json.dump(dict(m_old, rows=0, version=new_version), f)
-            shutil.rmtree(pdir)
-            os.rename(tmp, pdir)
+            _swap_partition_dir(tmp, pdir)
             summary["partitions"][int(part)] = 0
     lpath = os.path.join(out_dir, "_lineage.json")
     if os.path.exists(lpath):
-        # neither a RESUMED write nor an OVERWRITE may erase update
-        # history: version numbering is derived from the "updates" list
+        # NO rewrite may erase update history: version numbering is
+        # derived from the "updates" list, and manifests were just
+        # stamped with versions computed FROM it -- dropping it here
+        # (e.g. on a config-changed rebuild) would make the next
+        # update's new_version collide with the stamped version and trip
+        # the task-retry short-circuit into silently discarding the delta
         prev = json.load(open(lpath))
-        if prev.get("updates") and (done or overwrite):
+        if prev.get("updates"):
             summary["updates"] = prev["updates"]
     if overwrite:
         summary.setdefault("updates", []).append(
@@ -285,6 +331,7 @@ def update_partitioned(
     """
     if dedup_keys is None or key not in dedup_keys:
         raise ValueError("incremental merge requires the partition key in dedup_keys")
+    _recover_store(out_dir)
     done = completed_partitions(out_dir, config_hash, num_partitions, key)
     if not done:
         raise ValueError(
@@ -310,6 +357,7 @@ def update_partitioned(
         part = int(g["partition"].iloc[0])
         g = g.drop(columns=["partition"])
         pdir = os.path.join(out_dir, f"part={part:05d}")
+        _recover_partition(pdir)
         mpath_pre = os.path.join(pdir, "_manifest.json")
         if os.path.exists(mpath_pre):
             m_prev = json.load(open(mpath_pre))
@@ -373,9 +421,7 @@ def update_partitioned(
         }
         with open(os.path.join(tmp, "_manifest.json"), "w") as f:
             json.dump(manifest, f)
-        if os.path.isdir(pdir):
-            shutil.rmtree(pdir)
-        os.rename(tmp, pdir)
+        _swap_partition_dir(tmp, pdir)
         return pd.DataFrame(
             {"partition": [part], "rows": [len(g)], "added": [len(g) - n_old]}
         )
@@ -385,6 +431,15 @@ def update_partitioned(
         .map_groups(_merge_group, batch_format="pandas")
         .to_pandas()
     )
+    if lineage.empty:
+        # empty delta: a no-op that must NOT advance the store version
+        # (an appended empty update would shift every later as-of read)
+        return {
+            "updated": {},
+            "added": {},
+            "untouched": sorted(done),
+            "config_hash": config_hash,
+        }
     summary = {
         "updated": {int(p): int(r) for p, r, _ in lineage.itertuples(index=False)},
         "added": {int(p): int(a) for p, _, a in lineage.itertuples(index=False)},
@@ -423,7 +478,7 @@ def read_store_asof(out_dir: str, version: int | None = None, columns: list[str]
         raise ValueError(f"{out_dir} is not a store directory")
     files: list[str] = []
     for name in sorted(os.listdir(out_dir)):
-        if not name.startswith("part=") or name.endswith(".tmp"):
+        if not name.startswith("part=") or name.endswith((".tmp", ".old")):
             continue
         pdir = os.path.join(out_dir, name)
         mpath = os.path.join(pdir, "_manifest.json")
@@ -475,7 +530,7 @@ def vacuum_store(out_dir: str, keep_versions: int = 1) -> dict:
     if not os.path.isdir(out_dir):
         raise ValueError(f"{out_dir} is not a store directory")
     for name in sorted(os.listdir(out_dir)):
-        if not name.startswith("part=") or name.endswith(".tmp"):
+        if not name.startswith("part=") or name.endswith((".tmp", ".old")):
             continue
         pdir = os.path.join(out_dir, name)
         versions = sorted(

@@ -67,16 +67,18 @@ def text_stats(sf_dir: str) -> rd.Dataset:
 def quality_score_batch(df: pd.DataFrame) -> pd.DataFrame:
     """Integer quality score in [0, 3]: one point each for reasonable
     length, non-trivial stopword presence, and low punctuation density.
-    Integer thresholds keep it bit-identical to the SQL restatement."""
-    texts = df["text"].fillna("")
-    n_chars = texts.str.len().astype("int64")
-    n_tokens = texts.str.count(r"\S+").astype("int64")
-    n_stop = sum(_word_count(texts, w) for w in STOPWORDS).astype("int64")
-    n_punct = texts.str.count(r"[.,;:!?]").astype("int64")
+    Integer thresholds keep it bit-identical to the SQL restatement.
+    Token-less documents score 0 on the ratio points (0 >= 0 / 0 <= 0
+    must NOT award blank docs the two ratio points -- the quality gate
+    exists to drop them).  Stats come from ``text_stats_batch`` so the
+    token/stopword rules live in exactly one place."""
+    st = text_stats_batch(df)
+    n_chars, n_tokens = st["n_chars"], st["n_tokens"]
+    has_tokens = n_tokens > 0
     score = (
         ((n_chars >= 100) & (n_chars <= 20000)).astype("int64")
-        + (n_stop * 100 >= n_tokens).astype("int64")  # >=1% stopwords
-        + (n_punct * 10 <= n_tokens).astype("int64")  # <=10% punctuation
+        + (has_tokens & (st["n_stopwords"] * 100 >= n_tokens)).astype("int64")
+        + (has_tokens & (st["n_punct"] * 10 <= n_tokens)).astype("int64")
     )
     return pd.DataFrame({"doc_id": df["doc_id"], "quality": score})
 
@@ -212,8 +214,11 @@ def winnow_fingerprints(sf_dir: str, k: int = 3, w: int = 4) -> rd.Dataset:
     import numpy as np
 
     def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        # empty frame mirrors the INPUT id dtype: a hardcoded dtype would
+        # make an all-short block's schema disagree with its siblings and
+        # crash the downstream shuffle's Arrow schema unification
         empty = pd.DataFrame(
-            {"doc_id": pd.Series(dtype="string"), "fp": pd.Series(dtype="int64")}
+            {"doc_id": df["doc_id"].iloc[:0], "fp": pd.Series(dtype="int64")}
         )
         toks = df["text"].fillna("").str.lower().str.findall(r"\S+")
         lengths = toks.str.len().to_numpy()
@@ -450,7 +455,7 @@ def lm_coverage(sf_dir: str, top_k: int = 1000) -> rd.Dataset:
         doc_i, bg = bigrams_of(df)
         if len(bg) == 0:
             return pd.DataFrame(
-                {"doc_id": pd.Series(dtype="string"),
+                {"doc_id": df["doc_id"].iloc[:0],
                  "n_bigrams": pd.Series(dtype="int64"),
                  "n_in_top": pd.Series(dtype="int64")}
             )
@@ -749,6 +754,7 @@ def decontaminate(
     modulus: int = DECONTAM_MODULUS,
     docs_ds: rd.Dataset | None = None,
     broadcast_budget: int | None = None,
+    bench_set: frozenset | None = None,
 ) -> rd.Dataset:
     """Benchmark decontamination (GPT-3 / The Pile style): flag corpus
     documents sharing any word ``n``-gram with the benchmark suite.
@@ -770,11 +776,14 @@ def decontaminate(
 
     budget = DECONTAM_BROADCAST_BUDGET if broadcast_budget is None else broadcast_budget
     docs = docs_ds or _read_docs(sf_dir)
-    bench_df = docs.map_batches(
-        lambda df: df[_is_bench(df, modulus)], batch_format="pandas"
-    ).to_pandas()  # bounded by DECONTAM_MAX_BENCH_DOCS, not the corpus
-    _, bench_grams = ngram_rows(bench_df, n)
-    bench_set = frozenset(bench_grams.tolist())
+    if bench_set is None:
+        # callers that already built the set (corpus_clean) pass it in --
+        # rebuilding would repeat a full benchmark-filter scan
+        bench_df = docs.map_batches(
+            lambda df: df[_is_bench(df, modulus)], batch_format="pandas"
+        ).to_pandas()  # bounded by DECONTAM_MAX_BENCH_DOCS, not the corpus
+        _, bench_grams = ngram_rows(bench_df, n)
+        bench_set = frozenset(bench_grams.tolist())
 
     if len(bench_set) <= budget:
         gram_ref = ray.put(bench_set)
@@ -906,7 +915,7 @@ def corpus_clean(
         from ontology_time_machine_ray.stages.groupagg import bloom_semi_anti_join
 
         contaminated_ids = decontaminate(
-            sf_dir, docs_ds=docs, broadcast_budget=budget
+            sf_dir, docs_ds=docs, broadcast_budget=budget, bench_set=bench_set
         ).select_columns(["doc_id"])
         surviving = bloom_semi_anti_join(
             surviving, contaminated_ids, on="doc_id", how="anti"
@@ -1160,8 +1169,16 @@ def bm25_topk(
         for t in q:
             tf = toks.map(lambda ts, t=t: ts.count(t)).to_numpy(dtype="int64")
             dfq = df_by_term[t]
+            # overflow bound computed in PYTHON ints BEFORE the numpy
+            # multiply: int64 wraps silently, so a post-hoc check on the
+            # wrapped values would pass while the scores are garbage
+            bound = BM25_SCALE * (n_corpus - dfq + 1) * 22 * int(tf.max(initial=0)) * tot
+            if bound >= (1 << 62):
+                raise OverflowError(
+                    "bm25 int64 range exceeded -- lower BM25_SCALE or score "
+                    "in float64 at this corpus size (ranking is unaffected)"
+                )
             num = BM25_SCALE * (n_corpus - dfq + 1) * 22 * tf * tot
-            assert num.max(initial=0) < (1 << 62), "bm25 int64 overflow"
             den = (dfq + 1) * (10 * tot * tf + den_doc)
             contrib = np.where(tf > 0, num // np.maximum(den, 1), 0)
             score += contrib

@@ -743,3 +743,13 @@ def test_media_phash_clusters_identical_images(ray_session, tmp_path):
     packed = int((bits << np.arange(64, dtype=np.uint64)).sum())
     assert int(by_ref.loc["media://t/00000.ppm", "ahash_hi"]) == packed >> 32
     assert int(by_ref.loc["media://t/00000.ppm", "ahash_lo"]) == packed & 0xFFFFFFFF
+
+
+def test_quality_score_zero_token_doc_gets_no_ratio_points():
+    """Blank/whitespace docs must not collect the stopword/punctuation
+    ratio points through 0>=0 / 0<=0 -- the quality gate exists to drop
+    them."""
+    out = quality_score_batch(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["", "   ", None]})
+    )
+    assert out["quality"].tolist() == [0, 0, 0]

@@ -354,3 +354,86 @@ def test_resumed_fill_in_stamps_current_version(ray_session, tmp_path):
     # the current version serves the refilled partition
     cur = read_store_asof(out).to_pandas()
     assert "dC" in set(cur["doc_id"])
+
+
+def test_update_empty_delta_is_noop(ray_session, tmp_path):
+    """A zero-row delta returns a no-op summary WITHOUT advancing the
+    store version (an empty appended update would shift as-of reads)."""
+    import json
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ontology_time_machine_ray.sources.writers import (
+        read_store_asof,
+        update_partitioned,
+        write_partitioned,
+    )
+
+    base = pd.DataFrame(
+        {"subj": [f"s{i}" for i in range(20)], "obj": [f"o{i}" for i in range(20)]}
+    )
+    out = str(tmp_path / "store")
+    write_partitioned(
+        rd.from_pandas(base), out, num_partitions=4, config_hash="h",
+        dedup_keys=["subj"], dedup_order=["obj"],
+    )
+    empty = rd.from_pandas(base.iloc[:0])
+    summary = update_partitioned(
+        empty, out, num_partitions=4, config_hash="h",
+        dedup_keys=["subj"], dedup_order=["obj"],
+    )
+    assert summary["updated"] == {} and summary["added"] == {}
+    lin = json.load(open(os.path.join(out, "_lineage.json")))
+    assert lin.get("updates", []) == []  # version NOT advanced
+    assert len(read_store_asof(out).to_pandas()) == 20
+
+
+def test_crash_mid_swap_recovers_without_data_loss(ray_session, tmp_path):
+    """Simulate a crash between the two renames of the partition swap
+    (live dir missing, .old aside holding the pre-merge data, .tmp
+    holding the merged data): re-applying the delta must restore and
+    re-merge, losing nothing -- the exact window where the old
+    rmtree-then-rename destroyed the partition's history."""
+    import shutil
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ontology_time_machine_ray.sources.writers import (
+        read_store_asof,
+        update_partitioned,
+        write_partitioned,
+    )
+
+    base = pd.DataFrame(
+        {"subj": [f"s{i}" for i in range(20)], "obj": [f"o{i}" for i in range(20)]}
+    )
+    out = str(tmp_path / "store")
+    write_partitioned(
+        rd.from_pandas(base), out, num_partitions=2, config_hash="h",
+        dedup_keys=["subj"], dedup_order=["obj"],
+    )
+    delta = pd.DataFrame({"subj": ["zz1", "zz2"], "obj": ["a", "a"]})
+    update_partitioned(
+        rd.from_pandas(delta), out, num_partitions=2, config_hash="h",
+        dedup_keys=["subj"], dedup_order=["obj"],
+    )
+    want = read_store_asof(out).to_pandas().sort_values("subj").reset_index(drop=True)
+
+    # manufacture the mid-swap crash state on one touched partition:
+    # live -> .old (as the first rename did), a stale .tmp left behind
+    pdirs = [d for d in os.listdir(out) if d.startswith("part=") and "." not in d]
+    victim = os.path.join(out, pdirs[0])
+    shutil.copytree(victim, victim + ".tmp")  # the merged-but-unrenamed tmp
+    os.rename(victim, victim + ".old")
+    assert not os.path.isdir(victim)
+
+    # re-applying the same delta heals the partition (idempotent merge)
+    update_partitioned(
+        rd.from_pandas(delta), out, num_partitions=2, config_hash="h",
+        dedup_keys=["subj"], dedup_order=["obj"],
+    )
+    got = read_store_asof(out).to_pandas().sort_values("subj").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert not os.path.isdir(victim + ".old")
