@@ -45,18 +45,6 @@ def _default_pool_size() -> int:
     return max(1, total // 3)
 
 
-def _fused_pool_size() -> int:
-    """The fused detect+link pool takes ~3/4 of the cluster, leaving the
-    rest for read / shuffle / write tasks."""
-    import ray
-
-    try:
-        total = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    except Exception:
-        total = 4
-    return max(1, total * 3 // 4)
-
-
 @dataclass
 class KgPipeline:
     paths: FixturePaths
@@ -85,6 +73,10 @@ class KgPipeline:
                 "prec": self.config.onto_format.precedence.value,
                 "patch": self.config.onto_format.patch_accept_upstream,
                 "policy": self.config.onto_version.value,
+                # behavioral: False routes every row by the run-level
+                # policy instead of its per-row policy column, so stores
+                # built either way are NOT merge-compatible
+                "per_row_policy": self.config.per_row_policy,
                 "restricted": self.config.restricted_access,
                 "ts": self.config.timestamp,
                 "root": self.paths.root,

@@ -86,6 +86,47 @@ def build_index_parquet(iri_txt_path: str, out_parquet: str) -> str:
     return digest
 
 
+def _split_ttl_statements(body: str) -> list[str]:
+    """Split a Turtle body into statements at ``.`` terminators.
+
+    A character scan rather than a regex: a ``.`` terminates a statement
+    only when it is OUTSIDE an ``<IRI>`` and outside a ``"string"`` and is
+    followed by whitespace or end-of-input.  This accepts valid Turtle like
+    ``<s> a owl:Class.`` (no space before the dot) that the previous
+    ``\\s\\.\\s`` split silently mis-parsed, while never splitting on dots
+    inside IRIs (``<http://ex.org/C>``) or literals."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    in_iri = in_str = False
+    n = len(body)
+    for i, ch in enumerate(body):
+        if in_str:
+            buf.append(ch)
+            if ch == '"' and (i == 0 or body[i - 1] != "\\"):
+                in_str = False
+            continue
+        if in_iri:
+            buf.append(ch)
+            if ch == ">":
+                in_iri = False
+            continue
+        if ch == "<":
+            in_iri = True
+            buf.append(ch)
+        elif ch == '"':
+            in_str = True
+            buf.append(ch)
+        elif ch == "." and (i + 1 >= n or body[i + 1].isspace()):
+            stmts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        stmts.append(tail)
+    return stmts
+
+
 def read_dependency_ttl(ttl_path: str, index_path: str) -> pa.Table:
     """RDF-format ingestion of the dependency manifest (the reference's
     dormant graph is Turtle: ``tests/dependency.ttl``, walked by the
@@ -105,7 +146,7 @@ def read_dependency_ttl(ttl_path: str, index_path: str) -> pa.Table:
     )
     iri_re = re.compile(r"<([^>]*)>")
     src, dst = [], []
-    for stmt in re.split(r"\s\.\s|\s\.$", body):
+    for stmt in _split_ttl_statements(body):
         stmt = stmt.strip()
         if not stmt:
             continue
@@ -163,8 +204,6 @@ def parse_snapshot_ttl(text: str):
     provenance, not snapshot content).  The engine analog of the
     reference's rapper-based parse stage
     (experiments/parse_ontologies.py:49-76), minus the subprocess."""
-    import re
-
     from ontology_time_machine_ray.schema import (
         OWL_CLASS,
         OWL_EQUIVALENT_CLASS,
@@ -196,7 +235,7 @@ def parse_snapshot_ttl(text: str):
     sb: list[str] = []
     ea: list[str] = []
     eb: list[str] = []
-    for stmt in re.split(r"\s\.\s|\s\.$", body):
+    for stmt in _split_ttl_statements(body):
         stmt = stmt.strip()
         if not stmt:
             continue
@@ -281,7 +320,16 @@ def _nt_pattern():
     if _NT_LINE is None:
         import re
 
-        _NT_LINE = re.compile(r"^<([^>]*)> <([^>]*)> <([^>]*)> \.$")
+        # Full N-Triples line grammar: subject is an IRI or blank node,
+        # object is an IRI, blank node, or literal (with optional ^^<dt>
+        # datatype / @lang tag); whitespace between terms is flexible and
+        # a trailing \r (CRLF shards) is tolerated.
+        _NT_LINE = re.compile(
+            r"^\s*(<[^>]*>|_:\S+)"
+            r"\s+<([^>]*)>"
+            r'\s+(<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[\w-]+)?)'
+            r"\s*\.\s*$"
+        )
     return _NT_LINE
 
 
@@ -290,18 +338,31 @@ def read_ntriples(nt_dir: str):
     directory of ``.nt`` shards.  Shards parallelize at file grain
     (``read_text`` assigns whole files to read tasks); each batch of
     lines parses with ONE compiled-regex extract -- no Python loop over
-    lines."""
+    lines.
+
+    Accepts the full N-Triples line grammar (comment lines, blank nodes,
+    literal objects with datatype/lang tags, CRLF endings).  IRI terms are
+    returned stripped of their angle brackets; blank nodes keep their
+    ``_:`` label and literal objects keep their lexical N-Triples form
+    (quotes + any ``^^``/``@`` suffix) so no information is lost.
+    Genuinely unparseable non-comment lines still raise -- bad shard data
+    should fail loudly, not vanish."""
     import pandas as pd
     import ray.data as rd
 
     def parse(df: pd.DataFrame) -> pd.DataFrame:
-        ext = df["text"].str.extract(_nt_pattern())
+        text = df["text"].str.strip()
+        content = text[text.astype(bool) & ~text.str.startswith("#")]
+        ext = content.str.extract(_nt_pattern())
         ext.columns = ["subj", "pred", "obj"]
-        bad = ext["subj"].isna() & df["text"].str.strip().astype(bool)
+        bad = ext["subj"].isna()
         if bad.any():
             raise ValueError(
-                f"unparseable N-Triples line: {df.loc[bad, 'text'].iloc[0]!r}"
+                f"unparseable N-Triples line: {content[bad].iloc[0]!r}"
             )
-        return ext.dropna().reset_index(drop=True)
+        for col in ("subj", "obj"):
+            iri = ext[col].str.startswith("<")
+            ext.loc[iri, col] = ext.loc[iri, col].str.slice(1, -1)
+        return ext.reset_index(drop=True)
 
     return rd.read_text(nt_dir).map_batches(parse, batch_format="pandas")

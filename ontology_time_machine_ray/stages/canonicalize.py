@@ -246,22 +246,6 @@ def make_rewriter(mapping_ref):
     return rewrite
 
 
-def component_mapping(triples_ds) -> dict[str, str]:
-    """node -> component dict from the stream's sameAs edges (broadcast
-    side; size-guarded -- above the limit use ``canonicalize_triples``,
-    which falls back to the partitioned-join rewrite)."""
-    mapping_ds = connected_components(sameas_edges(triples_ds))
-    n_nodes = mapping_ds.count()
-    assert n_nodes <= MAX_BROADCAST_NODES, (
-        f"equivalence graph too large to broadcast ({n_nodes} nodes); "
-        "use canonicalize_triples (partitioned-join fallback)"
-    )
-    if n_nodes == 0:
-        return {}
-    pdf = mapping_ds.to_pandas()
-    return dict(zip(pdf["node"], pdf["component"]))
-
-
 def _drop_degenerate(batch: pd.DataFrame) -> pd.DataFrame:
     """Equivalence edges whose endpoints merged are now self-loops: drop."""
     degenerate = batch["pred"].isin((OWL_SAME_AS, OWL_EQUIVALENT_CLASS)) & (

@@ -37,9 +37,11 @@ import pyarrow.parquet as pq
 from ontology_time_machine_ray.functions.urls import IRI_RE, _TRAILING_PUNCT, truncation_candidates
 from ontology_time_machine_ray.schema import MENTIONS_SCHEMA
 
-#: RE2-compatible forms of the scanner for the Arrow C kernels.
-IRI_PATTERN = r"""https?://[^\s"'<>()\[\]{}]+"""
-_PUNCT_RE_SQL = r"[.,;:!?]+$"
+#: RE2-compatible forms of the scanner for the Arrow C kernels, derived
+#: from the ONE grammar in functions/urls.py so the single-IRI (Arrow
+#: kernel) and multi-IRI (Python IRI_RE) paths can never diverge.
+IRI_PATTERN = IRI_RE.pattern
+_PUNCT_RE_SQL = f"[{_TRAILING_PUNCT}]+$"
 
 
 def load_index_map(index_path: str) -> dict[tuple[str, str], tuple[str, str]]:

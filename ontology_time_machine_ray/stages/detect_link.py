@@ -77,7 +77,13 @@ def make_detect_link(
         inst = _STAGE_CACHE.get(key)
         if inst is None:
             inst = DetectLink(index_path, origins_path, content_path, status_path, config, emit)
-            _STAGE_CACHE.clear()
+            # bounded, not single-entry: two fused stages routinely run
+            # interleaved on the same warm worker (triples + status
+            # streams, or two time-machine coordinates); evicting the
+            # other stage's state would rebuild it every alternating
+            # batch.  Evict oldest-inserted beyond a small cap instead.
+            while len(_STAGE_CACHE) >= 4:
+                _STAGE_CACHE.pop(next(iter(_STAGE_CACHE)))
             _STAGE_CACHE[key] = inst
         return inst(batch)
 

@@ -85,7 +85,11 @@ class SnapshotStore:
         }
         content = pq.read_table(content_path)
         self.versions: dict[str, list[str]] = {}
-        self.content: dict[tuple[str, str], tuple[list, list, list, list]] = {}
+        #: (ontology, version) -> (classes, properties, same_as_a,
+        #: same_as_b, equiv_a, equiv_b)
+        self.content: dict[
+            tuple[str, str], tuple[list, list, list, list, list, list]
+        ] = {}
         for row in content.to_pylist():
             self.versions.setdefault(row["ontology_id"], []).append(row["version"])
             self.content[(row["ontology_id"], row["version"])] = (
@@ -180,7 +184,10 @@ class EntityLinker:
             # IRIs are unreachable (request_ontology -> None,
             # proxy_logic.py:157-159)
             return Resolution(False, 502, "origin-unreachable")
-        st, ctype = self.store.origins[ont]
+        # index and origins are separate inputs with no enforced
+        # consistency: an indexed ontology missing an origins row is a
+        # dead origin, not a crash (errors are data, M13)
+        st, ctype = self.store.origins.get(ont, (0, None))
         if st == 0:
             return Resolution(False, 502, "origin-unreachable")
         if st != 200:
@@ -221,7 +228,7 @@ class EntityLinker:
             return self._serve_origin(ont)
         if policy == "originalFailoverLiveLatest":
             if ont is not None:
-                st, ctype = self.store.origins[ont]
+                st, ctype = self.store.origins.get(ont, (0, None))
                 if st in PASSTHROUGH_STATUS_CODES:
                     requested = [
                         m for m, _ in parse_accept_header_with_priority(patched_accept or "")
@@ -316,26 +323,39 @@ class EntityLinker:
 
         # isDefinedBy: batch-combined per distinct (term, ontology, version,
         # format) with min-doc provenance
+        # dropna=False: a SERVED row may carry a null _version (origin
+        # serving an ontology with no archived snapshot) -- it must still
+        # emit its isDefinedBy triple, or the status and triples streams
+        # silently disagree about what was served
         defined = (
             served.groupby(
-                ["term_iri", "canonical_iri", "_version", "_served_fmt"], sort=False
+                ["term_iri", "canonical_iri", "_version", "_served_fmt"],
+                sort=False, dropna=False,
             )["doc_id"]
             .min()
             .reset_index()
         )
         for term, ciri, ver, fmt, doc in defined.itertuples(index=False):
-            emit(term, RDFS_IS_DEFINED_BY, ciri, doc, ver, fmt)
+            emit(term, RDFS_IS_DEFINED_BY, ciri, doc,
+                 None if pd.isna(ver) else ver, None if pd.isna(fmt) else fmt)
 
         # ontology content triples: ONE expansion per distinct
         # (ontology, version, format) in the batch -- the combiner that
         # keeps the dedup shuffle small
         content = (
-            served.groupby(["ontology_id", "_version", "_served_fmt"], sort=False)["doc_id"]
+            served.groupby(
+                ["ontology_id", "_version", "_served_fmt"], sort=False, dropna=False
+            )["doc_id"]
             .min()
             .reset_index()
         )
         for ont, ver, fmt, doc in content.itertuples(index=False):
-            classes, props, sa, sb, ea, eb = self.store.content[(ont, ver)]
+            # no snapshot content for (ont, ver) -- e.g. served live from
+            # origin with no archived snapshot: nothing to expand, but the
+            # isDefinedBy triples above were already emitted
+            classes, props, sa, sb, ea, eb = self.store.content.get(
+                (ont, ver), ([], [], [], [], [], [])
+            )
             for c in classes:
                 emit(c, RDF_TYPE, OWL_CLASS, doc, ver, fmt)
             for p in props:

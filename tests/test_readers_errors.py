@@ -143,3 +143,64 @@ def test_ntriples_roundtrip_and_idempotent_export(ray_session, tmp_path):
         f.write("this is not a triple\n")
     with pytest.raises(Exception, match="unparseable"):
         read_ntriples(out).materialize()
+
+
+def test_ttl_statement_split_no_space_before_dot():
+    """Valid Turtle terminates statements with '.' NOT preceded by
+    whitespace ('obj.'); the splitter must split there while never
+    splitting on dots inside IRIs."""
+    from ontology_time_machine_ray.sources.readers import parse_snapshot_ttl
+
+    classes, props, sa, sb, ea, eb = parse_snapshot_ttl(
+        "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+        "<http://a#C0> a owl:Class.\n"
+        "<http://ex.org/v1.2/C> a owl:Class.\n"
+        "<http://a#C0> owl:sameAs <http://b#C1>.\n"
+    )
+    assert classes == ["http://a#C0", "http://ex.org/v1.2/C"]
+    assert (sa, sb) == (["http://a#C0"], ["http://b#C1"])
+
+
+def test_dependency_ttl_no_space_before_dot(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_time_machine_ray.sources.readers import read_dependency_ttl
+
+    ttl = tmp_path / "dep.ttl"
+    ttl.write_text(
+        "@prefix ex-version: <http://ex/v#> .\n"
+        "<http://x/a> ex-version:dependency <http://x/b>.\n"
+    )
+    idx = tmp_path / "index.parquet"
+    pq.write_table(
+        pa.table({"iri": ["http://x/a", "http://x/b"], "ontology_id": ["a", "b"]}),
+        idx,
+    )
+    edges = read_dependency_ttl(str(ttl), str(idx))
+    assert edges.to_pydict() == {"ontology_id": ["a"], "depends_on": ["b"]}
+
+
+def test_ntriples_full_line_grammar(ray_session, tmp_path):
+    """Comments, blank nodes, literal objects (datatype/lang) and CRLF are
+    all valid N-Triples and must parse, not raise."""
+    from ontology_time_machine_ray.sources.readers import read_ntriples
+
+    d = tmp_path / "nt"
+    d.mkdir()
+    (d / "a.nt").write_text(
+        "# comment header\r\n"
+        "<http://s1> <http://p> <http://o1> .\n"
+        '<http://s2>   <http://p>  "lit val"^^<http://www.w3.org/2001/XMLSchema#int> .\r\n'
+        '_:b1 <http://p> "hola"@es .\n'
+        "\n"
+        "<http://s3> <http://p> _:b1 .\n"
+    )
+    got = read_ntriples(str(d)).to_pandas().sort_values("subj").reset_index(drop=True)
+    assert got["subj"].tolist() == ["_:b1", "http://s1", "http://s2", "http://s3"]
+    assert got["obj"].tolist() == [
+        '"hola"@es',
+        "http://o1",
+        '"lit val"^^<http://www.w3.org/2001/XMLSchema#int>',
+        "_:b1",
+    ]
