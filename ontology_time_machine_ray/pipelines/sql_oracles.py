@@ -1356,8 +1356,9 @@ def _minhash_sql() -> str:
     prime) -> band buckets keyed on the 4-signature tuple (the engine
     folds the tuple to one 64-bit hash; equal tuples <=> equal hashes
     absent astronomically-unlikely collisions) -> 200-doc bucket cap ->
-    signature-agreement verify at >= 36/64 (= ceil of the 2-sigma-relaxed
-    0.55 threshold on the 1/64 agreement grid) -> connected components
+    signature-agreement verify at >= 45/64 (= ceil of the 2-sigma-relaxed
+    0.7 threshold -- 0.8 - 2*sqrt(0.8*0.2/64) -- on the 1/64 agreement
+    grid) -> connected components
     (VARCHAR min root, matching the engine's representative) -> every doc
     labeled with its component root or itself."""
     return f"""
@@ -1410,7 +1411,7 @@ agree AS (
   GROUP BY 1, 2),
 edges AS MATERIALIZED (
   SELECT CAST(da AS VARCHAR) AS u, CAST(db AS VARCHAR) AS v
-  FROM agree WHERE n_eq >= 36),
+  FROM agree WHERE n_eq >= 45),
 nodes AS (SELECT u AS nn FROM edges UNION SELECT v FROM edges),
 sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
 reach(x, y) AS (

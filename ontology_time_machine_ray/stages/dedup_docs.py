@@ -230,9 +230,13 @@ def _band_rows(df: pd.DataFrame, bands: int, rows_per_band: int) -> pd.DataFrame
     (deterministic numpy integer ops, stable across processes)."""
     n = len(df)
     if n == 0:
+        # mirror the non-empty block dtypes (doc_id keeps the INPUT dtype,
+        # sig stays object-of-arrays) or the downstream shuffle's Arrow
+        # schema unification crashes on the mixed blocks
         return pd.DataFrame(
-            {"doc_id": [], "band": pd.Series(dtype="int64"),
-             "band_hash": pd.Series(dtype="int64"), "sig": []}
+            {"doc_id": df["doc_id"], "band": pd.Series(dtype="int64"),
+             "band_hash": pd.Series(dtype="int64"),
+             "sig": pd.Series(dtype="object")}
         )
     sig_mat = np.stack(df["sig"].to_numpy()).astype(np.uint64)  # (n, num_perm)
     segs = sig_mat.reshape(n, bands, rows_per_band)
@@ -286,11 +290,15 @@ def minhash_clusters(
     from ontology_time_machine_ray.stages.canonicalize import connected_components
 
     rows_per_band = num_perm // bands
-    # the signature-agreement Jaccard estimator has std ~ sqrt(J(1-J)/k);
-    # verify with a 2-sigma one-sided margin so true near-dups at the
-    # threshold are kept (precision is recovered by exact-Jaccard
-    # verification downstream when required)
-    verify_threshold = max(0.0, threshold - 2.0 / (num_perm ** 0.5))
+    # the signature-agreement Jaccard estimator has std = sqrt(J(1-J)/k);
+    # verify with a 2-sigma one-sided margin at J=threshold so true
+    # near-dups at the threshold are kept (t=0.8, k=64 -> margin 0.1,
+    # verify at 0.7).  NOT the loose 2/sqrt(k) bound (0.25), which let
+    # ~0.6-Jaccard non-duplicates chain into clusters and get deleted by
+    # the curation funnel.
+    verify_threshold = max(
+        0.0, threshold - 2.0 * (threshold * (1.0 - threshold) / num_perm) ** 0.5
+    )
     docs = docs_ds or _read_docs(sf_dir)
     sigs = docs.map_batches(
         lambda df: _minhash_batch(df, num_perm), batch_format="pandas"
@@ -334,9 +342,10 @@ def minhash_clusters(
     def label(df: pd.DataFrame) -> pd.DataFrame:
         m = cached_get(mapping_ref)
         ids = df["doc_id"]
-        return pd.DataFrame(
-            {"doc_id": ids, "cluster": ids.map(lambda d: m.get(str(d), str(d)))}
-        )
+        # C-level dict lookup (Series.map with a dict), not a per-row
+        # Python closure -- this pass runs over the WHOLE corpus
+        s = ids.astype(str)
+        return pd.DataFrame({"doc_id": ids, "cluster": s.map(m).fillna(s)})
 
     return docs.select_columns(["doc_id"]).map_batches(label, batch_format="pandas")
 
@@ -392,21 +401,24 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, docs_ds: rd.Dataset | None 
 
     def seg_rows(df: pd.DataFrame) -> pd.DataFrame:
         sims = df["simhash"].to_numpy(dtype=np.uint64)
-        out = {
-            "doc_id": np.repeat(df["doc_id"].to_numpy(), 4),
-            "seg": np.tile(np.arange(4), len(df)),
-            "seg_val": np.concatenate(
-                [(sims >> np.uint64(16 * s)) & np.uint64(0xFFFF) for s in range(4)]
-            ) if len(df) else np.array([], dtype=np.uint64),
-            "simhash": np.repeat(sims, 4),
-        }
-        # interleave fix: repeat/tile must align (seg-major per doc)
-        n = len(df)
-        if n:
-            out["seg_val"] = np.stack(
-                [(sims >> np.uint64(16 * s)) & np.uint64(0xFFFF) for s in range(4)], axis=1
+        # seg_val must be doc-major to align with the repeat/tile layout of
+        # doc_id/seg: stack(axis=1).ravel() interleaves per doc
+        seg_val = (
+            np.stack(
+                [(sims >> np.uint64(16 * s)) & np.uint64(0xFFFF) for s in range(4)],
+                axis=1,
             ).ravel()
-        return pd.DataFrame(out)
+            if len(df)
+            else np.array([], dtype=np.uint64)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), 4),
+                "seg": np.tile(np.arange(4), len(df)),
+                "seg_val": seg_val,
+                "simhash": np.repeat(sims, 4),
+            }
+        )
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g[g.duplicated(["seg", "seg_val"], keep=False)]

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Callable, Sequence
 
+import numpy as np
 import pandas as pd
 
 from ontology_time_machine_ray.functions.hashing import stable_hash64_series
@@ -239,6 +240,28 @@ def bucketed_join(
             out = l[hit.to_numpy() if how == "semi" else (~hit).to_numpy()]
         else:
             out = l.merge(r, on=join_cols, how=how)
+            if how != "inner":
+                # pandas NaN-fills unmatched rows, upcasting int/bool
+                # columns to float64 -- but ONLY in buckets that had an
+                # unmatched row, so sibling blocks would disagree on the
+                # column dtype and Arrow schema unification fails at the
+                # next exchange.  Normalize: any fillable int/bool column
+                # is float64 in EVERY bucket.
+                fillable = (
+                    rcols if how == "left"
+                    else lcols if how == "right"
+                    else lcols + rcols
+                )
+                casts = {}
+                for c in fillable:
+                    d = (rdtypes if c in rcols else ldtypes).get(c)
+                    if d is not None and (
+                        np.issubdtype(np.dtype(d), np.integer)
+                        or np.dtype(d) == np.bool_
+                    ):
+                        casts[c] = "float64"
+                if casts:
+                    out = out.astype(casts)
         return out.drop(columns=["_salt"]) if salt > 1 else out
 
     return grouped_apply(both, join_cols, merge_bucket, num_buckets)
@@ -272,6 +295,8 @@ def bloom_semi_anti_join(
     how: str = "semi",
     num_buckets: int = DEFAULT_BUCKETS,
     m_bits: int | None = None,
+    left_schema: dict | None = None,
+    right_schema: dict | None = None,
 ):
     """Bloom-prefiltered SEMI/ANTI join: the classic shuffle-volume
     optimization for sparse-overlap joins.
@@ -316,12 +341,20 @@ def bloom_semi_anti_join(
         return fn
 
     maybe_side = left.map_batches(split(True), batch_format="pandas")
-    exact = bucketed_join(maybe_side, right, on=[on], how=how, num_buckets=num_buckets)
+    # pass the schema hints through: without them bucketed_join calls
+    # .schema() on BOTH lazy inputs, re-executing the (often expensive)
+    # upstream pipelines once per consultation (see bucketed_join's
+    # docstring for the measured cost)
+    exact = bucketed_join(
+        maybe_side, right, on=[on], how=how, num_buckets=num_buckets,
+        left_schema=left_schema, right_schema=right_schema,
+    )
     if how == "semi":
         return exact
     # align the bypass stream to the join output's column order (key
     # first) -- Ray unions blocks positionally, not by name
-    out_cols = [on] + [c for c in left.schema().names if c != on]
+    lnames = list(left_schema) if left_schema is not None else list(left.schema().names)
+    out_cols = [on] + [c for c in lnames if c != on]
     definite = left.map_batches(split(False), batch_format="pandas").map_batches(
         lambda df: df.reindex(columns=out_cols), batch_format="pandas"
     )

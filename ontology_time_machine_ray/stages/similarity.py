@@ -72,6 +72,16 @@ def _normalized(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
 
 
+def _stack_embeddings(df: pd.DataFrame, dim: int = 0) -> np.ndarray:
+    """(n, d) float64 matrix from the embedding column.  An EMPTY batch
+    (possible after any upstream repartition or filter) yields a
+    correctly-shaped (0, dim) matrix instead of np.stack's ValueError, so
+    downstream matmuls against a broadcast (q, dim) matrix still work."""
+    if len(df) == 0:
+        return np.zeros((0, dim), dtype=np.float64)
+    return np.stack(df["embedding"].to_numpy()).astype(np.float64)
+
+
 def _partial_topk(ids, sims, qids, k: int) -> pd.DataFrame:
     """Per-batch partial top-k for each query column of ``sims``."""
     out_q, out_v, out_s = [], [], []
@@ -109,7 +119,7 @@ def ann_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 3) -> pd.DataFrame
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         qids_, qm_ = _cached_get(queries_ref)
-        mat = _normalized(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        mat = _normalized(_stack_embeddings(df, qm_.shape[1]))
         sims = mat @ qm_.T  # (batch, n_queries)
         return _partial_topk(df["vec_id"].to_numpy(), sims, qids_, k)
 
@@ -138,7 +148,7 @@ def ann_lsh(
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         planes_, qids_, q_buckets_, qn_ = _cached_get(state_ref)
-        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mat = _stack_embeddings(df, planes_.shape[1])
         buckets = (((mat @ planes_.T) > 0) @ pow2).astype(np.int64)
         ids = df["vec_id"].to_numpy()
         matn = _normalized(mat)
@@ -187,7 +197,7 @@ def _kmeans_centroids(sf_dir: str, n_lists: int, iters: int, emb_path: str) -> n
 
         def partial_sums(df: pd.DataFrame) -> pd.DataFrame:
             c = _cached_get(c_ref)
-            mat = _normalized(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+            mat = _normalized(_stack_embeddings(df, c.shape[1]))
             assign = np.argmax(mat @ c.T, axis=1)
             sums = np.zeros_like(c)
             np.add.at(sums, assign, mat)
@@ -238,7 +248,7 @@ def build_ivf_index(
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         c = _cached_get(c_ref)
-        mat = _normalized(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        mat = _normalized(_stack_embeddings(df, c.shape[1]))
         return df.assign(list_id=np.argmax(mat @ c.T, axis=1).astype("int64"))
 
     assigned = _read_emb(emb_path).map_batches(assign, batch_format="pandas")
@@ -304,7 +314,7 @@ def ann_ivf(
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         c, qids_, probes_, qn_ = _cached_get(state_ref)
-        mat = _normalized(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        mat = _normalized(_stack_embeddings(df, c.shape[1]))
         lids = np.argmax(mat @ c.T, axis=1)
         ids = df["vec_id"].to_numpy()
         frames = []
@@ -374,7 +384,7 @@ def _pq_codebooks(
 
         def partial(df: pd.DataFrame) -> pd.DataFrame:
             bks = _cached_get(b_ref)
-            mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            mat = _stack_embeddings(df, m * sub_d)
             rows = []
             for s in range(m):
                 sub = mat[:, s * sub_d : (s + 1) * sub_d]
@@ -438,7 +448,7 @@ def ann_pq(
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         bks, lut_, qids_ = _cached_get(state_ref)
-        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mat = _stack_embeddings(df, m * sub_d)
         n = len(mat)
         sims = np.zeros((n, len(qids_)))
         for s in range(m):
@@ -491,7 +501,7 @@ def embedding_dup_pairs(
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
         planes_ = _cached_get(planes_ref)
-        mat = _normalized(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        mat = _normalized(_stack_embeddings(df, planes_.shape[1]))
         signs = (mat @ planes_.T) > 0  # (n, bands * r)
         n = len(df)
         buckets = (signs.reshape(n, bands, planes_per_band) @ pow2).astype(np.int64)
@@ -552,7 +562,7 @@ def embed_kmeans(sf_dir: str, n_clusters: int = 16, iters: int = 3) -> rd.Datase
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         c = _cached_get(c_ref)
-        mat = _normalized(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        mat = _normalized(_stack_embeddings(df, c.shape[1]))
         return pd.DataFrame(
             {
                 "vec_id": df["vec_id"].astype("int64"),
@@ -631,7 +641,7 @@ def semantic_dedup(
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         c = _cached_get(c_ref)
-        mat = _normalized(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        mat = _normalized(_stack_embeddings(df, c.shape[1]))
         return pd.DataFrame(
             {
                 "vec_id": df["vec_id"].astype("int64"),
@@ -709,7 +719,7 @@ def embed_pca_power(sf_dir: str, iters: int = PCA_ITERS) -> pd.DataFrame:
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         q = np.floor(
-            np.stack(df["embedding"].to_numpy()).astype("float64") * PCA_SCALE + 0.5
+            _stack_embeddings(df) * PCA_SCALE + 0.5
         ).astype("int64")
         c = q.T @ q  # (d, d) second-moment partial
         d = c.shape[0]
@@ -764,7 +774,7 @@ def embedding_outliers(
 
     def flag(df: pd.DataFrame) -> pd.DataFrame:
         c = _cached_get(c_ref)
-        mat = _normalized(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        mat = _normalized(_stack_embeddings(df, c.shape[1]))
         scores = mat @ c.T
         cluster = np.argmax(scores, axis=1)
         cos_e6 = np.round(scores[np.arange(len(df)), cluster] * 1e6).astype("int64")

@@ -917,8 +917,13 @@ def corpus_clean(
         contaminated_ids = decontaminate(
             sf_dir, docs_ds=docs, broadcast_budget=budget, bench_set=bench_set
         ).select_columns(["doc_id"])
+        # schema hints: both inputs are lazy pipelines; letting
+        # bucketed_join consult .schema() would re-execute the whole
+        # quality scan / decontamination just to learn the column names
         surviving = bloom_semi_anti_join(
-            surviving, contaminated_ids, on="doc_id", how="anti"
+            surviving, contaminated_ids, on="doc_id", how="anti",
+            left_schema={"doc_id": object, "fingerprint": object},
+            right_schema={"doc_id": object},
         )
     return grouped_head1(surviving, keys=["fingerprint"], order_by=["doc_id"])
 
@@ -1173,7 +1178,16 @@ def bm25_topk(
             # multiply: int64 wraps silently, so a post-hoc check on the
             # wrapped values would pass while the scores are garbage
             bound = BM25_SCALE * (n_corpus - dfq + 1) * 22 * int(tf.max(initial=0)) * tot
-            if bound >= (1 << 62):
+            # the DENOMINATOR wraps long before the numerator when df is
+            # large (a stopword query term: dfq ~ N): bound it too, or
+            # np.maximum(den, 1) masks the wrapped negative to 1 and the
+            # garbage contribution dominates the ranking silently
+            den_bound = (dfq + 1) * (
+                10 * tot * int(tf.max(initial=0))
+                + 3 * tot
+                + 9 * int(dl.max(initial=0)) * n_corpus
+            )
+            if bound >= (1 << 62) or den_bound >= (1 << 62):
                 raise OverflowError(
                     "bm25 int64 range exceeded -- lower BM25_SCALE or score "
                     "in float64 at this corpus size (ranking is unaffected)"
