@@ -288,7 +288,15 @@ def kg_triples_from_rdf(sf_dir: str):
     )
     tbl = pa.Table.from_pandas(parsed.to_pandas(), schema=schema, preserve_index=False)
     rdf_paths = _RdfParsedPaths(root=p.paths.root)
-    tmp = rdf_paths.snapshot_content + ".tmp"
+    # unique tmp name: concurrent runs over one sf_dir (bench + oracle
+    # harness) must never interleave writes to a shared .tmp before the
+    # atomic replace
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(rdf_paths.snapshot_content), suffix=".tmp"
+    )
+    os.close(fd)
     pq.write_table(tbl, tmp)
     os.replace(tmp, rdf_paths.snapshot_content)
     return replace(p, paths=rdf_paths).triples()
@@ -1108,27 +1116,30 @@ def incremental_split_mid(sf_dir: str) -> str:
     return ids[len(ids) // 2]
 
 
-def _incremental_store(sf_dir: str) -> tuple:
+def _incremental_store(sf_dir: str, canonical: bool = False) -> tuple:
     """Build the two-phase store: base half (store version 0), then merge
-    the delta half with ``KgPipeline.update`` (store version 1)."""
+    the delta half (store version 1) -- plain ``KgPipeline.update`` or
+    ``update_canonical`` (sameAs-mapping repair) per ``canonical``."""
+    import hashlib
     import shutil
 
     paths = ensure_fixtures(sf_dir)
-    if paths.root in _INCR_STORE:
-        return _INCR_STORE[paths.root]
-    import hashlib
-
+    key = ("canon", paths.root) if canonical else paths.root
+    if key in _INCR_STORE:
+        return _INCR_STORE[key]
     mid = incremental_split_mid(sf_dir)
     base = KgPipeline(paths=paths, doc_id_range=(None, mid))
     # keyed by CORPUS as well as config: two sf_dirs with the same default
     # config must not clobber each other's store under a live cache entry
     tag = hashlib.sha1(paths.root.encode()).hexdigest()[:8]
-    out = os.path.join("/tmp/otm_incr", f"{tag}_{base.config_hash()}")
+    root = "/tmp/otm_incr_canon" if canonical else "/tmp/otm_incr"
+    out = os.path.join(root, f"{tag}_{base.config_hash()}")
     if os.path.isdir(out):
         shutil.rmtree(out)
-    base.materialize(out, canonical=False)
-    KgPipeline(paths=paths, doc_id_range=(mid, None)).update(out)
-    _INCR_STORE[paths.root] = (out, mid)
+    base.materialize(out, canonical=canonical)
+    delta = KgPipeline(paths=paths, doc_id_range=(mid, None))
+    (delta.update_canonical if canonical else delta.update)(out)
+    _INCR_STORE[key] = (out, mid)
     return out, mid
 
 
@@ -1140,25 +1151,9 @@ def kg_incremental_canonical(sf_dir: str):
     representatives are rewritten through the store, and the result is
     provably identical to a one-shot canonical build, so it shares
     kg_triples_canonical's SQL oracle."""
-    import shutil
-
     from ontology_time_machine_ray.sources.writers import read_store_asof
 
-    paths = ensure_fixtures(sf_dir)
-    key = ("canon", paths.root)
-    if key not in _INCR_STORE:
-        import hashlib
-
-        mid = incremental_split_mid(sf_dir)
-        base = KgPipeline(paths=paths, doc_id_range=(None, mid))
-        tag = hashlib.sha1(paths.root.encode()).hexdigest()[:8]
-        out = os.path.join("/tmp/otm_incr_canon", f"{tag}_{base.config_hash()}")
-        if os.path.isdir(out):
-            shutil.rmtree(out)
-        base.materialize(out, canonical=True)
-        KgPipeline(paths=paths, doc_id_range=(mid, None)).update_canonical(out)
-        _INCR_STORE[key] = (out, mid)
-    out, _ = _INCR_STORE[key]
+    out, _ = _incremental_store(sf_dir, canonical=True)
     return read_store_asof(out, version=None, columns=_STORE_COLS)
 
 

@@ -145,7 +145,13 @@ def orders_by_nation(sf_dir: str) -> pd.DataFrame:
         combine, batch_format="pyarrow"
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    joined = bucketed_join(partials, cust, on=["c_custkey"], how="left")
+    # schema hints: without them the join consults .schema() on the lazy
+    # partials, re-executing the whole orders scan+combine subplan
+    joined = bucketed_join(
+        partials, cust, on=["c_custkey"], how="left",
+        left_schema={"c_custkey": "int64", "n_orders": "int64", "price_c": "int64"},
+        right_schema={"c_custkey": "int64", "c_nationkey": "int64"},
+    )
 
     def to_nation(df: pd.DataFrame) -> pd.DataFrame:
         names = df["c_nationkey"].map(cached_get(nation_ref)).fillna("UNKNOWN")
@@ -1078,13 +1084,11 @@ def pivot_orders(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def rollup_lineitem(sf_dir: str) -> pd.DataFrame:
-    """ROLLUP (grouping sets): quantity totals by (returnflag, linestatus),
-    by returnflag, and grand total, NULL-marked like SQL ROLLUP.
-
-    Scale shape: only the FINEST grouping runs distributed (combiner +
-    groupby); the coarser levels are derived from that small base on the
-    driver -- subtotals never rescan the fact table."""
+def _finest_grain_qty(sf_dir: str) -> pd.DataFrame:
+    """Distributed (returnflag, linestatus, sum_qty) base for ROLLUP and
+    CUBE: combiner inside the batch, one small groupby -- the ONLY part
+    that touches the fact table; both grouping-set queries derive every
+    coarser level from this base on the driver."""
 
     def partial(t: pa.Table) -> pa.Table:
         tt = pa.table(
@@ -1100,13 +1104,23 @@ def rollup_lineitem(sf_dir: str) -> pd.DataFrame:
             .rename_columns(["l_returnflag", "l_linestatus", "qty"])
         )
 
-    base = (
+    return (
         _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(Sum("qty", alias_name="sum_qty"))
         .to_pandas()
     )
+
+
+def rollup_lineitem(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP (grouping sets): quantity totals by (returnflag, linestatus),
+    by returnflag, and grand total, NULL-marked like SQL ROLLUP.
+
+    Scale shape: only the FINEST grouping runs distributed (combiner +
+    groupby); the coarser levels are derived from that small base on the
+    driver -- subtotals never rescan the fact table."""
+    base = _finest_grain_qty(sf_dir)
     lvl1 = base.groupby("l_returnflag", as_index=False).agg(sum_qty=("sum_qty", "sum"))
     lvl1["l_linestatus"] = None
     total = pd.DataFrame(
@@ -1157,28 +1171,7 @@ def cube_lineitem(sf_dir: str) -> pd.DataFrame:
     scale shape: only the finest grain runs distributed; all 2^k - 1
     coarser levels are derived from that small base on the driver and
     never rescan the fact table."""
-
-    def partial(t: pa.Table) -> pa.Table:
-        tt = pa.table(
-            {
-                "l_returnflag": t["l_returnflag"],
-                "l_linestatus": t["l_linestatus"],
-                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
-            }
-        )
-        return (
-            tt.group_by(["l_returnflag", "l_linestatus"])
-            .aggregate([("qty", "sum")])
-            .rename_columns(["l_returnflag", "l_linestatus", "qty"])
-        )
-
-    base = (
-        _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(Sum("qty", alias_name="sum_qty"))
-        .to_pandas()
-    )
+    base = _finest_grain_qty(sf_dir)
     by_rf = base.groupby("l_returnflag", as_index=False).agg(sum_qty=("sum_qty", "sum"))
     by_rf["l_linestatus"] = None
     by_ls = base.groupby("l_linestatus", as_index=False).agg(sum_qty=("sum_qty", "sum"))
@@ -1230,7 +1223,11 @@ def customer_order_outer(sf_dir: str) -> rd.Dataset:
         ["c_custkey"],
         {"n_orders": ("n", "sum")},
     )
-    joined = bucketed_join(cust, counts, on=["c_custkey"], how="outer")
+    joined = bucketed_join(
+        cust, counts, on=["c_custkey"], how="outer",
+        left_schema={"c_custkey": "int64", "acctbal_cents": "int64"},
+        right_schema={"c_custkey": "int64", "n_orders": "int64"},
+    )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         left_null = df["acctbal_cents"].isna()
@@ -1403,6 +1400,24 @@ def events_outliers(sf_dir: str, k: int = OUTLIER_K) -> rd.Dataset:
     )
 
     def flag(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "value_c": pd.Series(dtype="int64")}
+            )
+        # int64 overflow guard, ALL bounds computed in Python ints BEFORE
+        # the int64 arithmetic they protect (numpy wraps silently where
+        # the SQL oracle errors loudly -- fail the same way it does):
+        # v*v and its per-user sum first, then -- with the per-user maxima
+        # known -- |d| = |n*v - s| and the k^2 * (n*sq - s^2) rhs.
+        LIM = 1 << 62
+        vmax = int(g["v"].abs().max())
+        if vmax * vmax >= LIM or len(g) * vmax * vmax >= LIM:
+            raise OverflowError(
+                "events_outliers int64 range exceeded -- rescale the value "
+                "unit (cents -> dollars) or shard users before the z-test"
+            )
         # cython-path aggregates only (a Python lambda agg would run once
         # per user -- interpreter-bound at corpus-scale user cardinality)
         st = (
@@ -1410,20 +1425,17 @@ def events_outliers(sf_dir: str, k: int = OUTLIER_K) -> rd.Dataset:
             .groupby("user_id", as_index=False)
             .agg(n=("v", "size"), s=("v", "sum"), sq=("v2", "sum"))
         )
-        m = g.merge(st, on="user_id")
-        d = m["n"] * m["v"] - m["s"]
-        # int64 overflow guard: numpy wraps silently where the SQL oracle
-        # would error loudly -- fail the same way it does.  |d| and the
-        # rhs terms must square/multiply inside 2^63.
-        if len(m) and (
-            int(d.abs().max()) > 3_000_000_000
-            or int((m["n"] * m["sq"]).max()) > (1 << 62)
-            or int(m["s"].abs().max()) > 3_000_000_000
-        ):
+        nmax = int(st["n"].max())
+        smax = int(st["s"].abs().max())
+        sqmax = int(st["sq"].max())
+        dbound = nmax * vmax + smax
+        if dbound * dbound >= LIM or k * k * (nmax * sqmax + smax * smax) >= LIM:
             raise OverflowError(
                 "events_outliers int64 range exceeded -- rescale the value "
                 "unit (cents -> dollars) or shard users before the z-test"
             )
+        m = g.merge(st, on="user_id")
+        d = m["n"] * m["v"] - m["s"]
         lhs = d * d
         rhs = k * k * (m["n"] * m["sq"] - m["s"] * m["s"])
         out = m[lhs > rhs]

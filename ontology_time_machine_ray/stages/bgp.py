@@ -130,6 +130,22 @@ def bgp_match(
                 f"optional pattern {pattern} shares no variable with the "
                 "required match"
             )
+        # optionals are independent of each other (docstring contract):
+        # a variable bound by a PREVIOUS optional may not reappear here --
+        # it would need optional-on-optional scoping, which this matcher
+        # does not model.  Validate the precondition loudly instead of
+        # letting the join trip over a duplicate non-key column.
+        from_other_optional = [
+            v for v in scan_schema if v in acc_schema and v not in required_vars
+        ]
+        if from_other_optional:
+            raise ValueError(
+                f"optional pattern {pattern} reuses variable(s) "
+                f"{from_other_optional} bound by a previous OPTIONAL -- "
+                "optional-on-optional scoping is not modeled; merge the "
+                "two optionals into one pattern group or make the shared "
+                "variable part of the required prefix"
+            )
         acc = bucketed_join(
             acc,
             scan,

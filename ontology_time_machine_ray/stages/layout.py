@@ -62,6 +62,27 @@ def _hist_boundaries(sf_dir: str, n_buckets: int) -> list[int]:
     return sorted(set(bounds))
 
 
+def _publish_layout(staging: str, out_dir: str) -> str:
+    """Atomically install a fully-built staging directory as the shared
+    /tmp cache entry.  Concurrent first-builders each build into their own
+    unique staging dir; the rename loser keeps the winner's directory
+    (which carries its own ``_SUCCESS``) and discards its staging copy --
+    a reader can therefore never observe half-written bucket files."""
+    import shutil
+
+    try:
+        os.rename(staging, out_dir)
+        return out_dir
+    except OSError:
+        if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+            shutil.rmtree(staging, ignore_errors=True)
+            return out_dir
+        # a crashed partial build occupies the slot: replace it
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.rename(staging, out_dir)
+        return out_dir
+
+
 def build_range_layout(
     sf_dir: str, n_buckets: int = N_RANGE_BUCKETS
 ) -> tuple[str, list[int]]:
@@ -87,7 +108,10 @@ def build_range_layout(
             return out_dir, json.load(f)["bounds"]
 
     bounds = _hist_boundaries(sf_dir, n_buckets)
-    os.makedirs(out_dir, exist_ok=True)
+    import uuid
+
+    staging = f"{out_dir}.build-{uuid.uuid4().hex[:8]}"
+    os.makedirs(staging, exist_ok=True)
     barr = np.asarray(bounds, dtype=np.int64)
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
@@ -106,7 +130,7 @@ def build_range_layout(
     def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out = []
         for bid, sub in g.groupby("bucket", sort=True):
-            bdir = os.path.join(out_dir, f"range={int(bid):04d}")
+            bdir = os.path.join(staging, f"range={int(bid):04d}")
             os.makedirs(bdir, exist_ok=True)
             sub.drop(columns=["bucket"]).to_parquet(
                 os.path.join(bdir, "data.parquet"), index=False
@@ -118,15 +142,15 @@ def build_range_layout(
         return pd.DataFrame(out)
 
     stats = grouped_apply(assigned, ["bucket"], write_bucket).to_pandas()
-    with open(mpath, "w") as f:
+    with open(os.path.join(staging, "manifest.json"), "w") as f:
         json.dump(
             {"bounds": bounds,
              "buckets": stats.sort_values("bucket").to_dict(orient="records")},
             f,
         )
-    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+    with open(os.path.join(staging, "_SUCCESS"), "w") as f:
         f.write(ident)
-    return out_dir, bounds
+    return _publish_layout(staging, out_dir), bounds
 
 
 def pruned_range_dirs(
@@ -273,7 +297,10 @@ def build_grid_layout(sf_dir: str) -> tuple[str, list[int], list[int]]:
         return out_dir, m["pb"], m["db"]
 
     pb, db = _grid_boundaries(sf_dir)
-    os.makedirs(out_dir, exist_ok=True)
+    import uuid
+
+    staging = f"{out_dir}.build-{uuid.uuid4().hex[:8]}"
+    os.makedirs(staging, exist_ok=True)
     pbar = np.asarray(pb, dtype=np.int64)
     dbar = np.asarray(db, dtype=np.int64)
 
@@ -293,7 +320,7 @@ def build_grid_layout(sf_dir: str) -> tuple[str, list[int], list[int]]:
     def write_cell(g: pd.DataFrame) -> pd.DataFrame:
         out = []
         for cid, sub in g.groupby("cell", sort=True):
-            cdir = os.path.join(out_dir, f"cell={int(cid):04d}")
+            cdir = os.path.join(staging, f"cell={int(cid):04d}")
             os.makedirs(cdir, exist_ok=True)
             sub.drop(columns=["cell"]).to_parquet(
                 os.path.join(cdir, "data.parquet"), index=False
@@ -302,11 +329,11 @@ def build_grid_layout(sf_dir: str) -> tuple[str, list[int], list[int]]:
         return pd.DataFrame(out)
 
     grouped_apply(assigned, ["cell"], write_cell).materialize()
-    with open(mpath, "w") as f:
+    with open(os.path.join(staging, "manifest.json"), "w") as f:
         json.dump({"pb": pb, "db": db}, f)
-    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+    with open(os.path.join(staging, "_SUCCESS"), "w") as f:
         f.write(ident)
-    return out_dir, pb, db
+    return _publish_layout(staging, out_dir), pb, db
 
 
 def pruned_grid_dirs(

@@ -81,7 +81,11 @@ def decode_wav(payload: bytes):
     if (
         audio_fmt != 1  # PCM only
         or bits != 16
-        or block_align == 0
+        or channels < 1
+        # block_align must be consistent with channels x 16-bit samples,
+        # or the downstream frombuffer/reshape in the feature extractor
+        # crashes on a header that "parsed" here (errors are data)
+        or block_align != channels * 2
         or len(b) < data_off + 8
         or b[data_off : data_off + 4] != b"data"
     ):

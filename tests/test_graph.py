@@ -349,3 +349,13 @@ def test_bgp_optional_left_join_semantics(ray_session):
 
     with pytest.raises(ValueError, match="optional pattern"):
         bgp_match(t, [("?p", "knows", "?q")], optional=[("?z", "age", "?v")])
+
+    # a variable bound by a PREVIOUS optional may not reappear in a later
+    # optional (optional-on-optional scoping is not modeled) -- must be a
+    # loud precondition error, not a join-internal assert
+    with pytest.raises(ValueError, match="previous OPTIONAL"):
+        bgp_match(
+            t,
+            [("?p", "knows", "?q")],
+            optional=[("?p", "age", "?age"), ("?q", "age", "?age")],
+        )

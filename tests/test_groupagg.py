@@ -352,3 +352,16 @@ def test_events_outliers_overflow_guard(ray_session, tmp_path):
     pq.write_table(pa.Table.from_pandas(ev), str(tmp_path / "events.parquet"))
     with pytest.raises(Exception, match="int64 range"):
         events_outliers(str(tmp_path)).materialize()
+
+    # regression: the rhs k^2*(n*sq - s^2) can wrap while |d| and |s| look
+    # safe -- v = [0, 1.5e9] cents wraps rhs to ~1.8e18 and the old guard
+    # passed, silently flagging BOTH 1-sigma events as 3-sigma outliers.
+    # The bound must raise, never emit wrong rows.
+    ev2 = pd.DataFrame(
+        {"event_id": [0, 1], "user_id": 7, "value": [0.0, 1.5e7]}  # 1.5e9 cents
+    )
+    d2 = tmp_path / "wrap"
+    d2.mkdir()
+    pq.write_table(pa.Table.from_pandas(ev2), str(d2 / "events.parquet"))
+    with pytest.raises(Exception, match="int64 range"):
+        events_outliers(str(d2)).materialize()

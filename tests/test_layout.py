@@ -105,3 +105,33 @@ def test_grid_layout_prunes_both_dimensions(ray_session, sf_dir):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_publish_layout_race_and_crash_recovery(tmp_path):
+    """The cache publish keeps a completed winner (discarding the loser's
+    staging build) and replaces a crashed partial build."""
+    from ontology_time_machine_ray.stages.layout import _publish_layout
+
+    # loser path: out_dir already holds a COMPLETE build
+    out = tmp_path / "ident1"
+    out.mkdir()
+    (out / "_SUCCESS").write_text("winner")
+    staging = tmp_path / "ident1.build-abc"
+    staging.mkdir()
+    (staging / "_SUCCESS").write_text("loser")
+    got = _publish_layout(str(staging), str(out))
+    assert got == str(out)
+    assert (out / "_SUCCESS").read_text() == "winner"
+    assert not staging.exists()
+
+    # crash path: out_dir holds a PARTIAL build (no _SUCCESS) -> replaced
+    out2 = tmp_path / "ident2"
+    out2.mkdir()
+    (out2 / "data.parquet").write_text("partial garbage")
+    staging2 = tmp_path / "ident2.build-def"
+    staging2.mkdir()
+    (staging2 / "_SUCCESS").write_text("fresh")
+    got2 = _publish_layout(str(staging2), str(out2))
+    assert got2 == str(out2)
+    assert (out2 / "_SUCCESS").read_text() == "fresh"
+    assert not (out2 / "data.parquet").exists()

@@ -103,6 +103,15 @@ def test_decode_wav_real_bytes():
     bad = bytearray(wav)
     bad[20] = 3
     assert decode_wav(bytes(bad)) is None
+    # channels=0 rejected (would IndexError in the feature extractor)
+    zero_ch = bytearray(wav)
+    struct.pack_into("<H", zero_ch, 22, 0)
+    assert decode_wav(bytes(zero_ch)) is None
+    # block_align inconsistent with channels x 16-bit rejected (would
+    # ValueError in np.frombuffer downstream)
+    bad_align = bytearray(wav)
+    struct.pack_into("<H", bad_align, 32, 1)
+    assert decode_wav(bytes(bad_align)) is None
 
 
 def test_media_decoder_flags_corrupted_assets(ray_session, sf_dir):
