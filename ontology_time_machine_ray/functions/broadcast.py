@@ -14,10 +14,18 @@ import ray
 
 _CACHE: dict[str, object] = {}
 
+#: small bound, not single-entry: Ray reuses worker processes across
+#: CONCURRENT map operators, so two broadcast-using stages routinely
+#: interleave batches on one worker -- a hold-one cache would re-fetch
+#: and re-deserialize each broadcast once per batch instead of once per
+#: worker.  Oldest-inserted is evicted beyond the cap.
+_CACHE_MAX = 4
+
 
 def cached_get(ref):
     key = ref.hex()
     if key not in _CACHE:
-        _CACHE.clear()  # hold at most one broadcast per worker
+        while len(_CACHE) >= _CACHE_MAX:
+            _CACHE.pop(next(iter(_CACHE)))
         _CACHE[key] = ray.get(ref)
     return _CACHE[key]

@@ -92,20 +92,27 @@ def parse_accept_header_with_priority(accept_header: str) -> list[tuple[str, flo
         q = 1.0
         valid = True
         for param in pieces[1:]:
-            param = param.strip()
-            if param.startswith("q="):
-                q_str = param[2:].strip()
-                if q_str == "":
-                    # 'q=' with no value: the options parser drops the
-                    # empty param, so the item keeps its default q=1
-                    break
-                if q_re.fullmatch(q_str) is None:
-                    valid = False
-                    break
-                q = float(q_str)
-                if q < 0.0 or q > 1.0:
-                    valid = False
+            name, sep, q_str = param.strip().partition("=")
+            # werkzeug options-parser semantics (probed against werkzeug
+            # itself): the param NAME is case-insensitive ('Q=0.1' counts),
+            # but whitespace touching '=' invalidates the param -- it is
+            # dropped and the item keeps its default q=1
+            if not sep or name.lower() != "q":
+                continue
+            if q_str != q_str.lstrip():
+                break  # 'q= 0.5': dropped param, default q=1
+            q_str = q_str.rstrip()
+            if q_str == "":
+                # 'q=' with no value: the options parser drops the
+                # empty param, so the item keeps its default q=1
                 break
+            if q_re.fullmatch(q_str) is None:
+                valid = False
+                break
+            q = float(q_str)
+            if q < 0.0 or q > 1.0:
+                valid = False
+            break
         if valid:
             items.append((mime, q))
     # stable sort by q descending preserves appearance order within a tie

@@ -59,7 +59,10 @@ def truncation_candidates(path: str) -> list[str]:
     refers to the highest-priority way the candidate arises.
     """
     cands: list[str] = [path]
-    stripped = path.rstrip("/") if path.endswith("/") else path
+    # exactly ONE trailing slash stripped (the reference's single
+    # set_request_path strip): rstrip('/') would collapse 'p//' to 'p'
+    # and skip the 'p/' candidate entirely
+    stripped = path[:-1] if path.endswith("/") else path
     cands.append(stripped)
     parts = stripped.split("/")
     parent = "/".join(parts[:-1])

@@ -86,6 +86,78 @@ def _manifest_path(out_dir: str, part: int) -> str:
     return os.path.join(out_dir, f"part={part:05d}", "_manifest.json")
 
 
+def _link_or_copy(src: str, dst: str) -> None:
+    """Hardlink (no data copy; preserved files are immutable so shared
+    inodes are safe), falling back to a copy on filesystems without link
+    support."""
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy2(src, dst)
+
+
+def _preserve_versions(pdir: str, tmp: str, old_version: int) -> None:
+    """Copy-on-write preservation into the staging dir: the superseded
+    ``data.parquet`` is linked in as ``data@{old_version}.parquet`` and
+    every previously preserved ``data@`` file is carried forward
+    (``read_store_asof`` picks the newest preserved file <= the requested
+    version).  The ONE implementation shared by overwrite rewrites,
+    incremental merges, and the stale-partition sweep."""
+    if not os.path.isdir(pdir):
+        return
+    old_data = os.path.join(pdir, "data.parquet")
+    tagged = os.path.join(tmp, f"data@{old_version}.parquet")
+    if os.path.exists(old_data) and not os.path.exists(tagged):
+        _link_or_copy(old_data, tagged)
+    for name in os.listdir(pdir):
+        if name.startswith("data@") and not os.path.exists(os.path.join(tmp, name)):
+            _link_or_copy(os.path.join(pdir, name), os.path.join(tmp, name))
+
+
+def _finalize_partition(tmp: str, pdir: str, manifest: dict) -> None:
+    """Write the manifest INTO the staging dir, then swap atomically: a
+    swapped-in partition is always manifest-complete.  Writing the
+    manifest into the live dir after the swap had a crash window that
+    left a DONE-looking dir with no (or truncated) manifest -- a retried
+    overwrite would then preserve the just-written file as version-0
+    history, and every later read/update would crash on the JSON."""
+    with open(os.path.join(tmp, "_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    _swap_partition_dir(tmp, pdir)
+
+
+def _group_digest(g) -> str:
+    """Order-insensitive content digest of a group's rows (uint64 row
+    hashes summed mod 2^64): deterministic across processes and row
+    order, so a Ray task RETRY of the same write/delta reproduces it
+    while a DIFFERENT delta at the same store version cannot."""
+    import pandas as pd
+
+    return str(int(pd.util.hash_pandas_object(g, index=False).sum()))
+
+
+def _all_done_partitions(out_dir: str) -> set[int]:
+    """Every DONE partition on disk regardless of config/layout: the
+    overwrite stale sweep must replace partitions written under ANY
+    previous config, or their rows would survive the rebuild and be
+    served alongside the rewritten copies."""
+    done: set[int] = set()
+    if not os.path.isdir(out_dir):
+        return done
+    for name in os.listdir(out_dir):
+        if not name.startswith("part=") or name.endswith((".tmp", ".old")):
+            continue
+        mpath = os.path.join(out_dir, name, "_manifest.json")
+        if os.path.exists(mpath):
+            try:
+                m = json.load(open(mpath))
+            except (json.JSONDecodeError, OSError):
+                continue
+            if m.get("status") == "DONE":
+                done.add(int(m["partition"]))
+    return done
+
+
 def completed_partitions(
     out_dir: str, config_hash: str, num_partitions: int | None = None,
     key: str | None = None,
@@ -177,58 +249,49 @@ def write_partitioned(
     # directory atomically and returns one lineage row
     def _write_group(g: pd.DataFrame) -> pd.DataFrame:
         part = int(g["partition"].iloc[0])
-        _recover_partition(os.path.join(out_dir, f"part={part:05d}"))
-        mpath_pre = os.path.join(out_dir, f"part={part:05d}", "_manifest.json")
+        digest = _group_digest(g.drop(columns=["partition"]))
+        pdir = os.path.join(out_dir, f"part={part:05d}")
+        _recover_partition(pdir)
+        mpath_pre = os.path.join(pdir, "_manifest.json")
         if overwrite and os.path.exists(mpath_pre):
             m_prev = json.load(open(mpath_pre))
             if int(m_prev.get("version", -1)) == new_version:
-                # Ray task retry after a completed-but-unreported write:
-                # the rename+manifest already landed at this version.
-                # Re-writing would preserve the just-written file as a
-                # spurious data@{new_version}.parquet; inputs are
-                # deterministic, so short-circuit to the recorded result.
-                return pd.DataFrame(
-                    {"partition": [part], "rows": [int(m_prev.get("rows", 0))]}
+                if m_prev.get("write_digest") == digest:
+                    # Ray task retry after a completed-but-unreported
+                    # write: the swap already landed at this version with
+                    # THIS content.  Re-writing would preserve the
+                    # just-written file as a spurious
+                    # data@{new_version}.parquet -- short-circuit.
+                    return pd.DataFrame(
+                        {"partition": [part], "rows": [int(m_prev.get("rows", 0))]}
+                    )
+                raise RuntimeError(
+                    f"partition {part} is already stamped at version "
+                    f"{new_version} by a DIFFERENT write (crashed run with "
+                    "other content?) -- finish/re-run that write, or remove "
+                    "the store and rebuild"
                 )
         if dedup_keys is not None:
             g = g.sort_values(dedup_keys + (dedup_order or []), kind="stable").drop_duplicates(
                 dedup_keys, keep="first"
             )
-        pdir = os.path.join(out_dir, f"part={part:05d}")
         tmp = pdir + ".tmp"
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
         os.makedirs(tmp, exist_ok=True)
         g.drop(columns=["partition"]).to_parquet(os.path.join(tmp, "data.parquet"), index=False)
-        version = new_version
         created_version = new_version
         if overwrite and os.path.isdir(pdir):
             # copy-on-write replacement: preserve the superseded file and
             # carry forward older preserved versions (same contract as
             # update_partitioned._merge_group)
-            version = new_version
             mpath0 = os.path.join(pdir, "_manifest.json")
             old_version = 0
             if os.path.exists(mpath0):
                 m_old = json.load(open(mpath0))
                 old_version = int(m_old.get("version", 0))
                 created_version = int(m_old.get("created_version", 0))
-            old_data = os.path.join(pdir, "data.parquet")
-            if os.path.exists(old_data):
-                try:
-                    os.link(old_data, os.path.join(tmp, f"data@{old_version}.parquet"))
-                except OSError:
-                    shutil.copy2(old_data, os.path.join(tmp, f"data@{old_version}.parquet"))
-            for name in os.listdir(pdir):
-                if name.startswith("data@") and not os.path.exists(os.path.join(tmp, name)):
-                    try:
-                        os.link(os.path.join(pdir, name), os.path.join(tmp, name))
-                    except OSError:
-                        shutil.copy2(os.path.join(pdir, name), os.path.join(tmp, name))
-        elif overwrite:
-            version = new_version
-            created_version = new_version
-        _swap_partition_dir(tmp, pdir)
+            _preserve_versions(pdir, tmp, old_version)
         manifest = {
             "status": "DONE",
             "partition": part,
@@ -236,11 +299,11 @@ def write_partitioned(
             "config_hash": config_hash,
             "num_partitions": num_partitions,
             "partition_key": key,
-            "version": version,
+            "version": new_version,
             "created_version": created_version,
+            "write_digest": digest,
         }
-        with open(_manifest_path(out_dir, part), "w") as f:
-            json.dump(manifest, f)
+        _finalize_partition(tmp, pdir, manifest)
         return pd.DataFrame({"partition": [part], "rows": [len(g)]})
 
     lineage = (
@@ -252,11 +315,14 @@ def write_partitioned(
         summary["partitions"][int(part)] = int(rows)
     summary["skipped"] = sorted(done)
     if overwrite:
-        # a partition whose every row moved elsewhere received no group:
-        # it must be REPLACED by an empty partition at the new version,
-        # or its stale rows would survive the rewrite
+        # a partition that received no group this run -- every row moved
+        # elsewhere, OR it was written under a DIFFERENT config/layout
+        # (read_store_asof reads every DONE partition regardless of
+        # config, so other-config leftovers would be served as
+        # duplicates) -- must be REPLACED by an empty partition at the
+        # new version
         written = set(summary["partitions"])
-        stale = completed_partitions(out_dir, config_hash, num_partitions, key) - written
+        stale = _all_done_partitions(out_dir) - written
         for part in stale:
             pdir = os.path.join(out_dir, f"part={part:05d}")
             old_data = os.path.join(pdir, "data.parquet")
@@ -269,20 +335,17 @@ def write_partitioned(
                 shutil.rmtree(tmp)
             os.makedirs(tmp, exist_ok=True)
             _pq.write_table(schema.empty_table(), os.path.join(tmp, "data.parquet"))
-            old_version = int(m_old.get("version", 0))
-            try:
-                os.link(old_data, os.path.join(tmp, f"data@{old_version}.parquet"))
-            except OSError:
-                shutil.copy2(old_data, os.path.join(tmp, f"data@{old_version}.parquet"))
-            for name in os.listdir(pdir):
-                if name.startswith("data@") and not os.path.exists(os.path.join(tmp, name)):
-                    try:
-                        os.link(os.path.join(pdir, name), os.path.join(tmp, name))
-                    except OSError:
-                        shutil.copy2(os.path.join(pdir, name), os.path.join(tmp, name))
-            with open(os.path.join(tmp, "_manifest.json"), "w") as f:
-                json.dump(dict(m_old, rows=0, version=new_version), f)
-            _swap_partition_dir(tmp, pdir)
+            _preserve_versions(pdir, tmp, int(m_old.get("version", 0)))
+            # stamped with the NEW config/layout: the emptied partition IS
+            # part of the rebuilt store (0 rows)
+            _finalize_partition(
+                tmp,
+                pdir,
+                dict(
+                    m_old, rows=0, version=new_version, config_hash=config_hash,
+                    num_partitions=num_partitions, partition_key=key,
+                ),
+            )
             summary["partitions"][int(part)] = 0
     lpath = os.path.join(out_dir, "_lineage.json")
     if os.path.exists(lpath):
@@ -356,27 +419,36 @@ def update_partitioned(
     def _merge_group(g: pd.DataFrame) -> pd.DataFrame:
         part = int(g["partition"].iloc[0])
         g = g.drop(columns=["partition"])
+        digest = _group_digest(g)
         pdir = os.path.join(out_dir, f"part={part:05d}")
         _recover_partition(pdir)
         mpath_pre = os.path.join(pdir, "_manifest.json")
         if os.path.exists(mpath_pre):
             m_prev = json.load(open(mpath_pre))
             if int(m_prev.get("version", -1)) == new_version:
-                # Ray task retry after a completed-but-unreported merge:
-                # re-merging would treat the just-merged data.parquet as
-                # "old", preserving a spurious data@{new_version}.parquet
-                # and double-counting 'added'.  The merge is deterministic
-                # and already durable -- return the recorded result.
-                return pd.DataFrame(
-                    {"partition": [part],
-                     "rows": [int(m_prev.get("rows", 0))],
-                     "added": [0]}
+                if m_prev.get("write_digest") == digest:
+                    # Ray task retry (or an identical re-applied delta)
+                    # after a completed-but-unreported merge: re-merging
+                    # would preserve a spurious data@{new_version}.parquet
+                    # and double-count 'added' -- return the recorded
+                    # result.
+                    return pd.DataFrame(
+                        {"partition": [part],
+                         "rows": [int(m_prev.get("rows", 0))],
+                         "added": [0]}
+                    )
+                raise RuntimeError(
+                    f"partition {part} is already stamped at version "
+                    f"{new_version} by a DIFFERENT delta (a previous update "
+                    "crashed before recording its lineage?) -- re-apply "
+                    "that original delta to completion first, or rebuild "
+                    "the store; merging this delta here would silently "
+                    "drop its rows"
                 )
         old_path = os.path.join(pdir, "data.parquet")
         n_old = 0
         old_version = 0
         created_version = new_version  # partition born in this update
-        old = None
         if os.path.exists(old_path):
             old = pd.read_parquet(old_path)
             n_old = len(old)
@@ -396,19 +468,8 @@ def update_partitioned(
         g.to_parquet(os.path.join(tmp, "data.parquet"), index=False)
         # copy-on-write time travel: preserve the superseded file tagged
         # with the store version it was written at, and carry forward any
-        # previously preserved versions (read_store_asof picks the newest
-        # preserved file <= the requested version)
-        if old is not None:
-            old.to_parquet(os.path.join(tmp, f"data@{old_version}.parquet"), index=False)
-        for name in os.listdir(pdir):
-            if name.startswith("data@") and not os.path.exists(os.path.join(tmp, name)):
-                # hardlink (no data copy) -- preserved versions are
-                # immutable, so shared inodes are safe; fall back to a
-                # copy on filesystems without link support
-                try:
-                    os.link(os.path.join(pdir, name), os.path.join(tmp, name))
-                except OSError:
-                    shutil.copy2(os.path.join(pdir, name), os.path.join(tmp, name))
+        # previously preserved versions
+        _preserve_versions(pdir, tmp, old_version)
         manifest = {
             "status": "DONE",
             "partition": part,
@@ -418,10 +479,9 @@ def update_partitioned(
             "partition_key": key,
             "version": new_version,
             "created_version": created_version,
+            "write_digest": digest,
         }
-        with open(os.path.join(tmp, "_manifest.json"), "w") as f:
-            json.dump(manifest, f)
-        _swap_partition_dir(tmp, pdir)
+        _finalize_partition(tmp, pdir, manifest)
         return pd.DataFrame(
             {"partition": [part], "rows": [len(g)], "added": [len(g) - n_old]}
         )

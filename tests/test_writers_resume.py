@@ -437,3 +437,87 @@ def test_crash_mid_swap_recovers_without_data_loss(ray_session, tmp_path):
     got = read_store_asof(out).to_pandas().sort_values("subj").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
     assert not os.path.isdir(victim + ".old")
+
+
+def test_update_rejects_different_delta_after_crashed_update(ray_session, tmp_path):
+    """A partition stamped at version N by a crashed update (manifest
+    written, lineage append lost) must REJECT a different delta at the
+    same version -- silently short-circuiting would drop its rows -- while
+    re-applying the IDENTICAL delta still short-circuits (idempotence)."""
+    import json as _json
+
+    import pytest
+    import ray.data as rd
+
+    from ontology_time_machine_ray.sources.writers import (
+        update_partitioned,
+        write_partitioned,
+    )
+
+    def mk(subjs, doc):
+        df = pd.DataFrame(
+            {"subj": subjs, "pred": ["p"] * len(subjs),
+             "obj": ["o"] * len(subjs), "doc_id": [doc] * len(subjs)}
+        )
+        return rd.from_pandas(df)
+
+    kw = dict(num_partitions=2, config_hash="cfgX", key="subj",
+              dedup_keys=["subj", "pred", "obj"], dedup_order=["doc_id"])
+    out = str(tmp_path / "store")
+    write_partitioned(mk([f"s{i}" for i in range(20)], "d0"), out, **kw)
+
+    # apply delta A, then simulate the crash: erase the lineage append so
+    # the store version count rolls back while manifests stay stamped
+    update_partitioned(mk([f"t{i}" for i in range(20)], "dA"), out, **kw)
+    lpath = os.path.join(out, "_lineage.json")
+    lin = _json.load(open(lpath))
+    lin["updates"] = []
+    _json.dump(lin, open(lpath, "w"))
+
+    # DIFFERENT delta B at the same version: loud error, never silent loss
+    with pytest.raises(Exception, match="DIFFERENT delta"):
+        update_partitioned(mk([f"u{i}" for i in range(20)], "dB"), out, **kw)
+
+    # identical delta A re-applied: idempotent no-op (rows added == 0)
+    # that completes the crashed update's missing lineage append...
+    again = update_partitioned(mk([f"t{i}" for i in range(20)], "dA"), out, **kw)
+    assert sum(again["added"].values()) == 0
+
+    # ...after which delta B merges normally at the NEXT version
+    ok = update_partitioned(mk([f"u{i}" for i in range(20)], "dB"), out, **kw)
+    assert sum(ok["added"].values()) == 20
+
+
+def test_overwrite_sweeps_other_config_partitions(ray_session, tmp_path):
+    """An overwrite rebuild under a NEW config must also empty partitions
+    written under the OLD config (read_store_asof reads every DONE
+    partition regardless of config, so leftovers would be double-served)."""
+    import ray.data as rd
+
+    from ontology_time_machine_ray.sources.writers import (
+        read_store_asof,
+        write_partitioned,
+    )
+
+    def mk(subjs, doc):
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"subj": subjs, "pred": ["p"] * len(subjs),
+                 "obj": ["o"] * len(subjs), "doc_id": [doc] * len(subjs)}
+            )
+        )
+
+    out = str(tmp_path / "store")
+    # config A: rows spread over many subjects -> many partitions hold data
+    write_partitioned(mk([f"s{i}" for i in range(40)], "dA"), out,
+                      num_partitions=8, config_hash="cfgA",
+                      dedup_keys=["subj", "pred", "obj"], dedup_order=["doc_id"])
+    # overwrite under config B with rows hashing to FEW partitions
+    write_partitioned(mk(["s0", "s0", "s1"], "dB"), out,
+                      num_partitions=8, config_hash="cfgB", overwrite=True,
+                      dedup_keys=["subj", "pred", "obj"], dedup_order=["doc_id"])
+    latest = read_store_asof(out, version=None,
+                             columns=["subj", "pred", "obj", "doc_id"]).to_pandas()
+    # ONLY config-B rows survive; config-A leftovers must be swept
+    assert set(latest["doc_id"]) == {"dB"}
+    assert len(latest) == 2  # s0 deduped
