@@ -51,7 +51,7 @@ GENERATOR_VERSION = "otm-fixtures-v2"
 #: embeddings_aug/client_auth).  Bumping this rewrites only those tables
 #: (<1 s) and leaves the expensive documents corpus untouched -- bench
 #: corpora at x800/x1600 stay valid across small-table semantic changes.
-SMALL_TABLES_VERSION = "small-v8"
+SMALL_TABLES_VERSION = "small-v9"
 FIXTURE_ROOT = "/tmp/otm_fixtures"
 
 N_INDEX = 48  # in-index ontologies O000..O047
@@ -292,7 +292,7 @@ def build_origins() -> pa.Table:
 def build_snapshots() -> tuple[pa.Table, pa.Table]:
     content = {k: [] for k in ("ontology_id", "version", "version_ts", "classes",
                                "properties", "same_as_a", "same_as_b",
-                               "equiv_a", "equiv_b")}
+                               "equiv_a", "equiv_b", "subclass_a", "subclass_b")}
     status = {k: [] for k in ("ontology_id", "version", "format", "status", "status_https")}
     for k in range(N_INDEX):
         cbase = term_base(k)
@@ -329,6 +329,22 @@ def build_snapshots() -> tuple[pa.Table, pa.Table]:
             content["same_as_b"].append(sb)
             content["equiv_a"].append(ea)
             content["equiv_b"].append(eb)
+            # rdfs:subClassOf edges: a within-version chain C_i -> C_{i-1}
+            # over the SAME term base as `classes` (so the NIR foreign-
+            # content plant stays self-consistent), plus sparse
+            # cross-ontology edges C0(k) -> C1(k+3) that splice chains
+            # into multi-ontology hierarchies.  Acyclic by construction
+            # (chains point strictly downward in i; cross edges land on a
+            # different base's chain interior, never back).
+            sca, scb = [], []
+            for i in range(1, 2 + j):
+                sca.append(f"{tbase}#C{i}")
+                scb.append(f"{tbase}#C{i - 1}")
+            if j >= 1 and k % 6 == 2 and k + 3 < N_INDEX:
+                sca.append(f"{tbase}#C0")
+                scb.append(f"{term_base(k + 3)}#C1")
+            content["subclass_a"].append(sca)
+            content["subclass_b"].append(scb)
             for fmt in FORMATS:
                 st = 200
                 st_https = 200

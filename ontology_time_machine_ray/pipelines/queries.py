@@ -872,6 +872,58 @@ def kg_reachability(sf_dir: str, max_hops: int = KG_REACH_HOPS):
     return grouped_aggregate(allu, ["a", "b"], {"hops": ("hops", "min")}, bucket_keys=["a", "b"])
 
 
+def kg_subclass_closure(sf_dir: str):
+    """RDFS entailment materialization (rdfs11): the transitive closure
+    of the ``rdfs:subClassOf`` hierarchy carried by the AS-OF-resolved
+    snapshot of every archived ontology, with the minimum subsumption
+    depth per (subclass, superclass) pair.  The reference's whole premise
+    is serving time-coordinate-resolved ontology versions
+    (proxy_logic.py's timestampArchived route); this is the reasoning
+    step a consumer runs over exactly that resolved set.
+
+    Distributed shape: the as-of version pick is one grouped head-1 per
+    ontology (vocabulary-scale), edge extraction is a vectorized list
+    explode inside ``map_batches``, and the closure is synchronous BFS --
+    one bucketed join + one anti join per level, frontier-sized shuffles,
+    no driver graph state (stages/graph.py closure_with_depth).  Oracle:
+    a recursive CTE with min(depth) per pair."""
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.graph import closure_with_depth
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply
+
+    p = _pipe(sf_dir)
+    t = p.config.timestamp
+    content = rd.read_parquet(
+        p.paths.snapshot_content,
+        columns=["ontology_id", "version", "subclass_a", "subclass_b"],
+    ).map_batches(
+        # prune BEFORE the per-ontology shuffle: only versions <= T can win
+        lambda df: df[df["version"] <= t], batch_format="pandas"
+    )
+    asof = grouped_apply(
+        content,
+        ["ontology_id"],
+        lambda g: g.sort_values(
+            ["ontology_id", "version"], ascending=[True, False], kind="stable"
+        ).drop_duplicates("ontology_id", keep="first"),
+    )
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["subclass_a", "subclass_b"]].explode(["subclass_a", "subclass_b"])
+        out = out.dropna()
+        return pd.DataFrame(
+            {"a": out["subclass_a"].astype(object), "b": out["subclass_b"].astype(object)}
+        )
+
+    edges = asof.map_batches(explode, batch_format="pandas")
+    out = closure_with_depth(edges)
+    return out.map_batches(
+        lambda df: df.rename(columns={"a": "subclass", "b": "superclass"}),
+        batch_format="pandas",
+    )
+
+
 def kg_cooccur_triangles(sf_dir: str):
     """Ontology co-usage graph analytics: distinct co-mention edges per
     document, then degree-oriented distributed triangle counting (Suri &
@@ -1563,6 +1615,7 @@ QUERIES = {
     "kg_nt_roundtrip": kg_nt_roundtrip,
     "kg_kcore": kg_kcore,
     "kg_reachability": kg_reachability,
+    "kg_subclass_closure": kg_subclass_closure,  # rdfs11 entailment, min depth
     "media_catalog": media_catalog,
     "media_frames": media_frames,
     "media_decode": media_decode,
@@ -1681,6 +1734,7 @@ _KG_ORACLE_NAMES = (
     "kg_bgp_optional",
     "kg_nt_roundtrip",
     "kg_reachability",
+    "kg_subclass_closure",
     "kg_incremental_canonical",
     "kg_intercept_archivo",
     "kg_intercept_modes",

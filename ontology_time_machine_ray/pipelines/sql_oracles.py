@@ -553,6 +553,24 @@ u AS (SELECT a, b, 1 AS hops FROM e
       UNION ALL SELECT a, b, 2 FROM h2
       UNION ALL SELECT a, b, 3 FROM h3)
 SELECT a, b, CAST(min(hops) AS BIGINT) AS hops FROM u GROUP BY a, b""",
+        # rdfs11 entailment over the as-of-resolved class hierarchy:
+        # recursive closure with min subsumption depth per pair (the
+        # fixture hierarchy is a DAG, so the depth-carrying recursion
+        # terminates)
+        "kg_subclass_closure": """WITH RECURSIVE
+content AS (SELECT * FROM read_parquet('__ROOT__/snapshot_content.parquet')),
+vpick AS (SELECT ontology_id, max(version) AS v FROM content
+          WHERE version <= '__T__' GROUP BY 1),
+sel AS (SELECT c.subclass_a, c.subclass_b FROM content c
+        JOIN vpick a ON a.ontology_id = c.ontology_id AND a.v = c.version),
+e AS (SELECT DISTINCT unnest(subclass_a) AS a, unnest(subclass_b) AS b FROM sel),
+r AS (
+  SELECT a, b, 1 AS depth FROM e
+  UNION
+  SELECT r.a, e.b, r.depth + 1 FROM r JOIN e ON e.a = r.b
+)
+SELECT a AS subclass, b AS superclass, CAST(min(depth) AS BIGINT) AS depth
+FROM r GROUP BY 1, 2""",
         # incremental build+update must equal the one-shot build, so it
         # shares the kg_triples statement -- the equality IS the claim
         "kg_incremental": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES}\n"

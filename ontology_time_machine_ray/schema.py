@@ -63,6 +63,14 @@ SNAPSHOT_CONTENT_SCHEMA = pa.schema(
         ("same_as_b", pa.list_(pa.string())),
         ("equiv_a", pa.list_(pa.string())),
         ("equiv_b", pa.list_(pa.string())),
+        # rdfs:subClassOf edges (subclass_a[i] subClassOf subclass_b[i]):
+        # the class-hierarchy dimension an ontology snapshot carries;
+        # consumed by the RDFS-entailment closure (kg_subclass_closure).
+        # Consumers that predate the column access rows by NAME, so it is
+        # additive (SnapshotStore, the RDF-parse rebuild and every oracle
+        # CTE ignore it).
+        ("subclass_a", pa.list_(pa.string())),
+        ("subclass_b", pa.list_(pa.string())),
     ]
 )
 

@@ -33,6 +33,46 @@ def test_transitive_closure_paths_agree(ray_session, limit):
     assert got == WANT
 
 
+#: min-depth expectations over EDGES: chain depths count hops; cycle
+#: nodes reach themselves at the cycle length (2 here).
+WANT_DEPTH = {
+    ("a", "b"): 1, ("a", "c"): 2, ("a", "d"): 3,
+    ("b", "c"): 1, ("b", "d"): 2,
+    ("c", "d"): 1,
+    ("x", "y"): 1, ("x", "x"): 2, ("y", "x"): 1, ("y", "y"): 2,
+    ("p", "q"): 1, ("p", "p"): 2, ("q", "p"): 1, ("q", "q"): 2,
+}
+
+
+@pytest.mark.parametrize("limit", [None, 0], ids=["driver-bfs", "distributed-bfs"])
+def test_closure_with_depth_paths_agree(ray_session, limit):
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.graph import closure_with_depth
+
+    kw = {} if limit is None else {"small_edges_limit": limit}
+    out = closure_with_depth(rd.from_pandas(EDGES), **kw).to_pandas()
+    got = {(a, b): int(d) for a, b, d in zip(out["a"], out["b"], out["depth"])}
+    assert got == WANT_DEPTH
+
+
+def test_closure_with_depth_round_cap(ray_session):
+    """max_rounds truncates BFS depth (pairs beyond the cap are absent),
+    on BOTH paths."""
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.graph import closure_with_depth
+
+    chain = pd.DataFrame({"a": ["n1", "n2", "n3"], "b": ["n2", "n3", "n4"]})
+    for kw in ({}, {"small_edges_limit": 0}):
+        out = closure_with_depth(rd.from_pandas(chain), max_rounds=2, **kw).to_pandas()
+        got = {(a, b): int(d) for a, b, d in zip(out["a"], out["b"], out["depth"])}
+        assert got == {
+            ("n1", "n2"): 1, ("n2", "n3"): 1, ("n3", "n4"): 1,
+            ("n1", "n3"): 2, ("n2", "n4"): 2,
+        }
+
+
 def test_cli_smoke(ray_session, sf_dir, tmp_path):
     """The __main__ CLI builds a store end-to-end inside this session."""
     from ontology_time_machine_ray.__main__ import main
