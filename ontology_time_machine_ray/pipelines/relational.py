@@ -30,7 +30,9 @@ from ontology_time_machine_ray.stages.groupagg import grouped_aggregate, grouped
 
 
 def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    from ontology_time_machine_ray.sources.readers import sized_read_parquet
+
+    return sized_read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
 # --------------------------------------------------------------------- #
@@ -346,15 +348,14 @@ def sample_docs_hash(sf_dir: str) -> rd.Dataset:
     md5(text) starts with '0' or '1' -- reproducible across engines and
     partitionings (unlike seeded random sampling, whose result depends on
     block layout)."""
-    import ray.data as rd
-
     from ontology_time_machine_ray.functions.hashing import content_md5_series
+    from ontology_time_machine_ray.sources.readers import sized_read_parquet
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         fp = content_md5_series(df["text"].fillna(""))
         return df[fp.str[0].isin(["0", "1"])][["doc_id"]]
 
-    return rd.read_parquet(
+    return sized_read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     ).map_batches(pick, batch_format="pandas")
 
@@ -492,25 +493,28 @@ def q3_shipping(sf_dir: str) -> pd.DataFrame:
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
     ).map_batches(item_partials, batch_format="pandas")
 
-    j = bucketed_join(
+    def agg_top10(df: pd.DataFrame) -> pd.DataFrame:
+        # rides the join's exchange (post hook): the bucket holds every
+        # row of each orderkey, so the per-order sum is exact here, and
+        # the bucket-local top-10 bounds what reaches the driver
+        return (
+            df.groupby(
+                ["o_orderkey", "o_orderdate", "o_orderpriority"],
+                as_index=False, sort=False,
+            )
+            .agg(rev_e4=("rev_e4", "sum"))
+            .sort_values(["rev_e4", "o_orderkey"], ascending=[False, True])
+            .head(10)
+        )
+
+    parts = bucketed_join(
         items,
         o2,
         on=["o_orderkey"],
         how="inner",
         left_schema={"o_orderkey": "int64", "rev_e4": "int64"},
         right_schema={k: v for k, v in _ohints.items() if k != "o_custkey"},
-    )
-    agg = grouped_aggregate(
-        j,
-        ["o_orderkey", "o_orderdate", "o_orderpriority"],
-        {"rev_e4": ("rev_e4", "sum")},
-        bucket_keys=["o_orderkey"],
-    )
-    parts = agg.map_batches(
-        lambda df: df.sort_values(
-            ["rev_e4", "o_orderkey"], ascending=[False, True]
-        ).head(10),
-        batch_format="pandas",
+        post=agg_top10,
     ).to_pandas()
     top = (
         parts.sort_values(["rev_e4", "o_orderkey"], ascending=[False, True])

@@ -31,6 +31,7 @@ import pandas as pd
 import ray.data as rd
 
 from ontology_time_machine_ray.functions.hashing import md5_hash64_series
+from ontology_time_machine_ray.sources.readers import sized_read_parquet
 
 #: document-frequency cap for shingle-based pair generation (skew guard).
 MAX_SHINGLE_DF = 50
@@ -84,7 +85,7 @@ def _shingle_explode(texts: pd.Series, n: int = 3):
 
 
 def _read_docs(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return sized_read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
 
 
 # --------------------------------------------------------------------- #

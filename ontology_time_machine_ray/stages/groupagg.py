@@ -133,9 +133,19 @@ def bucketed_join(
     salt: int = 1,
     left_schema: dict | None = None,
     right_schema: dict | None = None,
+    post: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
 ):
     """Large x large hash join: both sides bucketed on the key, co-located
     by ONE shuffle on the union, merged vectorized inside each bucket.
+
+    ``post``: optional per-bucket transform applied to the merged result
+    INSIDE the join's exchange.  The bucket holds every row of every join
+    key that hashes to it, so any per-``on``-key (or coarser function of
+    ``on``) aggregation/filter/top-k is exact here -- riding the join's
+    shuffle instead of paying a second one (the ``bucket_keys`` rationale
+    of grouped_apply).  Must NOT group by columns that don't determine
+    the bucket.  Not composable with ``salt > 1`` (a salted key's rows
+    span sub-buckets).
 
     ``left_schema`` / ``right_schema``: optional ``{column: numpy dtype
     string}`` hints covering EVERY column of that side (keys included).
@@ -171,6 +181,10 @@ def bucketed_join(
     assert salt == 1 or how in ("inner", "left", "semi", "anti"), (
         "salt>1 would duplicate unmatched right rows under outer/right "
         "(each replica is unmatched at its own sub-key)"
+    )
+    assert post is None or salt == 1, (
+        "post runs per bucket, but salt>1 spreads one key's rows across "
+        "sub-buckets -- a per-key post there would be partial, not exact"
     )
     if left_schema is not None:
         lnames, ldtypes = list(left_schema), dict(left_schema)
@@ -262,7 +276,9 @@ def bucketed_join(
                         casts[c] = "float64"
                 if casts:
                     out = out.astype(casts)
-        return out.drop(columns=["_salt"]) if salt > 1 else out
+        if salt > 1:
+            out = out.drop(columns=["_salt"])
+        return post(out) if post is not None else out
 
     return grouped_apply(both, join_cols, merge_bucket, num_buckets)
 

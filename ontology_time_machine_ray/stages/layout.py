@@ -23,6 +23,8 @@ import os
 import pandas as pd
 import ray.data as rd
 
+from ontology_time_machine_ray.sources.readers import sized_read_parquet
+
 #: clustering buckets for the lineitem price layout.
 N_RANGE_BUCKETS = 16
 #: the benchmark range predicate (cents): covers ~2-3 of 16 buckets.
@@ -35,7 +37,7 @@ def _hist_boundaries(sf_dir: str, n_buckets: int) -> list[int]:
     exact value histogram of l_extendedprice."""
     from ontology_time_machine_ray.stages.groupagg import grouped_aggregate
 
-    ds = rd.read_parquet(
+    ds = sized_read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"]
     ).map_batches(
         lambda df: df.assign(
@@ -123,7 +125,7 @@ def build_range_layout(
             ),
         )
 
-    assigned = rd.read_parquet(
+    assigned = sized_read_parquet(
         src, columns=["l_orderkey", "l_returnflag", "l_extendedprice"]
     ).map_batches(assign, batch_format="pandas")
 
@@ -191,7 +193,7 @@ def range_layout_query(
                  "sum_price_c": pd.Series(dtype="int64")}
             )
         )
-    ds = rd.read_parquet(
+    ds = sized_read_parquet(
         [os.path.join(d, "data.parquet") for d in dirs],
         columns=["l_returnflag", "price_c"],
     )
@@ -235,7 +237,7 @@ def _grid_boundaries(sf_dir: str) -> tuple[list[int], list[int]]:
     (both value histograms come out of the same read)."""
     from ontology_time_machine_ray.stages.groupagg import grouped_aggregate
 
-    ds = rd.read_parquet(
+    ds = sized_read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_extendedprice", "l_shipdate"],
     ).map_batches(
@@ -313,7 +315,7 @@ def build_grid_layout(sf_dir: str) -> tuple[str, list[int], list[int]]:
         ).astype("int64")
         return df.assign(price_c=price_c, day=day, cell=cell)
 
-    assigned = rd.read_parquet(
+    assigned = sized_read_parquet(
         src, columns=["l_returnflag", "l_extendedprice", "l_shipdate"]
     ).map_batches(assign, batch_format="pandas")
 
@@ -382,7 +384,7 @@ def grid_layout_query(
                  "sum_price_c": pd.Series(dtype="int64")}
             )
         )
-    ds = rd.read_parquet(
+    ds = sized_read_parquet(
         [os.path.join(d, "data.parquet") for d in dirs],
         columns=["l_returnflag", "price_c", "day"],
     )

@@ -37,6 +37,7 @@ import ray.data as rd
 # one reader + one token rule shared with the text family: shard
 # boundaries here must agree with text_stats' n_tokens by construction
 from ontology_time_machine_ray.stages.textops import TOKEN_RE, _read_docs
+from ontology_time_machine_ray.sources.readers import sized_read_parquet
 
 
 def _token_counts(df: pd.DataFrame) -> pd.DataFrame:
@@ -350,7 +351,7 @@ def corpus_mix(
 
     if docs_ds is None:
         # prune at the read: the mix never needs the text column
-        docs_ds = rd.read_parquet(
+        docs_ds = sized_read_parquet(
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
         )
     else:

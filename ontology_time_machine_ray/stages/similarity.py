@@ -35,13 +35,14 @@ import ray
 import ray.data as rd
 
 from ontology_time_machine_ray.functions.broadcast import cached_get as _cached_get
+from ontology_time_machine_ray.sources.readers import sized_read_parquet
 
 
 def _read_emb(path_or_sf_dir: str) -> rd.Dataset:
     path = path_or_sf_dir
     if not path.endswith(".parquet"):
         path = os.path.join(path, "embeddings.parquet")
-    return rd.read_parquet(path, columns=["vec_id", "embedding"])
+    return sized_read_parquet(path, columns=["vec_id", "embedding"])
 
 
 def default_queries(sf_dir: str, n: int = 3) -> pd.DataFrame:

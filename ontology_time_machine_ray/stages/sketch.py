@@ -26,6 +26,7 @@ import pandas as pd
 import ray.data as rd
 
 from ontology_time_machine_ray.functions.hashing import stable_hash64_series
+from ontology_time_machine_ray.sources.readers import sized_read_parquet
 
 
 def kmv_partial(values: pd.Series, k: int) -> np.ndarray:
@@ -84,7 +85,7 @@ def distinct_customers_sketch(sf_dir: str, k: int = 32768) -> pd.DataFrame:
     still only k * 8 bytes = 256 KB per block."""
     import os
 
-    ds = rd.read_parquet(
+    ds = sized_read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
     )
     n = distinct_count_sketch(ds, "o_custkey", k)
@@ -151,7 +152,7 @@ def top_terms_sketch(sf_dir: str, k_counters: int = 4096, top: int = 20) -> pd.D
     corpus scale instead of shuffling the full term table."""
     import os
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    docs = sized_read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
 
     def explode_terms(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].fillna("").str.lower().str.findall(r"\S+")

@@ -18,6 +18,7 @@ from ontology_time_machine_ray.functions.hashing import (
     content_md5_series,
     md5_prefix_int_series,
 )
+from ontology_time_machine_ray.sources.readers import sized_read_parquet
 
 #: marker words per language for the n-gram/keyword language heuristic.
 LANG_MARKERS = {
@@ -35,7 +36,7 @@ TOKEN_RE = r"\S+"
 
 
 def _read_docs(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return sized_read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
 
 
 def _word_count(texts: pd.Series, word: str) -> pd.Series:
@@ -361,7 +362,7 @@ def sample_weighted(sf_dir: str, k: int = SAMPLE_W_K) -> pd.DataFrame:
     pattern)."""
     import numpy as np
 
-    docs = rd.read_parquet(
+    docs = sized_read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
     )
 
@@ -1091,7 +1092,7 @@ def pii_scrub(docs_path: str) -> rd.Dataset:
     registry query) or an sf_dir containing documents.parquet."""
     if not docs_path.endswith(".parquet"):
         docs_path = os.path.join(docs_path, "documents.parquet")
-    docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    docs = sized_read_parquet(docs_path, columns=["doc_id", "text"])
     return docs.map_batches(pii_scrub_batch, batch_format="pandas")
 
 
@@ -1395,4 +1396,4 @@ def sample_per_group(sf_dir: str, k: int = SPG_K) -> rd.Dataset:
 
 
 def _read_docs_cols(sf_dir: str, columns: list) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    return sized_read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
