@@ -204,3 +204,36 @@ def test_ntriples_full_line_grammar(ray_session, tmp_path):
         '"lit val"^^<http://www.w3.org/2001/XMLSchema#int>',
         "_:b1",
     ]
+
+
+def test_sized_read_parquet_block_counts(ray_session, tmp_path):
+    """Block count is derived from data size: tiny tables collapse to ONE
+    block (no per-block exchange tax), bigger tables are floored at the
+    cluster CPU count; `columns` pruning is honored either way."""
+    import numpy as np
+    import ray
+
+    from ontology_time_machine_ray.sources.readers import sized_read_parquet
+
+    tiny = tmp_path / "tiny.parquet"
+    pd.DataFrame({"k": range(100), "v": range(100)}).to_parquet(tiny)
+    ds = sized_read_parquet(str(tiny), columns=["k"])
+    assert ds.schema().names == ["k"]
+    assert ds.materialize().num_blocks() == 1
+
+    # ~48 MB on disk (incompressible) -> est = 48*6/32 = 9 > 1, so the
+    # block count floors at the cluster CPU count
+    big = tmp_path / "big.parquet"
+    rng = np.random.default_rng(7)
+    n = 3_000_000
+    pd.DataFrame(
+        {"k": np.arange(n), "v": rng.integers(0, 2**62, n)}
+    ).to_parquet(big, compression=None, row_group_size=100_000)
+    nb = sized_read_parquet(str(big)).materialize().num_blocks()
+    cpus = int(ray.cluster_resources().get("CPU", 0))
+    assert nb >= cpus
+
+    # list-of-files input (the pruned layout-read shape)
+    ds2 = sized_read_parquet([str(tiny), str(tiny)])
+    assert ds2.count() == 200
+    assert ds2.materialize().num_blocks() == 1
