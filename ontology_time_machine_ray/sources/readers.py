@@ -42,7 +42,10 @@ def sized_read_parquet(path: str, columns=None, inflate: int = 6) -> rd.Dataset:
     collapse to ONE block, while anything big enough to parallelize is
     floored at the CPU count so vectorized map stages keep the machine
     busy.  The same formula yields thousands of blocks at 100 TB, so it
-    is scale-correct, not a small-data tune.
+    is scale-correct, not a small-data tune.  The 8192 cap bounds READ
+    TASKS, not block size: past ~256 GB per read, Ray's dynamic block
+    splitting still slices each task's output at the context's
+    target_max_block_size, so worker heaps stay bounded.
     """
     import glob as _glob
 
