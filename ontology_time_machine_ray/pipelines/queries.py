@@ -979,6 +979,23 @@ def kg_bgp_optional(sf_dir: str):
     )
 
 
+def kg_bgp_minus(sf_dir: str):
+    """BGP with SPARQL negation (MINUS / FILTER NOT EXISTS): owl:sameAs
+    pairs whose peer is NOT typed owl:Class -- the complement slice
+    kg_bgp keeps.  The negated group matches as its own BGP and is
+    removed by ONE bucketed anti join on the shared variable; only the
+    shared column ships to the anti side."""
+    from ontology_time_machine_ray.schema import OWL_CLASS, OWL_SAME_AS, RDF_TYPE
+    from ontology_time_machine_ray.stages.bgp import bgp_match
+
+    t = _pipe(sf_dir).triples().select_columns(["subj", "pred", "obj"]).materialize()
+    return bgp_match(
+        t,
+        [("?cls", OWL_SAME_AS, "?peer")],
+        minus=[[("?peer", RDF_TYPE, OWL_CLASS)]],
+    )
+
+
 KG_KCORE_K = 2
 KG_KCORE_ROUNDS = 3
 
@@ -1612,6 +1629,7 @@ QUERIES = {
     "kg_two_hop": kg_two_hop,
     "kg_bgp": kg_bgp,
     "kg_bgp_optional": kg_bgp_optional,
+    "kg_bgp_minus": kg_bgp_minus,
     "kg_nt_roundtrip": kg_nt_roundtrip,
     "kg_kcore": kg_kcore,
     "kg_reachability": kg_reachability,
@@ -1732,6 +1750,7 @@ _KG_ORACLE_NAMES = (
     "kg_two_hop",
     "kg_bgp",
     "kg_bgp_optional",
+    "kg_bgp_minus",
     "kg_nt_roundtrip",
     "kg_reachability",
     "kg_subclass_closure",

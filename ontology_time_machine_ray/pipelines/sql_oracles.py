@@ -541,6 +541,16 @@ SELECT sa.subj AS cls, sa.obj AS peer, tp.obj AS ptype
 FROM t sa
 LEFT JOIN t tp ON tp.subj = sa.obj AND tp.pred = '{RDF_TYPE}'
 WHERE sa.pred = '{SAME_AS}'""",
+        # SPARQL negation (MINUS / FILTER NOT EXISTS with shared vars):
+        # anti join in the binding algebra
+        "kg_bgp_minus": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
+        f"""t AS (SELECT DISTINCT subj, pred, obj FROM dedup)
+SELECT sa.subj AS cls, sa.obj AS peer
+FROM t sa
+WHERE sa.pred = '{SAME_AS}'
+  AND NOT EXISTS (SELECT 1 FROM t tp
+                  WHERE tp.subj = sa.obj AND tp.pred = '{RDF_TYPE}'
+                    AND tp.obj = '{OWL_CLASS}')""",
         # bounded-hop reachability: the kg_reachability frontier expansion
         # unrolled (walks of length 1..3, min hops per pair)
         "kg_reachability": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"

@@ -85,6 +85,7 @@ def bgp_match(
     triples,
     patterns: Sequence[Sequence[str]],
     optional: Sequence[Sequence[str]] = (),
+    minus: Sequence[Sequence[Sequence[str]]] = (),
 ):
     """Match a conjunction of triple patterns; returns a Dataset of the
     distinct variable bindings (one column per ``?variable``).
@@ -95,6 +96,18 @@ def bgp_match(
     columns.  Each optional must share a variable with the REQUIRED
     prefix (optionals are independent of each other -- chained
     optional-on-optional scoping is not modeled).
+
+    ``minus`` entries are SPARQL negation: each entry is a pattern GROUP
+    (a list of patterns, even for a single one) matched as its own
+    conjunctive BGP, then removed from the required bindings by ONE
+    bucketed ANTI join on the shared variables -- rows for which a
+    compatible group binding EXISTS are dropped.  Each group must share
+    a variable with the required match: with shared variables SPARQL's
+    MINUS and FILTER NOT EXISTS coincide, and the disconnected forms
+    (MINUS = no-op, NOT EXISTS = all-or-nothing) are never the query a
+    caller means, so they error loudly like a disconnected pattern.
+    Negation applies to the REQUIRED match, before optionals (SPARQL
+    group scoping), and the anti side ships only the shared columns.
 
     ``triples`` must be distinct on (subj, pred, obj) -- the deduped
     store guarantees it -- and should be ``materialize()``d by the
@@ -121,6 +134,37 @@ def bgp_match(
             right_schema=scan_schema,
         )
         acc_schema = {**acc_schema, **scan_schema}
+    for group in minus:
+        if group and isinstance(group[0], str):
+            raise ValueError(
+                f"minus entry {group} is a bare pattern -- each entry is a "
+                "pattern GROUP; wrap it in a list: minus=[[pattern]]"
+            )
+        sub = bgp_match(triples, group)
+        sub_schema: dict[str, str] = {}
+        for pattern in group:
+            for pos, term in zip(_POS, pattern):
+                if _is_var(term):
+                    sub_schema.setdefault(term[1:], "object")
+        shared = [v for v in acc_schema if v in sub_schema]
+        if not shared:
+            raise ValueError(
+                f"minus group {group} shares no variable with the required "
+                "match -- a disconnected negation is either a no-op (MINUS) "
+                "or all-or-nothing (NOT EXISTS); neither is ever the plan"
+            )
+        keys = sub.map_batches(
+            lambda df, cols=tuple(shared): df[list(cols)].drop_duplicates(),
+            batch_format="pandas",
+        )
+        acc = bucketed_join(
+            acc,
+            keys,
+            on=shared,
+            how="anti",
+            left_schema=acc_schema,
+            right_schema={v: "object" for v in shared},
+        )
     required_vars = set(acc_schema)
     for pattern in optional:
         scan, scan_schema = _scan(triples, pattern)

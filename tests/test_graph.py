@@ -399,3 +399,68 @@ def test_bgp_optional_left_join_semantics(ray_session):
             [("?p", "knows", "?q")],
             optional=[("?p", "age", "?age"), ("?q", "age", "?age")],
         )
+
+
+def test_bgp_minus_anti_join_semantics(ray_session):
+    """MINUS groups remove required bindings with a compatible group
+    match (anti-join algebra); a multi-pattern group is existential over
+    its internal variables; disconnected and bare-pattern misuse error."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.bgp import bgp_match
+
+    t = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "subj": ["a", "b", "c", "b", "c", "x"],
+                "pred": ["knows", "knows", "knows", "age", "city", "lives"],
+                "obj": ["b", "c", "d", "41", "rome", "rome"],
+            }
+        )
+    )
+    # drop knowers that have an age triple: removes (b knows c)
+    out = (
+        bgp_match(t, [("?p", "knows", "?q")], minus=[[("?p", "age", "?v")]])
+        .to_pandas()
+        .sort_values("p")
+    )
+    assert list(map(tuple, out[["p", "q"]].values)) == [("a", "b"), ("c", "d")]
+
+    # multi-pattern group, existential over its internal variable ?w:
+    # drop ?p whose city is lived in by anyone -> removes (c knows d)
+    out2 = (
+        bgp_match(
+            t,
+            [("?p", "knows", "?q")],
+            minus=[[("?p", "city", "?cty"), ("?w", "lives", "?cty")]],
+        )
+        .to_pandas()
+        .sort_values("p")
+    )
+    assert list(map(tuple, out2[["p", "q"]].values)) == [("a", "b"), ("b", "c")]
+
+    # two independent groups compose (each its own anti join)
+    out3 = bgp_match(
+        t,
+        [("?p", "knows", "?q")],
+        minus=[[("?p", "age", "?v")], [("?p", "city", "?cty")]],
+    ).to_pandas()
+    assert list(map(tuple, out3[["p", "q"]].values)) == [("a", "b")]
+
+    # negation composes with OPTIONAL (minus first, then left join)
+    out4 = bgp_match(
+        t,
+        [("?p", "knows", "?q")],
+        optional=[("?q", "age", "?age")],
+        minus=[[("?p", "city", "?cty")]],
+    ).to_pandas().sort_values("p").reset_index(drop=True)
+    assert out4["p"].tolist() == ["a", "b"]
+    # (a knows b): b has an age triple -> bound; (b knows c): c has none
+    assert out4.loc[0, "age"] == "41" and pd.isna(out4.loc[1, "age"])
+
+    with pytest.raises(ValueError, match="shares no variable with the required"):
+        bgp_match(t, [("?p", "knows", "?q")], minus=[[("?z", "age", "?v")]])
+    with pytest.raises(ValueError, match="bare pattern"):
+        bgp_match(t, [("?p", "knows", "?q")], minus=[("?p", "age", "?v")])
