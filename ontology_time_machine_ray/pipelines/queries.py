@@ -996,6 +996,47 @@ def kg_bgp_minus(sf_dir: str):
     )
 
 
+def kg_bgp_union(sf_dir: str):
+    """BGP with SPARQL UNION over heterogeneous branches: sameAs pairs,
+    equivalentClass pairs, and isDefinedBy memberships as one solution
+    relation -- branches bind DIFFERENT variables (peer vs ont), so the
+    union NULL-pads per SPARQL solution-mapping semantics; one bucketed
+    null-consistent distinct removes cross-branch duplicates."""
+    from ontology_time_machine_ray.schema import (
+        OWL_EQUIVALENT_CLASS,
+        OWL_SAME_AS,
+        RDFS_IS_DEFINED_BY,
+    )
+    from ontology_time_machine_ray.stages.bgp import bgp_union
+
+    t = _pipe(sf_dir).triples().select_columns(["subj", "pred", "obj"]).materialize()
+    return bgp_union(
+        t,
+        [
+            [("?cls", OWL_SAME_AS, "?peer")],
+            [("?cls", OWL_EQUIVALENT_CLASS, "?peer")],
+            [("?cls", RDFS_IS_DEFINED_BY, "?ont")],
+        ],
+    )
+
+
+def kg_construct(sf_dir: str):
+    """SPARQL CONSTRUCT -- the entailment-materialization primitive:
+    symmetrize owl:sameAs and propagate owl:Class typing across it
+    (CONSTRUCT { ?peer sameAs ?cls . ?peer a owl:Class } WHERE
+    { ?cls sameAs ?peer . ?cls a owl:Class }).  Output is a distinct
+    triple graph in the store's native shape, ready to union back in."""
+    from ontology_time_machine_ray.schema import OWL_CLASS, OWL_SAME_AS, RDF_TYPE
+    from ontology_time_machine_ray.stages.bgp import construct_triples
+
+    t = _pipe(sf_dir).triples().select_columns(["subj", "pred", "obj"]).materialize()
+    return construct_triples(
+        t,
+        where=[("?cls", OWL_SAME_AS, "?peer"), ("?cls", RDF_TYPE, OWL_CLASS)],
+        template=[("?peer", OWL_SAME_AS, "?cls"), ("?peer", RDF_TYPE, OWL_CLASS)],
+    )
+
+
 KG_KCORE_K = 2
 KG_KCORE_ROUNDS = 3
 
@@ -1630,6 +1671,8 @@ QUERIES = {
     "kg_bgp": kg_bgp,
     "kg_bgp_optional": kg_bgp_optional,
     "kg_bgp_minus": kg_bgp_minus,
+    "kg_bgp_union": kg_bgp_union,
+    "kg_construct": kg_construct,
     "kg_nt_roundtrip": kg_nt_roundtrip,
     "kg_kcore": kg_kcore,
     "kg_reachability": kg_reachability,
@@ -1751,6 +1794,8 @@ _KG_ORACLE_NAMES = (
     "kg_bgp",
     "kg_bgp_optional",
     "kg_bgp_minus",
+    "kg_bgp_union",
+    "kg_construct",
     "kg_nt_roundtrip",
     "kg_reachability",
     "kg_subclass_closure",

@@ -551,6 +551,30 @@ WHERE sa.pred = '{SAME_AS}'
   AND NOT EXISTS (SELECT 1 FROM t tp
                   WHERE tp.subj = sa.obj AND tp.pred = '{RDF_TYPE}'
                     AND tp.obj = '{OWL_CLASS}')""",
+        # SPARQL UNION = solution-mapping union with NULL padding for
+        # branch-absent variables; SELECT DISTINCT = set semantics
+        "kg_bgp_union": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
+        f"""t AS (SELECT DISTINCT subj, pred, obj FROM dedup)
+SELECT DISTINCT cls, peer, ont FROM (
+  SELECT subj AS cls, obj AS peer, CAST(NULL AS VARCHAR) AS ont FROM t
+  WHERE pred = '{SAME_AS}'
+  UNION ALL
+  SELECT subj, obj, CAST(NULL AS VARCHAR) FROM t WHERE pred = '{EQUIV_CLASS}'
+  UNION ALL
+  SELECT subj, CAST(NULL AS VARCHAR), obj FROM t WHERE pred = '{IS_DEFINED_BY}')""",
+        # SPARQL CONSTRUCT: one instantiation of each template pattern
+        # per solution, DISTINCT over the resulting graph
+        "kg_construct": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
+        f"""t AS (SELECT DISTINCT subj, pred, obj FROM dedup),
+b AS (SELECT sa.subj AS cls, sa.obj AS peer
+      FROM t sa
+      JOIN t tc ON tc.subj = sa.subj AND tc.pred = '{RDF_TYPE}'
+                AND tc.obj = '{OWL_CLASS}'
+      WHERE sa.pred = '{SAME_AS}')
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT peer AS subj, '{SAME_AS}' AS pred, cls AS obj FROM b
+  UNION ALL
+  SELECT peer, '{RDF_TYPE}', '{OWL_CLASS}' FROM b)""",
         # bounded-hop reachability: the kg_reachability frontier expansion
         # unrolled (walks of length 1..3, min hops per pair)
         "kg_reachability": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"

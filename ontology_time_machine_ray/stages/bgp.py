@@ -41,7 +41,7 @@ from typing import Sequence
 
 import pandas as pd
 
-from ontology_time_machine_ray.stages.groupagg import bucketed_join
+from ontology_time_machine_ray.stages.groupagg import bucketed_join, grouped_apply
 
 _POS = ("subj", "pred", "obj")
 
@@ -200,3 +200,114 @@ def bgp_match(
         )
         acc_schema = {**acc_schema, **scan_schema}
     return acc
+
+
+def _group_schema(group: Sequence[Sequence[str]]) -> dict[str, str]:
+    """Variable columns a conjunctive pattern group binds, in first-seen
+    order (matches bgp_match's output schema)."""
+    schema: dict[str, str] = {}
+    for pattern in group:
+        for term in pattern:
+            if _is_var(term):
+                schema.setdefault(term[1:], "object")
+    return schema
+
+
+def bgp_union(triples, groups: Sequence[Sequence[Sequence[str]]]):
+    """SPARQL UNION: each entry is a conjunctive pattern GROUP matched as
+    its own BGP; the result is the set union of the branch solution
+    mappings (SELECT DISTINCT semantics).
+
+    Branches need NOT bind the same variables -- a variable absent from
+    a branch is unbound (NULL) in that branch's rows, exactly SPARQL's
+    solution-mapping union.  Each branch pads the missing columns with
+    NULL in one vectorized pass, the branch Datasets union lazily (a
+    metadata-only concat -- no data moves), and ONE bucketed distinct
+    over all binding columns removes cross-branch duplicates.  The
+    bucket hash (`hash_pandas_object`) is null-consistent, so rows equal
+    up to NULLs co-locate; per-branch results are already distinct
+    (store distinctness, see bgp_match), so the dedup shuffle carries
+    only the final binding relation.
+    """
+    if not groups:
+        raise ValueError("empty group list")
+    if groups[0] and isinstance(groups[0][0], str):
+        raise ValueError(
+            f"union entry {groups[0]} is a bare pattern -- each entry is a "
+            "pattern GROUP; wrap it in a list: groups=[[pattern, ...], ...]"
+        )
+    branches = [(bgp_match(triples, g), _group_schema(g)) for g in groups]
+    all_vars: list[str] = []
+    for _, schema in branches:
+        for v in schema:
+            if v not in all_vars:
+                all_vars.append(v)
+
+    def pad(df: pd.DataFrame, missing: tuple, order: tuple) -> pd.DataFrame:
+        out = df.copy()
+        for v in missing:
+            out[v] = pd.Series(None, index=out.index, dtype=object)
+        return out[list(order)]
+
+    padded = []
+    for branch, schema in branches:
+        missing = tuple(v for v in all_vars if v not in schema)
+        padded.append(
+            branch.map_batches(
+                lambda df, m=missing, o=tuple(all_vars): pad(df, m, o),
+                batch_format="pandas",
+            )
+        )
+    u = padded[0]
+    for p in padded[1:]:
+        u = u.union(p)
+    return grouped_apply(u, all_vars, lambda g: g.drop_duplicates())
+
+
+def construct_triples(
+    triples,
+    where: Sequence[Sequence[str]],
+    template: Sequence[Sequence[str]],
+):
+    """SPARQL CONSTRUCT: match the ``where`` BGP, instantiate every
+    ``template`` pattern once per solution, and return the resulting
+    RDF graph as a distinct (subj, pred, obj) Dataset -- the
+    entailment-materialization primitive a KG-construction pipeline runs
+    (derive inverse edges, propagate types across sameAs, reify
+    shortcuts) whose output lands back in the store's native shape.
+
+    Execution: bindings stream out of bgp_match; ONE vectorized
+    map_batches pass emits all template instantiations (len(template)
+    column projections per batch -- constants become scalar columns,
+    no row loop); distinct solutions can instantiate the SAME triple
+    (the template drops variables), so one bucketed distinct on the
+    triple key finishes the graph.  Per SPARQL, zero solutions produce
+    the empty graph even for ground template patterns.
+    """
+    if not template:
+        raise ValueError("empty template")
+    bound = _group_schema(where)
+    for pattern in template:
+        if len(pattern) != 3:
+            raise ValueError(f"template pattern {pattern} is not a triple")
+        for term in pattern:
+            if _is_var(term) and term[1:] not in bound:
+                raise ValueError(
+                    f"template term {term} is not bound by the WHERE clause "
+                    f"(bound: {sorted(bound)})"
+                )
+
+    def instantiate(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for pattern in template:
+            cols = {}
+            for pos, term in zip(_POS, pattern):
+                if _is_var(term):
+                    cols[pos] = df[term[1:]].reset_index(drop=True)
+                else:
+                    cols[pos] = pd.Series(term, index=range(len(df)), dtype=object)
+            outs.append(pd.DataFrame(cols))
+        return pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
+
+    inst = bgp_match(triples, where).map_batches(instantiate, batch_format="pandas")
+    return grouped_apply(inst, list(_POS), lambda g: g.drop_duplicates())

@@ -464,3 +464,106 @@ def test_bgp_minus_anti_join_semantics(ray_session):
         bgp_match(t, [("?p", "knows", "?q")], minus=[[("?z", "age", "?v")]])
     with pytest.raises(ValueError, match="bare pattern"):
         bgp_match(t, [("?p", "knows", "?q")], minus=[("?p", "age", "?v")])
+
+
+def test_bgp_union_solution_mapping_semantics(ray_session):
+    """UNION branches with different variables NULL-pad (SPARQL
+    solution-mapping union); cross-branch duplicates collapse to set
+    semantics; bare-pattern misuse errors."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.bgp import bgp_union
+
+    t = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "subj": ["a", "b", "a", "c"],
+                "pred": ["knows", "knows", "likes", "age"],
+                "obj": ["b", "c", "b", "41"],
+            }
+        )
+    )
+    # heterogeneous branches: knows binds (p, q); age binds (p, years)
+    out = (
+        bgp_union(t, [[("?p", "knows", "?q")], [("?p", "age", "?years")]])
+        .to_pandas()
+        .sort_values(["p", "q"], na_position="last")
+        .reset_index(drop=True)
+    )
+    assert sorted(out.columns) == ["p", "q", "years"]
+    assert out["p"].tolist() == ["a", "b", "c"]
+    assert out.loc[0, "q"] == "b" and pd.isna(out.loc[0, "years"])
+    assert pd.isna(out.loc[2, "q"]) and out.loc[2, "years"] == "41"
+
+    # same-schema branches: overlapping solutions dedup (a->b appears in
+    # both knows and likes)
+    out2 = bgp_union(
+        t, [[("?p", "knows", "?q")], [("?p", "likes", "?q")]]
+    ).to_pandas()
+    assert len(out2) == 2
+    assert sorted(map(tuple, out2[["p", "q"]].values)) == [("a", "b"), ("b", "c")]
+
+    with pytest.raises(ValueError, match="bare pattern"):
+        bgp_union(t, [("?p", "knows", "?q")])
+    with pytest.raises(ValueError, match="empty group list"):
+        bgp_union(t, [])
+
+
+def test_construct_template_instantiation(ray_session):
+    """CONSTRUCT instantiates each template pattern once per solution,
+    distinct over the output graph; variable-dropping templates collapse
+    duplicates; ground patterns emit (once) only when solutions exist;
+    unbound template variables error."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.bgp import construct_triples
+
+    t = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "subj": ["a", "b", "x"],
+                "pred": ["knows", "knows", "age"],
+                "obj": ["b", "c", "41"],
+            }
+        )
+    )
+    # symmetrize knows + tag subjects: 2 solutions x 2 template patterns,
+    # minus the duplicate ground-free overlap = 4 distinct triples
+    out = construct_triples(
+        t,
+        where=[("?p", "knows", "?q")],
+        template=[("?q", "knows", "?p"), ("?p", "rdf:type", "Person")],
+    ).to_pandas()
+    got = sorted(map(tuple, out[["subj", "pred", "obj"]].values))
+    assert got == [
+        ("a", "rdf:type", "Person"),
+        ("b", "knows", "a"),
+        ("b", "rdf:type", "Person"),
+        ("c", "knows", "b"),
+    ]
+
+    # variable-dropping template: both solutions instantiate the SAME
+    # ground triple -> exactly one row survives the distinct
+    out2 = construct_triples(
+        t, where=[("?p", "knows", "?q")], template=[("g", "has", "members")]
+    ).to_pandas()
+    assert list(map(tuple, out2[["subj", "pred", "obj"]].values)) == [
+        ("g", "has", "members")
+    ]
+
+    # zero solutions -> empty graph, even for ground templates
+    out3 = construct_triples(
+        t, where=[("?p", "hates", "?q")], template=[("g", "has", "members")]
+    ).to_pandas()
+    assert len(out3) == 0
+
+    with pytest.raises(ValueError, match="not bound by the WHERE"):
+        construct_triples(t, where=[("?p", "knows", "?q")], template=[("?z", "x", "y")])
+    with pytest.raises(ValueError, match="empty template"):
+        construct_triples(t, where=[("?p", "knows", "?q")], template=[])
+    with pytest.raises(ValueError, match="not a triple"):
+        construct_triples(t, where=[("?p", "knows", "?q")], template=[("?p", "x")])
