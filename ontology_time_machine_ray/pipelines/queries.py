@@ -1020,6 +1020,69 @@ def kg_bgp_union(sf_dir: str):
     )
 
 
+def kg_bgp_filter(sf_dir: str):
+    """BGP with SPARQL FILTER clauses, pushdown-planned: sameAs pairs of
+    typed classes restricted to FILTER(?cls < ?peer && STRENDS(?cls,
+    '#C0')).  The constant STRENDS prunes INSIDE both scans that bind
+    ?cls (selection pushdown -- rows die before the first exchange);
+    the ?cls < ?peer comparison applies at the first scan, where both
+    variables are already bound, so no join ever carries a row a filter
+    would kill."""
+    from ontology_time_machine_ray.schema import OWL_CLASS, OWL_SAME_AS, RDF_TYPE
+    from ontology_time_machine_ray.stages.bgp import bgp_match
+
+    t = _pipe(sf_dir).triples().select_columns(["subj", "pred", "obj"]).materialize()
+    return bgp_match(
+        t,
+        [
+            ("?cls", OWL_SAME_AS, "?peer"),
+            ("?cls", RDF_TYPE, OWL_CLASS),
+            ("?peer", RDF_TYPE, OWL_CLASS),
+        ],
+        filters=[("?cls", "<", "?peer"), ("?cls", "suffix", "#C0")],
+    )
+
+
+def kg_path_query(sf_dir: str):
+    """SPARQL 1.1 property path ``(sameAs|^sameAs|equivalentClass|
+    ^equivalentClass)+/rdf:type`` -- the types asserted anywhere in a
+    term's undirected equivalence component (the entailment query that
+    motivates sameAs symmetry).  Exercises all four path operators:
+    inverse (endpoint swap), alternation (lazy union + one distinct),
+    one-or-more closure (iterative relation-doubling off
+    ``graph.transitive_closure``; per-round shuffle = the reachable-pair
+    frontier, driver holds only the fixpoint counter), and sequence
+    composition (one bucketed join).  Oracle: recursive CTE over the
+    symmetrized union edge set joined to the type triples."""
+    from ontology_time_machine_ray.schema import (
+        OWL_EQUIVALENT_CLASS,
+        OWL_SAME_AS,
+        RDF_TYPE,
+    )
+    from ontology_time_machine_ray.stages.bgp import path_match
+
+    t = _pipe(sf_dir).triples().select_columns(["subj", "pred", "obj"]).materialize()
+    return path_match(
+        t,
+        (
+            "seq",
+            (
+                "plus",
+                (
+                    "alt",
+                    OWL_SAME_AS,
+                    ("inv", OWL_SAME_AS),
+                    OWL_EQUIVALENT_CLASS,
+                    ("inv", OWL_EQUIVALENT_CLASS),
+                ),
+            ),
+            RDF_TYPE,
+        ),
+        s_name="term",
+        o_name="typ",
+    )
+
+
 def kg_construct(sf_dir: str):
     """SPARQL CONSTRUCT -- the entailment-materialization primitive:
     symmetrize owl:sameAs and propagate owl:Class typing across it
@@ -1672,6 +1735,8 @@ QUERIES = {
     "kg_bgp_optional": kg_bgp_optional,
     "kg_bgp_minus": kg_bgp_minus,
     "kg_bgp_union": kg_bgp_union,
+    "kg_bgp_filter": kg_bgp_filter,
+    "kg_path_query": kg_path_query,
     "kg_construct": kg_construct,
     "kg_nt_roundtrip": kg_nt_roundtrip,
     "kg_kcore": kg_kcore,
@@ -1795,6 +1860,8 @@ _KG_ORACLE_NAMES = (
     "kg_bgp_optional",
     "kg_bgp_minus",
     "kg_bgp_union",
+    "kg_bgp_filter",
+    "kg_path_query",
     "kg_construct",
     "kg_nt_roundtrip",
     "kg_reachability",

@@ -562,6 +562,34 @@ SELECT DISTINCT cls, peer, ont FROM (
   SELECT subj, obj, CAST(NULL AS VARCHAR) FROM t WHERE pred = '{EQUIV_CLASS}'
   UNION ALL
   SELECT subj, CAST(NULL AS VARCHAR), obj FROM t WHERE pred = '{IS_DEFINED_BY}')""",
+        # SPARQL FILTER over the binding algebra: constant clauses are
+        # WHERE predicates on the scans, var-var comparisons on the join
+        "kg_bgp_filter": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
+        f"""t AS (SELECT DISTINCT subj, pred, obj FROM dedup)
+SELECT sa.subj AS cls, sa.obj AS peer
+FROM t sa
+JOIN t tc ON tc.subj = sa.subj AND tc.pred = '{RDF_TYPE}' AND tc.obj = '{OWL_CLASS}'
+JOIN t tp ON tp.subj = sa.obj AND tp.pred = '{RDF_TYPE}' AND tp.obj = '{OWL_CLASS}'
+WHERE sa.pred = '{SAME_AS}' AND sa.subj < sa.obj AND sa.subj LIKE '%#C0'""",
+        # SPARQL 1.1 property path (sameAs|^sameAs|equivalentClass|
+        # ^equivalentClass)+/rdf:type: recursive closure over the
+        # symmetrized union edge set, then one join to the type triples
+        "kg_path_query": f"WITH RECURSIVE {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
+        f"""t AS (SELECT DISTINCT subj, pred, obj FROM dedup),
+pe AS MATERIALIZED (
+  SELECT DISTINCT s, o FROM (
+    SELECT subj AS s, obj AS o FROM t
+    WHERE pred IN ('{SAME_AS}', '{EQUIV_CLASS}')
+    UNION
+    SELECT obj, subj FROM t
+    WHERE pred IN ('{SAME_AS}', '{EQUIV_CLASS}'))),
+reach(s, o) AS (
+  SELECT s, o FROM pe
+  UNION
+  SELECT r.s, e.o FROM reach r JOIN pe e ON e.s = r.o)
+SELECT DISTINCT r.s AS term, d.obj AS typ
+FROM reach r
+JOIN t d ON d.subj = r.o AND d.pred = '{RDF_TYPE}'""",
         # SPARQL CONSTRUCT: one instantiation of each template pattern
         # per solution, DISTINCT over the resulting graph
         "kg_construct": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"

@@ -45,14 +45,67 @@ from ontology_time_machine_ray.stages.groupagg import bucketed_join, grouped_app
 
 _POS = ("subj", "pred", "obj")
 
+#: FILTER operators -> vectorized pandas predicate on a string column.
+#: Lexicographic comparisons match ANSI-SQL string collation on the
+#: ASCII IRIs the store holds; contains/prefix/suffix/regex restate
+#: SPARQL CONTAINS / STRSTARTS / STRENDS / REGEX.
+_FILTER_OPS = {
+    "==": lambda col, rhs: col == rhs,
+    "!=": lambda col, rhs: col != rhs,
+    "<": lambda col, rhs: col < rhs,
+    "<=": lambda col, rhs: col <= rhs,
+    ">": lambda col, rhs: col > rhs,
+    ">=": lambda col, rhs: col >= rhs,
+    "contains": lambda col, rhs: col.str.contains(rhs, regex=False, na=False),
+    "prefix": lambda col, rhs: col.str.startswith(rhs).fillna(False),
+    "suffix": lambda col, rhs: col.str.endswith(rhs).fillna(False),
+    "regex": lambda col, rhs: col.str.contains(rhs, regex=True, na=False),
+}
+
 
 def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
-def _scan(triples, pattern: Sequence[str]):
+def _check_filters(filters: Sequence[Sequence[str]]):
+    """Split FILTER clauses into const filters (var op constant), keyed
+    by variable, and var-var comparisons.  Each clause is ``(lhs, op,
+    rhs)`` with ``lhs`` a ``?variable``; ``rhs`` is a ``?variable`` only
+    for comparison ops."""
+    const_by_var: dict[str, list[tuple[str, str]]] = {}
+    var_pairs: list[tuple[str, str, str]] = []
+    for clause in filters:
+        if len(clause) != 3:
+            raise ValueError(f"filter {clause} is not (lhs, op, rhs)")
+        lhs, op, rhs = clause
+        if op not in _FILTER_OPS:
+            raise ValueError(f"unknown filter op {op!r} (have {sorted(_FILTER_OPS)})")
+        if not _is_var(lhs):
+            raise ValueError(f"filter {clause}: lhs must be a ?variable")
+        if _is_var(rhs):
+            if op in ("contains", "prefix", "suffix", "regex"):
+                raise ValueError(
+                    f"filter {clause}: {op} needs a constant rhs"
+                )
+            var_pairs.append((lhs[1:], op, rhs[1:]))
+        else:
+            const_by_var.setdefault(lhs[1:], []).append((op, rhs))
+    return const_by_var, var_pairs
+
+
+def _scan(
+    triples,
+    pattern: Sequence[str],
+    const_filters: dict[str, list[tuple[str, str]]] | None = None,
+):
     """Compile one triple pattern to a filtered, projected scan whose
-    columns are the pattern's variable names (without the ``?``)."""
+    columns are the pattern's variable names (without the ``?``).
+
+    ``const_filters`` (var -> [(op, constant)]) are FILTER clauses pushed
+    DOWN into the scan: a single-variable constant predicate prunes rows
+    before they ever reach a join, so the exchange ships only surviving
+    bindings (classic selection pushdown -- the part of a cost-based
+    optimizer this left-deep matcher hands to the caller)."""
     consts = [(pos, t) for pos, t in zip(_POS, pattern) if not _is_var(t)]
     vars_ = [(pos, t[1:]) for pos, t in zip(_POS, pattern) if _is_var(t)]
     if not vars_:
@@ -67,6 +120,11 @@ def _scan(triples, pattern: Sequence[str]):
         else:
             seen[name] = pos
             proj.append((pos, name))
+    pushed = []
+    if const_filters:
+        for pos, name in proj:
+            for op, rhs in const_filters.get(name, ()):
+                pushed.append((pos, op, rhs))
 
     def scan_batch(df: pd.DataFrame) -> pd.DataFrame:
         mask = pd.Series(True, index=df.index)
@@ -74,6 +132,8 @@ def _scan(triples, pattern: Sequence[str]):
             mask &= df[pos] == value
         for a, b in eq_pairs:
             mask &= df[a] == df[b]
+        for pos, op, rhs in pushed:
+            mask &= _FILTER_OPS[op](df[pos], rhs)
         sub = df[mask]
         return pd.DataFrame({name: sub[pos] for pos, name in proj})
 
@@ -86,9 +146,25 @@ def bgp_match(
     patterns: Sequence[Sequence[str]],
     optional: Sequence[Sequence[str]] = (),
     minus: Sequence[Sequence[Sequence[str]]] = (),
+    filters: Sequence[Sequence[str]] = (),
 ):
     """Match a conjunction of triple patterns; returns a Dataset of the
     distinct variable bindings (one column per ``?variable``).
+
+    ``filters`` are SPARQL FILTER clauses over the REQUIRED group's
+    variables, each ``(lhs, op, rhs)``: ``lhs`` a ``?variable``; ``op``
+    one of ``== != < <= > >= contains prefix suffix regex`` (the last
+    four restate CONTAINS / STRSTARTS / STRENDS / REGEX and need a
+    constant rhs); ``rhs`` a constant or, for comparisons, another
+    ``?variable``.  Execution is pushdown-planned, never a post-pass:
+    a constant filter prunes INSIDE every scan that binds its variable
+    (selection pushdown -- rows die before the first exchange), and a
+    var-var comparison applies at the EARLIEST left-deep step where
+    both variables are bound.  Per SPARQL group scoping, filters see
+    the required group only -- a filter variable bound solely by an
+    OPTIONAL clause is an error here (unbound-variable FILTERs, which
+    SPARQL evaluates to error=false, are a caller bug this matcher
+    surfaces loudly instead).
 
     ``optional`` patterns are SPARQL OPTIONAL clauses: each LEFT-joins
     onto the required match on its shared variables, so unmatched rows
@@ -116,9 +192,42 @@ def bgp_match(
     """
     if not patterns:
         raise ValueError("empty pattern list")
-    acc, acc_schema = _scan(triples, patterns[0])
+    const_by_var, var_pairs = _check_filters(filters)
+    required_schema = _group_schema(patterns)
+    for v in const_by_var:
+        if v not in required_schema:
+            raise ValueError(
+                f"filter variable ?{v} is not bound by the required patterns "
+                "(FILTER scopes to the required group, not OPTIONALs)"
+            )
+    for a, _, b in var_pairs:
+        for v in (a, b):
+            if v not in required_schema:
+                raise ValueError(
+                    f"filter variable ?{v} is not bound by the required "
+                    "patterns (FILTER scopes to the required group)"
+                )
+
+    def apply_var_pairs(ds, schema, pending):
+        """Apply every pending var-var filter whose variables are all
+        bound; returns (ds, still_pending)."""
+        ready = [(a, op, b) for a, op, b in pending if a in schema and b in schema]
+        if not ready:
+            return ds, pending
+        remaining = [p for p in pending if p not in ready]
+
+        def fil(df: pd.DataFrame) -> pd.DataFrame:
+            mask = pd.Series(True, index=df.index)
+            for a, op, b in ready:
+                mask &= _FILTER_OPS[op](df[a], df[b])
+            return df[mask]
+
+        return ds.map_batches(fil, batch_format="pandas"), remaining
+
+    acc, acc_schema = _scan(triples, patterns[0], const_by_var)
+    acc, var_pairs = apply_var_pairs(acc, acc_schema, var_pairs)
     for pattern in patterns[1:]:
-        scan, scan_schema = _scan(triples, pattern)
+        scan, scan_schema = _scan(triples, pattern, const_by_var)
         shared = [v for v in acc_schema if v in scan_schema]
         if not shared:
             raise ValueError(
@@ -134,6 +243,7 @@ def bgp_match(
             right_schema=scan_schema,
         )
         acc_schema = {**acc_schema, **scan_schema}
+        acc, var_pairs = apply_var_pairs(acc, acc_schema, var_pairs)
     for group in minus:
         if group and isinstance(group[0], str):
             raise ValueError(
@@ -311,3 +421,103 @@ def construct_triples(
 
     inst = bgp_match(triples, where).map_batches(instantiate, batch_format="pandas")
     return grouped_apply(inst, list(_POS), lambda g: g.drop_duplicates())
+
+
+def _distinct_pairs_so(ds):
+    """Bucketed distinct on an (s, o) pair Dataset."""
+    return grouped_apply(ds, ["s", "o"], lambda g: g.drop_duplicates())
+
+
+def path_pairs(triples, path, max_rounds: int = 16):
+    """Evaluate a SPARQL 1.1 property-path expression to the Dataset of
+    DISTINCT ``(s, o)`` endpoint pairs it connects.
+
+    Path AST (nested tuples; a bare string is a predicate IRI):
+
+    * ``"p"``                 -- a single edge with predicate ``p``
+    * ``("inv", path)``       -- inverse path ``^p`` (endpoints swap)
+    * ``("seq", p1, p2, ...)``-- sequence ``p1/p2/...``
+    * ``("alt", p1, p2, ...)``-- alternation ``p1|p2|...``
+    * ``("plus", path)``      -- one-or-more ``p+`` (transitive closure)
+
+    (``p*`` and ``p?`` include the zero-length path, whose solution set
+    is every node in the graph paired with itself -- a node-universe
+    query, not an edge query; callers wanting them union the node table
+    explicitly, so the engine never materializes an implicit universe.)
+
+    Execution shape: a predicate leaf is one pushdown scan off the
+    pinned store; ``seq`` composes step relations with one bucketed
+    join + one bucketed distinct per step (two paths to the same
+    endpoint pair must collapse BEFORE the next join or intermediate
+    sizes grow multiplicatively); ``alt`` is a lazy union + one
+    distinct; ``plus`` reuses ``graph.transitive_closure`` -- iterative
+    relation-doubling whose per-round shuffle is the reachable-pair
+    frontier, with the driver holding only the fixpoint loop counter.
+    Distinctness of every sub-result is the invariant that keeps join
+    inputs set-sized, mirroring SPARQL's cycle-safe path semantics
+    (endpoint pairs, not walks -- walks through a cycle would be
+    infinite)."""
+    if isinstance(path, str):
+        scan, _ = _scan(triples, ("?s", path, "?o"))
+        return scan  # store distinctness => already a set
+    op = path[0]
+    if op == "inv":
+        inner = path_pairs(triples, path[1], max_rounds)
+        return inner.map_batches(
+            lambda df: pd.DataFrame({"s": df["o"], "o": df["s"]}),
+            batch_format="pandas",
+        )
+    if op == "seq":
+        if len(path) < 3:
+            raise ValueError(f"seq path {path} needs >= 2 parts")
+        acc = path_pairs(triples, path[1], max_rounds)
+        for part in path[2:]:
+            step = path_pairs(triples, part, max_rounds).map_batches(
+                lambda df: pd.DataFrame({"o": df["s"], "o2": df["o"]}),
+                batch_format="pandas",
+            )
+            acc = bucketed_join(
+                acc,
+                step,
+                on=["o"],
+                left_schema={"s": "object", "o": "object"},
+                right_schema={"o": "object", "o2": "object"},
+            ).map_batches(
+                lambda df: pd.DataFrame({"s": df["s"], "o": df["o2"]}),
+                batch_format="pandas",
+            )
+            acc = _distinct_pairs_so(acc)
+        return acc
+    if op == "alt":
+        if len(path) < 3:
+            raise ValueError(f"alt path {path} needs >= 2 branches")
+        u = path_pairs(triples, path[1], max_rounds)
+        for part in path[2:]:
+            u = u.union(path_pairs(triples, part, max_rounds))
+        return _distinct_pairs_so(u)
+    if op == "plus":
+        from ontology_time_machine_ray.stages.graph import transitive_closure
+
+        edges = path_pairs(triples, path[1], max_rounds).map_batches(
+            lambda df: pd.DataFrame({"a": df["s"], "b": df["o"]}),
+            batch_format="pandas",
+        )
+        closed = transitive_closure(edges, max_rounds=max_rounds)
+        return closed.map_batches(
+            lambda df: pd.DataFrame({"s": df["a"], "o": df["b"]}),
+            batch_format="pandas",
+        )
+    raise ValueError(f"unknown path operator {op!r} in {path}")
+
+
+def path_match(triples, path, s_name: str = "s", o_name: str = "o",
+               max_rounds: int = 16):
+    """``path_pairs`` with caller-named binding columns -- the form a
+    SELECT projects (``?start (p1/p2)+ ?end``)."""
+    pairs = path_pairs(triples, path, max_rounds)
+    if (s_name, o_name) == ("s", "o"):
+        return pairs
+    return pairs.map_batches(
+        lambda df: pd.DataFrame({s_name: df["s"], o_name: df["o"]}),
+        batch_format="pandas",
+    )

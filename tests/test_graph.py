@@ -567,3 +567,111 @@ def test_construct_template_instantiation(ray_session):
         construct_triples(t, where=[("?p", "knows", "?q")], template=[])
     with pytest.raises(ValueError, match="not a triple"):
         construct_triples(t, where=[("?p", "knows", "?q")], template=[("?p", "x")])
+
+
+def test_bgp_filter_pushdown_semantics(ray_session):
+    """FILTER clauses: constant predicates prune inside the scans,
+    var-var comparisons apply once both variables are bound; filter
+    variables must come from the REQUIRED group; unknown ops and
+    regex-with-variable-rhs error loudly."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.bgp import bgp_match
+
+    t = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "subj": ["a", "b", "c", "a", "b", "c"],
+                "pred": ["knows"] * 3 + ["type"] * 3,
+                "obj": ["b", "c", "a", "Person", "Person", "Robot"],
+            }
+        )
+    )
+    base = [("?p", "knows", "?q"), ("?p", "type", "?tp")]
+
+    # constant filter on ?tp prunes the second scan; var-var ?p < ?q
+    # applies at the join -- matches a-knows-b (a<b, Person) only
+    out = bgp_match(
+        t,
+        base,
+        filters=[("?tp", "==", "Person"), ("?p", "<", "?q")],
+    ).to_pandas()
+    assert sorted(map(tuple, out[["p", "q"]].values.tolist())) == [("a", "b"), ("b", "c")]
+    assert set(out["tp"]) == {"Person"}
+
+    # string ops: suffix/prefix/contains/regex
+    out2 = bgp_match(t, base, filters=[("?q", "suffix", "c")]).to_pandas()
+    assert out2["q"].tolist() == ["c"]
+    out3 = bgp_match(t, base, filters=[("?tp", "regex", "^Rob")]).to_pandas()
+    assert out3["p"].tolist() == ["c"]
+
+    # filter variable outside the required group -> loud error
+    with pytest.raises(ValueError, match="not bound by the required"):
+        bgp_match(t, base, filters=[("?zz", "==", "x")])
+    # FILTER scopes to the required group, not OPTIONALs
+    with pytest.raises(ValueError, match="not bound by the required"):
+        bgp_match(
+            t,
+            [("?p", "knows", "?q")],
+            optional=[("?p", "type", "?tp")],
+            filters=[("?tp", "==", "Person")],
+        )
+    with pytest.raises(ValueError, match="unknown filter op"):
+        bgp_match(t, base, filters=[("?p", "~~", "a")])
+    with pytest.raises(ValueError, match="constant rhs"):
+        bgp_match(t, base, filters=[("?p", "contains", "?q")])
+
+
+def test_path_pairs_operators(ray_session):
+    """Property-path algebra on a hand graph: leaf scan, inverse,
+    sequence (with duplicate-path collapse), alternation, and the
+    one-or-more closure incl. cycle endpoints; unknown operators and
+    degenerate arities error."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.bgp import path_match, path_pairs
+
+    def pairs(ds):
+        df = ds.to_pandas()
+        return sorted(map(tuple, df[["s", "o"]].values.tolist()))
+
+    t = rd.from_pandas(
+        pd.DataFrame(
+            {
+                # chain a-p->b-p->c, cycle c-p->a; q edge b-q->d; r edge a-r->d
+                "subj": ["a", "b", "c", "b", "a"],
+                "pred": ["p", "p", "p", "q", "r"],
+                "obj": ["b", "c", "a", "d", "d"],
+            }
+        )
+    )
+    assert pairs(path_pairs(t, "p")) == [("a", "b"), ("b", "c"), ("c", "a")]
+    assert pairs(path_pairs(t, ("inv", "q"))) == [("d", "b")]
+    # seq p/q: a-p->b-q->d only
+    assert pairs(path_pairs(t, ("seq", "p", "q"))) == [("a", "d")]
+    # alt q|r, distinct endpoints
+    assert pairs(path_pairs(t, ("alt", "q", "r"))) == [("a", "d"), ("b", "d")]
+    # plus over the 3-cycle: every ordered pair incl. (x, x) on the cycle
+    closure = pairs(path_pairs(t, ("plus", "p")))
+    nodes = ["a", "b", "c"]
+    assert closure == sorted((x, y) for x in nodes for y in nodes)
+    # seq collapses duplicate derivations: (p|r)/(inv (p|r)) reaches d
+    # from a via r and from b via q -- but (a, a) must appear ONCE
+    dup = path_pairs(t, ("seq", ("alt", "q", "r"), ("inv", ("alt", "q", "r"))))
+    df = dup.to_pandas()
+    assert len(df) == len(df.drop_duplicates())
+
+    # named projection
+    named = path_match(t, ("seq", "p", "q"), s_name="x", o_name="y").to_pandas()
+    assert named.columns.tolist() == ["x", "y"]
+
+    with pytest.raises(ValueError, match="unknown path operator"):
+        path_pairs(t, ("star", "p"))
+    with pytest.raises(ValueError, match="needs >= 2"):
+        path_pairs(t, ("seq", "p"))
+    with pytest.raises(ValueError, match="needs >= 2"):
+        path_pairs(t, ("alt", "p"))
