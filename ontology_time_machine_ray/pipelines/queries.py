@@ -1083,6 +1083,124 @@ def kg_path_query(sf_dir: str):
     )
 
 
+def kg_sparql_agg(sf_dir: str):
+    """SPARQL SELECT with the full solution-modifier chain -- GROUP BY,
+    COUNT(*) / COUNT(DISTINCT) / MIN / MAX aggregates, ORDER BY, LIMIT:
+    the top-10 ontology namespaces by number of distinct defined terms
+    (GROUP BY ?ont over { ?term rdfs:isDefinedBy ?ont }).  Plain
+    aggregates ride one bucketed exchange on ?ont; the COUNT(DISTINCT)
+    is a two-level plan (pair dedup bucketed on BOTH columns, so a hub
+    namespace spreads across buckets instead of melting one); LIMIT is
+    a per-block partial top-k with a blocks x k final cut."""
+    from ontology_time_machine_ray.schema import RDFS_IS_DEFINED_BY
+    from ontology_time_machine_ray.stages.bgp import bgp_select
+
+    t = _pipe(sf_dir).triples().select_columns(["subj", "pred", "obj"]).materialize()
+    return bgp_select(
+        t,
+        [("?term", RDFS_IS_DEFINED_BY, "?ont")],
+        group_by=["?ont"],
+        aggs={
+            "n_bindings": ("count", "*"),
+            "n_terms": ("count_distinct", "?term"),
+            "first_term": ("min", "?term"),
+            "last_term": ("max", "?term"),
+        },
+        order_by=[("n_terms", "desc"), ("ont", "asc")],
+        limit=10,
+    )
+
+
+def kg_shacl_report(sf_dir: str):
+    """SHACL-lite validation report over the constructed store
+    (``stages/shacl.py``): ClassShape targets owl:Class instances and
+    asserts exactly-one rdfs:isDefinedBy whose value is a non-slash-
+    terminated IRI; SameAsShape targets owl:sameAs subjects and asserts
+    they are typed at all and that their sameAs peers are typed
+    owl:Class.  One row per violation -- the KG data-quality gate."""
+    from ontology_time_machine_ray.schema import (
+        OWL_CLASS,
+        OWL_SAME_AS,
+        RDF_TYPE,
+        RDFS_IS_DEFINED_BY,
+    )
+    from ontology_time_machine_ray.stages.shacl import validate
+
+    t = _pipe(sf_dir).triples().select_columns(["subj", "pred", "obj"]).materialize()
+    return validate(
+        t,
+        [
+            {
+                "shape": "ClassShape",
+                "target": ("class", OWL_CLASS),
+                "constraints": [
+                    ("minCount", RDFS_IS_DEFINED_BY, 1),
+                    ("maxCount", RDFS_IS_DEFINED_BY, 1),
+                    ("pattern", RDFS_IS_DEFINED_BY, "[^/]$"),
+                ],
+            },
+            {
+                "shape": "SameAsShape",
+                "target": ("subjects_of", OWL_SAME_AS),
+                "constraints": [
+                    ("minCount", RDF_TYPE, 1),
+                    ("class", OWL_SAME_AS, OWL_CLASS),
+                ],
+            },
+        ],
+    )
+
+
+def kg_void_stats(sf_dir: str):
+    """VoID-style dataset statistics: per predicate, the triple count
+    and the exact distinct subject / object counts -- the dataset
+    descriptor a published KG ships.  Scale shape: predicates are FEW
+    but HUGE (rdf:type is ~half the store), so nothing groups directly
+    on the predicate: triple counts are per-batch partial counts summed
+    in a tiny exchange, and each distinct count first dedups the
+    (pred, node) PAIR relation -- bucketed on both columns, spreading a
+    hot predicate across every bucket -- then sums per-batch partials.
+    The three per-predicate tables (rows = #predicates) merge on the
+    driver."""
+    from ontology_time_machine_ray.stages.groupagg import (
+        grouped_aggregate,
+        grouped_apply,
+    )
+
+    t = _pipe(sf_dir).triples().select_columns(["subj", "pred", "obj"]).materialize()
+
+    def partial(col: str, out: str):
+        def fn(df):
+            return df.groupby("pred", as_index=False).agg(**{out: (col, "size")})
+
+        return fn
+
+    def pair_distinct_count(col: str, out: str):
+        pairs = grouped_apply(
+            t.map_batches(
+                lambda df, col=col: df[["pred", col]].drop_duplicates(),
+                batch_format="pandas",
+            ),
+            ["pred", col],
+            lambda g: g.drop_duplicates(),
+        )
+        return grouped_aggregate(
+            pairs.map_batches(partial(col, out), batch_format="pandas"),
+            ["pred"],
+            {out: (out, "sum")},
+        )
+
+    n_triples = grouped_aggregate(
+        t.map_batches(partial("subj", "n_triples"), batch_format="pandas"),
+        ["pred"],
+        {"n_triples": ("n_triples", "sum")},
+    ).to_pandas()
+    n_subj = pair_distinct_count("subj", "n_subjects").to_pandas()
+    n_obj = pair_distinct_count("obj", "n_objects").to_pandas()
+    out = n_triples.merge(n_subj, on="pred").merge(n_obj, on="pred")
+    return out[["pred", "n_triples", "n_subjects", "n_objects"]]
+
+
 def kg_construct(sf_dir: str):
     """SPARQL CONSTRUCT -- the entailment-materialization primitive:
     symmetrize owl:sameAs and propagate owl:Class typing across it
@@ -1737,6 +1855,9 @@ QUERIES = {
     "kg_bgp_union": kg_bgp_union,
     "kg_bgp_filter": kg_bgp_filter,
     "kg_path_query": kg_path_query,
+    "kg_sparql_agg": kg_sparql_agg,
+    "kg_shacl_report": kg_shacl_report,
+    "kg_void_stats": kg_void_stats,
     "kg_construct": kg_construct,
     "kg_nt_roundtrip": kg_nt_roundtrip,
     "kg_kcore": kg_kcore,
@@ -1862,6 +1983,9 @@ _KG_ORACLE_NAMES = (
     "kg_bgp_union",
     "kg_bgp_filter",
     "kg_path_query",
+    "kg_sparql_agg",
+    "kg_shacl_report",
+    "kg_void_stats",
     "kg_construct",
     "kg_nt_roundtrip",
     "kg_reachability",

@@ -590,6 +590,61 @@ reach(s, o) AS (
 SELECT DISTINCT r.s AS term, d.obj AS typ
 FROM reach r
 JOIN t d ON d.subj = r.o AND d.pred = '{RDF_TYPE}'""",
+        # SPARQL SELECT solution modifiers: GROUP BY + COUNT(*) /
+        # COUNT(DISTINCT) / MIN over the distinct-binding relation,
+        # ORDER BY with full-column tie-break, LIMIT
+        "kg_sparql_agg": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
+        f"""t AS (SELECT DISTINCT subj, pred, obj FROM dedup),
+b AS (SELECT DISTINCT subj AS term, obj AS ont FROM t
+      WHERE pred = '{IS_DEFINED_BY}')
+SELECT ont, COUNT(*) AS n_bindings, COUNT(DISTINCT term) AS n_terms,
+       MIN(term) AS first_term, MAX(term) AS last_term
+FROM b GROUP BY ont
+ORDER BY n_terms DESC, ont
+LIMIT 10""",
+        # SHACL-lite report: one SELECT per (shape, constraint), UNION
+        # ALL (rows are distinct across constraints by construction)
+        "kg_shacl_report": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
+        f"""t AS (SELECT DISTINCT subj, pred, obj FROM dedup),
+cls AS (SELECT subj AS focus FROM t
+        WHERE pred = '{RDF_TYPE}' AND obj = '{OWL_CLASS}'),
+sas AS (SELECT DISTINCT subj AS focus FROM t WHERE pred = '{SAME_AS}'),
+defby AS (SELECT subj AS focus, obj AS value FROM t
+          WHERE pred = '{IS_DEFINED_BY}'),
+defcnt AS (SELECT focus, COUNT(*) AS cnt FROM defby GROUP BY focus),
+typecnt AS (SELECT subj AS focus, COUNT(*) AS cnt FROM t
+            WHERE pred = '{RDF_TYPE}' GROUP BY subj)
+SELECT c.focus, 'ClassShape' AS shape,
+       'minCount({IS_DEFINED_BY},1)' AS constraint,
+       CAST(COALESCE(d.cnt, 0) AS VARCHAR) AS value
+FROM cls c LEFT JOIN defcnt d ON d.focus = c.focus
+WHERE COALESCE(d.cnt, 0) < 1
+UNION ALL
+SELECT c.focus, 'ClassShape', 'maxCount({IS_DEFINED_BY},1)',
+       CAST(d.cnt AS VARCHAR)
+FROM cls c JOIN defcnt d ON d.focus = c.focus WHERE d.cnt > 1
+UNION ALL
+SELECT v.focus, 'ClassShape', 'pattern({IS_DEFINED_BY},[^/]$)', v.value
+FROM defby v JOIN cls c ON c.focus = v.focus
+WHERE NOT regexp_matches(v.value, '[^/]$')
+UNION ALL
+SELECT s.focus, 'SameAsShape', 'minCount({RDF_TYPE},1)',
+       CAST(COALESCE(tc.cnt, 0) AS VARCHAR)
+FROM sas s LEFT JOIN typecnt tc ON tc.focus = s.focus
+WHERE COALESCE(tc.cnt, 0) < 1
+UNION ALL
+SELECT v.subj, 'SameAsShape', 'class({SAME_AS},{OWL_CLASS})', v.obj
+FROM t v
+WHERE v.pred = '{SAME_AS}'
+  AND NOT EXISTS (SELECT 1 FROM t ty WHERE ty.subj = v.obj
+                  AND ty.pred = '{RDF_TYPE}' AND ty.obj = '{OWL_CLASS}')""",
+        # VoID dataset descriptor: per-predicate triple count + exact
+        # distinct subject/object counts
+        "kg_void_stats": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
+        """t AS (SELECT DISTINCT subj, pred, obj FROM dedup)
+SELECT pred, COUNT(*) AS n_triples, COUNT(DISTINCT subj) AS n_subjects,
+       COUNT(DISTINCT obj) AS n_objects
+FROM t GROUP BY pred""",
         # SPARQL CONSTRUCT: one instantiation of each template pattern
         # per solution, DISTINCT over the resulting graph
         "kg_construct": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"

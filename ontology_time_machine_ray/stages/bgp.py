@@ -41,7 +41,11 @@ from typing import Sequence
 
 import pandas as pd
 
-from ontology_time_machine_ray.stages.groupagg import bucketed_join, grouped_apply
+from ontology_time_machine_ray.stages.groupagg import (
+    bucketed_join,
+    grouped_aggregate,
+    grouped_apply,
+)
 
 _POS = ("subj", "pred", "obj")
 
@@ -521,3 +525,160 @@ def path_match(triples, path, s_name: str = "s", o_name: str = "o",
         lambda df: pd.DataFrame({s_name: df["s"], o_name: df["o"]}),
         batch_format="pandas",
     )
+
+
+#: SELECT aggregation operators.  Set semantics throughout: bgp_match
+#: yields DISTINCT bindings, so ``count`` counts solutions (SPARQL
+#: SELECT DISTINCT + COUNT(*)), and min/max are lexicographic on the
+#: ASCII IRIs (= ANSI-SQL string collation).
+_AGG_OPS = ("count", "count_distinct", "min", "max")
+
+
+def bgp_select(
+    triples,
+    patterns: Sequence[Sequence[str]],
+    *,
+    filters: Sequence[Sequence[str]] = (),
+    optional: Sequence[Sequence[str]] = (),
+    minus: Sequence[Sequence[Sequence[str]]] = (),
+    group_by: Sequence[str] | None = None,
+    aggs: dict[str, tuple[str, str]] | None = None,
+    order_by: Sequence[tuple[str, str]] | None = None,
+    limit: int | None = None,
+):
+    """SPARQL SELECT over a BGP with solution modifiers: GROUP BY +
+    aggregates, ORDER BY, LIMIT.
+
+    ``group_by``: list of ``?variables`` to group on.  ``aggs``: output
+    column -> ``(op, ?variable)`` with op in ``count`` (solutions per
+    group; the variable is ignored, pass ``"*"``), ``count_distinct``,
+    ``min``, ``max``.  ``order_by``: ``[(output_column, "asc"|"desc")]``.
+    ``limit``: top-k row cap (requires ``order_by`` for determinism).
+
+    Execution shape: plain aggregates are ONE bucketed exchange on the
+    group key (`grouped_aggregate`); each COUNT(DISTINCT v) is a
+    bucketed dedup of the (group, v) pair relation followed by a
+    per-group size -- the pair dedup buckets on BOTH columns, so a hot
+    group key spreads across buckets instead of melting one (the
+    two-level distinct-count plan).  Pieces re-join on the group key
+    with schema hints (single execution per stage).  ORDER BY + LIMIT
+    is a distributed partial top-k: every block emits its own first-k,
+    one coalesced final pass keeps the global first-k -- the driver
+    never sees more than blocks x k rows.  Ties beyond ``order_by`` are
+    broken by the remaining output columns ascending, making the result
+    deterministic (and matching an oracle that ORDER BYs all columns).
+    """
+    group_by = list(group_by or [])
+    aggs = dict(aggs or {})
+    if aggs and not group_by:
+        raise ValueError("aggs require group_by (no implicit single group)")
+    if group_by and not aggs:
+        raise ValueError("group_by without aggs: just project the bindings")
+    if limit is not None and not order_by:
+        raise ValueError("limit without order_by is nondeterministic")
+
+    bindings = bgp_match(
+        triples, patterns, optional=optional, minus=minus, filters=filters
+    )
+    schema = _group_schema(patterns)
+    for pattern in optional:
+        schema.update(_group_schema([pattern]))
+
+    if group_by:
+        gvars = []
+        for v in group_by:
+            if not _is_var(v):
+                raise ValueError(f"group_by term {v!r} must be a ?variable")
+            if v[1:] not in schema:
+                raise ValueError(f"group_by variable {v} is not bound")
+            gvars.append(v[1:])
+        plain: dict[str, tuple[str, str]] = {}
+        distincts: list[tuple[str, str]] = []
+        for out, (op, var) in aggs.items():
+            if op not in _AGG_OPS:
+                raise ValueError(f"unknown agg op {op!r} (have {_AGG_OPS})")
+            if out in schema or out in gvars:
+                raise ValueError(f"agg output {out!r} collides with a variable")
+            if op == "count":
+                plain[out] = (gvars[0], "size")
+                continue
+            if not _is_var(var) or var[1:] not in schema:
+                raise ValueError(f"agg {out}: {var!r} is not a bound ?variable")
+            if op == "count_distinct":
+                distincts.append((out, var[1:]))
+            else:
+                plain[out] = (var[1:], op)
+
+        obj_schema = {c: "object" for c in gvars}
+        pieces: list[tuple[object, dict]] = []
+        if plain:
+            pieces.append(
+                (
+                    grouped_aggregate(bindings, gvars, plain),
+                    {
+                        **obj_schema,
+                        **{
+                            out: ("int64" if how == "size" else "object")
+                            for out, (_, how) in plain.items()
+                        },
+                    },
+                )
+            )
+        for out, var in distincts:
+            cols = gvars + ([var] if var not in gvars else [])
+            proj = bindings.map_batches(
+                lambda df, cols=cols: df[cols].drop_duplicates(),
+                batch_format="pandas",
+            )
+            pairs = grouped_apply(proj, cols, lambda g: g.drop_duplicates())
+            pieces.append(
+                (
+                    grouped_aggregate(pairs, gvars, {out: (var, "size")}),
+                    {**obj_schema, out: "int64"},
+                )
+            )
+        acc, acc_schema = pieces[0]
+        for piece, piece_schema in pieces[1:]:
+            acc = bucketed_join(
+                acc,
+                piece,
+                on=gvars,
+                left_schema=acc_schema,
+                right_schema=piece_schema,
+            )
+            acc_schema = {**acc_schema, **piece_schema}
+        out_cols = gvars + list(aggs)
+        result = acc.map_batches(
+            lambda df: df.reindex(columns=out_cols), batch_format="pandas"
+        )
+    else:
+        out_cols = list(schema)
+        result = bindings
+
+    if order_by:
+        by, asc = [], []
+        for col, direction in order_by:
+            if col not in out_cols:
+                raise ValueError(f"order_by column {col!r} not in output {out_cols}")
+            if direction not in ("asc", "desc"):
+                raise ValueError(f"order_by direction {direction!r}")
+            by.append(col)
+            asc.append(direction == "asc")
+        for col in out_cols:  # total order => deterministic LIMIT cut
+            if col not in by:
+                by.append(col)
+                asc.append(True)
+
+        if limit is not None:
+
+            def head_block(df: pd.DataFrame) -> pd.DataFrame:
+                return df.sort_values(by, ascending=asc, kind="stable").head(limit)
+
+            result = result.map_batches(head_block, batch_format="pandas")
+            result = result.repartition(1).map_batches(
+                head_block, batch_format="pandas"
+            )
+        else:
+            # no row cap => a real global sort (range-partitioned exchange)
+            result = result.sort(by, descending=[not a for a in asc])
+    return result

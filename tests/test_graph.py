@@ -675,3 +675,150 @@ def test_path_pairs_operators(ray_session):
         path_pairs(t, ("seq", "p"))
     with pytest.raises(ValueError, match="needs >= 2"):
         path_pairs(t, ("alt", "p"))
+
+
+def test_bgp_select_modifiers(ray_session):
+    """GROUP BY + count/count_distinct/min/max, ORDER BY + LIMIT top-k,
+    plain ORDER BY global sort, and the argument validation errors."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.bgp import bgp_select
+
+    t = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "subj": ["a", "b", "c", "d", "a", "b"],
+                "pred": ["in"] * 4 + ["likes"] * 2,
+                "obj": ["g1", "g1", "g2", "g1", "x", "x"],
+            }
+        )
+    )
+    out = bgp_select(
+        t,
+        [("?m", "in", "?g")],
+        group_by=["?g"],
+        aggs={
+            "n": ("count", "*"),
+            "nd": ("count_distinct", "?m"),
+            "lo": ("min", "?m"),
+            "hi": ("max", "?m"),
+        },
+        order_by=[("n", "desc"), ("g", "asc")],
+        limit=10,
+    ).to_pandas()
+    assert out.columns.tolist() == ["g", "n", "nd", "lo", "hi"]
+    assert out.values.tolist() == [["g1", 3, 3, "a", "d"], ["g2", 1, 1, "c", "c"]]
+
+    # LIMIT cuts after the global order
+    top1 = bgp_select(
+        t,
+        [("?m", "in", "?g")],
+        group_by=["?g"],
+        aggs={"n": ("count", "*")},
+        order_by=[("n", "asc")],
+        limit=1,
+    ).to_pandas()
+    assert top1.values.tolist() == [["g2", 1]]
+
+    # ORDER BY without LIMIT = global sort of the raw bindings
+    ordered = bgp_select(
+        t, [("?m", "in", "?g")], order_by=[("g", "desc"), ("m", "asc")]
+    ).to_pandas()
+    assert ordered["g"].tolist() == ["g2", "g1", "g1", "g1"]
+    assert ordered["m"].tolist() == ["c", "a", "b", "d"]
+
+    with pytest.raises(ValueError, match="require group_by"):
+        bgp_select(t, [("?m", "in", "?g")], aggs={"n": ("count", "*")})
+    with pytest.raises(ValueError, match="group_by without aggs"):
+        bgp_select(t, [("?m", "in", "?g")], group_by=["?g"])
+    with pytest.raises(ValueError, match="nondeterministic"):
+        bgp_select(t, [("?m", "in", "?g")], limit=3)
+    with pytest.raises(ValueError, match="unknown agg op"):
+        bgp_select(t, [("?m", "in", "?g")], group_by=["?g"], aggs={"n": ("avg", "?m")})
+    with pytest.raises(ValueError, match="is not bound"):
+        bgp_select(t, [("?m", "in", "?g")], group_by=["?zz"], aggs={"n": ("count", "*")})
+    with pytest.raises(ValueError, match="collides"):
+        bgp_select(t, [("?m", "in", "?g")], group_by=["?g"], aggs={"m": ("count", "*")})
+    with pytest.raises(ValueError, match="not in output"):
+        bgp_select(
+            t,
+            [("?m", "in", "?g")],
+            group_by=["?g"],
+            aggs={"n": ("count", "*")},
+            order_by=[("zz", "asc")],
+            limit=1,
+        )
+
+
+def test_shacl_validate(ray_session):
+    """Each constraint kind flags exactly its violators; a conforming
+    store yields an empty report; bad specs error loudly."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from ontology_time_machine_ray.schema import RDF_TYPE
+    from ontology_time_machine_ray.stages.shacl import validate
+
+    C = "Cls"
+    rows = [
+        # typed focus nodes: f1 conforms, f2 has no name, f3 has two
+        ("f1", RDF_TYPE, C), ("f2", RDF_TYPE, C), ("f3", RDF_TYPE, C),
+        ("f1", "name", "ok-name"),
+        ("f3", "name", "n1"), ("f3", "name", "N2"),  # N2 breaks ^[a-z] too
+        # link targets: t1 typed, t2 untyped
+        ("f1", "link", "t1"), ("f1", "link", "t2"),
+        ("t1", RDF_TYPE, C), ("t1", "name", "tname"),
+    ]
+    t = rd.from_pandas(pd.DataFrame(rows, columns=["subj", "pred", "obj"]))
+    shapes = [
+        {
+            "shape": "S",
+            "target": ("class", C),
+            "constraints": [
+                ("minCount", "name", 1),
+                ("maxCount", "name", 1),
+                ("pattern", "name", "^[a-z]"),
+            ],
+        },
+        {
+            "shape": "L",
+            "target": ("subjects_of", "link"),
+            "constraints": [("class", "link", C)],
+        },
+    ]
+    rep = validate(t, shapes).to_pandas()
+    got = sorted(map(tuple, rep.values.tolist()))
+    assert got == sorted(
+        [
+            ("f2", "S", "minCount(name,1)", "0"),
+            ("f3", "S", "maxCount(name,1)", "2"),
+            ("f3", "S", "pattern(name,^[a-z])", "N2"),
+            ("f1", "L", "class(link,Cls)", "t2"),
+        ]
+    )
+    # t1 (typed) never appears as a class-constraint violation value
+    assert "t1" not in set(rep["value"])
+
+    # conforming subset -> empty report with the full schema
+    ok = rd.from_pandas(
+        pd.DataFrame(
+            [("f1", RDF_TYPE, C), ("f1", "name", "ok")],
+            columns=["subj", "pred", "obj"],
+        )
+    )
+    empty = validate(ok, [shapes[0]]).to_pandas()
+    assert len(empty) == 0
+
+    with pytest.raises(ValueError, match="unknown target"):
+        validate(t, [{"shape": "X", "target": ("nodes", C), "constraints": []}]).to_pandas()
+    with pytest.raises(ValueError, match="unknown constraint"):
+        validate(
+            t,
+            [{"shape": "X", "target": ("class", C),
+              "constraints": [("exactly", "name", 1)]}],
+        ).to_pandas()
+    with pytest.raises(ValueError, match="no shapes"):
+        validate(t, [])
