@@ -276,9 +276,17 @@ def run_bench() -> dict:
         from ontology_time_machine_ray.stages.textops import dedup_incremental
 
         timed("dedup_incremental", lambda: dedup_incremental(SF_DIR))
-        from ontology_time_machine_ray.pipelines.queries import kg_bgp
+        from ontology_time_machine_ray.pipelines.queries import (
+            kg_bgp,
+            kg_path_query,
+            kg_shacl_report,
+            kg_sparql_agg,
+        )
 
         timed("kg_bgp", lambda: kg_bgp(SF_DIR))
+        timed("kg_path_query", lambda: kg_path_query(SF_DIR))
+        timed("kg_sparql_agg", lambda: kg_sparql_agg(SF_DIR))
+        timed("kg_shacl_report", lambda: kg_shacl_report(SF_DIR))
         from ontology_time_machine_ray.pipelines.queries import kg_kcore
 
         timed("kg_kcore", lambda: kg_kcore(SF_DIR))
