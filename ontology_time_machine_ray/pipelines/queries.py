@@ -1083,6 +1083,39 @@ def kg_path_query(sf_dir: str):
     )
 
 
+#: VALUES-pinned seed classes for kg_bgp_values (query-literal inline
+#: bindings; the triple vocabulary is fixed across scale factors, so the
+#: constants exist at every sf).
+KG_VALUES_SEEDS = (
+    "http://onto0.example.org/ns/v0#C0",
+    "http://onto0.example.org/ns/v12#C0",
+    "http://onto1.example.org/ontology1#C0",
+)
+
+
+def kg_bgp_values(sf_dir: str):
+    """SPARQL VALUES clause: the sameAs pairs and peer types reachable
+    from an inline seed-class binding table (federation-style seeded
+    query).  The VALUES table is query-literal (driver-small by
+    definition) and inner-joins the required match on ?cls via the same
+    bucketed exchange as any pattern -- plus an auto-ordered plan
+    (``order='auto'``): per-predicate counts put the rarest pattern
+    first regardless of how the caller wrote the query."""
+    from ontology_time_machine_ray.schema import OWL_SAME_AS, RDF_TYPE
+    from ontology_time_machine_ray.stages.bgp import bgp_match
+
+    t = _pipe(sf_dir).triples().select_columns(["subj", "pred", "obj"]).materialize()
+    return bgp_match(
+        t,
+        [
+            ("?cls", RDF_TYPE, "?typ"),
+            ("?cls", OWL_SAME_AS, "?peer"),
+        ],
+        values=(["?cls"], [(s,) for s in KG_VALUES_SEEDS]),
+        order="auto",
+    )
+
+
 def kg_sparql_agg(sf_dir: str):
     """SPARQL SELECT with the full solution-modifier chain -- GROUP BY,
     COUNT(*) / COUNT(DISTINCT) / MIN / MAX aggregates, ORDER BY, LIMIT:
@@ -1854,6 +1887,7 @@ QUERIES = {
     "kg_bgp_minus": kg_bgp_minus,
     "kg_bgp_union": kg_bgp_union,
     "kg_bgp_filter": kg_bgp_filter,
+    "kg_bgp_values": kg_bgp_values,
     "kg_path_query": kg_path_query,
     "kg_sparql_agg": kg_sparql_agg,
     "kg_shacl_report": kg_shacl_report,
@@ -1982,6 +2016,7 @@ _KG_ORACLE_NAMES = (
     "kg_bgp_minus",
     "kg_bgp_union",
     "kg_bgp_filter",
+    "kg_bgp_values",
     "kg_path_query",
     "kg_sparql_agg",
     "kg_shacl_report",

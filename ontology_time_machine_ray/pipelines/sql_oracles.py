@@ -590,6 +590,17 @@ reach(s, o) AS (
 SELECT DISTINCT r.s AS term, d.obj AS typ
 FROM reach r
 JOIN t d ON d.subj = r.o AND d.pred = '{RDF_TYPE}'""",
+        # SPARQL VALUES: inline binding table inner-joined on ?cls
+        "kg_bgp_values": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
+        f"""t AS (SELECT DISTINCT subj, pred, obj FROM dedup),
+seeds(cls) AS (VALUES ('http://onto0.example.org/ns/v0#C0'),
+                      ('http://onto0.example.org/ns/v12#C0'),
+                      ('http://onto1.example.org/ontology1#C0'))
+SELECT DISTINCT ty.subj AS cls, ty.obj AS typ, sa.obj AS peer
+FROM t ty
+JOIN t sa ON sa.subj = ty.subj AND sa.pred = '{SAME_AS}'
+JOIN seeds s ON s.cls = ty.subj
+WHERE ty.pred = '{RDF_TYPE}'""",
         # SPARQL SELECT solution modifiers: GROUP BY + COUNT(*) /
         # COUNT(DISTINCT) / MIN over the distinct-binding relation,
         # ORDER BY with full-column tie-break, LIMIT

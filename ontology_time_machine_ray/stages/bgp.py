@@ -145,15 +145,89 @@ def _scan(
     return triples.map_batches(scan_batch, batch_format="pandas"), out_schema
 
 
+def predicate_stats(triples) -> dict[str, int]:
+    """Per-predicate triple counts -- the ONE statistic the auto planner
+    uses.  Per-batch partial counts, summed on the driver: the result is
+    vocabulary-sized (#predicates), never corpus-sized, so this is a
+    legitimate broadcast-small statistic (compute once, reuse across
+    queries against the same pinned store)."""
+    parts = triples.map_batches(
+        lambda df: df.groupby("pred", as_index=False).agg(n=("subj", "size")),
+        batch_format="pandas",
+    ).to_pandas()
+    if not len(parts):
+        return {}
+    return parts.groupby("pred")["n"].sum().to_dict()
+
+
+def plan_pattern_order(
+    patterns: Sequence[Sequence[str]], stats: dict[str, int]
+) -> list[Sequence[str]]:
+    """Greedy selectivity-ordered join plan for a conjunctive BGP.
+
+    Heuristic (the classic textbook one a cost-based optimizer refines):
+    a pattern's estimated scan size is its predicate's triple count
+    (whole-store size for a variable predicate), and every additional
+    constant in subject/object position makes it strictly more
+    selective.  Start from the globally most selective pattern, then
+    repeatedly append the most selective pattern that shares a variable
+    with the already-bound set -- the same left-deep connectivity
+    ``bgp_match`` requires, now chosen by estimated cardinality instead
+    of caller order.  A disconnected remainder keeps its given order so
+    ``bgp_match`` raises its usual loud error."""
+    total = sum(stats.values()) or 1
+
+    def est(p) -> tuple[int, int]:
+        s, pr, o = p
+        base = stats.get(pr, 0) if not _is_var(pr) else total
+        n_binding_consts = int(not _is_var(s)) + int(not _is_var(o))
+        return (-n_binding_consts, base)
+
+    remaining = sorted(range(len(patterns)), key=lambda i: (est(patterns[i]), i))
+    ordered = [remaining.pop(0)]
+    bound = set(_group_schema([patterns[ordered[0]]]))
+    while remaining:
+        connected = [
+            i for i in remaining if set(_group_schema([patterns[i]])) & bound
+        ]
+        if not connected:
+            ordered.extend(sorted(remaining))
+            break
+        nxt = min(connected, key=lambda i: (est(patterns[i]), i))
+        remaining.remove(nxt)
+        ordered.append(nxt)
+        bound |= set(_group_schema([patterns[nxt]]))
+    return [patterns[i] for i in ordered]
+
+
 def bgp_match(
     triples,
     patterns: Sequence[Sequence[str]],
     optional: Sequence[Sequence[str]] = (),
     minus: Sequence[Sequence[Sequence[str]]] = (),
     filters: Sequence[Sequence[str]] = (),
+    values: tuple[Sequence[str], Sequence[Sequence[str]]] | None = None,
+    order: str = "given",
+    stats: dict[str, int] | None = None,
 ):
     """Match a conjunction of triple patterns; returns a Dataset of the
     distinct variable bindings (one column per ``?variable``).
+
+    ``values`` is a SPARQL VALUES clause ``(variables, rows)`` -- an
+    inline binding table (query-literal, so driver-small by definition)
+    inner-joined onto the required match on its shared variables; rows
+    are deduplicated (set semantics), extra VALUES-only variables join
+    in as new columns, and UNDEF is not supported (wildcard rows are a
+    different join per defined-column subset -- callers union explicit
+    VALUES instead).
+
+    ``order="auto"`` replans the required patterns by estimated
+    selectivity (``plan_pattern_order``) using per-predicate counts --
+    ``stats`` if given, else one cheap counting pass over ``triples``
+    (`predicate_stats`; vocabulary-sized, reusable).  Results are
+    IDENTICAL to the given order (joins commute); only the intermediate
+    sizes change.  Output columns stay in the GIVEN first-seen order
+    either way.
 
     ``filters`` are SPARQL FILTER clauses over the REQUIRED group's
     variables, each ``(lhs, op, rhs)``: ``lhs`` a ``?variable``; ``op``
@@ -196,6 +270,14 @@ def bgp_match(
     """
     if not patterns:
         raise ValueError("empty pattern list")
+    if order not in ("given", "auto"):
+        raise ValueError(f"order must be 'given' or 'auto', not {order!r}")
+    if order == "auto":
+        if stats is None:
+            stats = predicate_stats(triples)
+        planned = plan_pattern_order(patterns, stats)
+    else:
+        planned = list(patterns)
     const_by_var, var_pairs = _check_filters(filters)
     required_schema = _group_schema(patterns)
     for v in const_by_var:
@@ -228,9 +310,9 @@ def bgp_match(
 
         return ds.map_batches(fil, batch_format="pandas"), remaining
 
-    acc, acc_schema = _scan(triples, patterns[0], const_by_var)
+    acc, acc_schema = _scan(triples, planned[0], const_by_var)
     acc, var_pairs = apply_var_pairs(acc, acc_schema, var_pairs)
-    for pattern in patterns[1:]:
+    for pattern in planned[1:]:
         scan, scan_schema = _scan(triples, pattern, const_by_var)
         shared = [v for v in acc_schema if v in scan_schema]
         if not shared:
@@ -248,6 +330,45 @@ def bgp_match(
         )
         acc_schema = {**acc_schema, **scan_schema}
         acc, var_pairs = apply_var_pairs(acc, acc_schema, var_pairs)
+    if order == "auto" and list(planned) != list(patterns):
+        # restore the documented output-column contract (given-order
+        # first-seen) -- a projection, not a shuffle
+        given_cols = list(required_schema)
+        acc = acc.map_batches(
+            lambda df, cols=tuple(given_cols): df.reindex(columns=list(cols)),
+            batch_format="pandas",
+        )
+        acc_schema = {v: "object" for v in given_cols}
+    if values is not None:
+        names, rows = values
+        vnames = []
+        for v in names:
+            if not _is_var(v):
+                raise ValueError(f"VALUES name {v!r} must be a ?variable")
+            vnames.append(v[1:])
+        vdf = pd.DataFrame(list(rows), columns=vnames).astype("object")
+        if vdf.isna().any().any():
+            raise ValueError(
+                "UNDEF (None) in VALUES is not supported -- union explicit "
+                "VALUES clauses per defined-column subset instead"
+            )
+        vdf = vdf.drop_duplicates()
+        shared = [v for v in vnames if v in acc_schema]
+        if not shared:
+            raise ValueError(
+                "VALUES shares no variable with the required match -- a "
+                "disconnected VALUES is a cartesian product"
+            )
+        import ray.data as rd
+
+        acc = bucketed_join(
+            acc,
+            rd.from_pandas(vdf),
+            on=shared,
+            left_schema=acc_schema,
+            right_schema={v: "object" for v in vnames},
+        )
+        acc_schema = {**acc_schema, **{v: "object" for v in vnames}}
     for group in minus:
         if group and isinstance(group[0], str):
             raise ValueError(

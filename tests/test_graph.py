@@ -822,3 +822,79 @@ def test_shacl_validate(ray_session):
         ).to_pandas()
     with pytest.raises(ValueError, match="no shapes"):
         validate(t, [])
+
+
+def test_bgp_auto_order_and_values(ray_session):
+    """plan_pattern_order puts the most selective pattern first while
+    keeping left-deep connectivity; order='auto' matches the given-order
+    result and column contract; VALUES inner-joins an inline binding
+    table with set semantics and loud errors."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.bgp import (
+        bgp_match,
+        plan_pattern_order,
+        predicate_stats,
+    )
+
+    t = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "subj": ["a", "b", "c", "a", "b", "c", "a"],
+                "pred": ["knows"] * 3 + ["type"] * 3 + ["rare"],
+                "obj": ["b", "c", "a", "P", "P", "R", "z"],
+            }
+        )
+    )
+    stats = predicate_stats(t)
+    assert stats == {"knows": 3, "type": 3, "rare": 1}
+
+    # rare (1 row) goes first; 2-constant pattern beats predicate counts
+    given = [("?p", "knows", "?q"), ("?p", "type", "?tp"), ("?p", "rare", "?z")]
+    planned = plan_pattern_order(given, stats)
+    assert planned[0] == ("?p", "rare", "?z")
+    planned2 = plan_pattern_order(
+        [("?p", "knows", "?q"), ("?p", "type", "P")], stats
+    )
+    assert planned2[0] == ("?p", "type", "P")
+    # connectivity wins over raw selectivity: (?q type R) [est 3] must
+    # precede disconnected-at-that-point alternatives
+    planned3 = plan_pattern_order(
+        [("?p", "rare", "?z"), ("?q", "knows", "?w"), ("?z", "knows", "?q")],
+        stats,
+    )
+    assert planned3 == [
+        ("?p", "rare", "?z"),
+        ("?z", "knows", "?q"),
+        ("?q", "knows", "?w"),
+    ]
+
+    base = bgp_match(t, given).to_pandas()
+    auto = bgp_match(t, given, order="auto").to_pandas()
+    assert auto.columns.tolist() == ["p", "q", "tp", "z"]  # given-order contract
+    key = ["p", "q", "tp", "z"]
+    assert sorted(map(tuple, base[key].values.tolist())) == sorted(
+        map(tuple, auto[key].values.tolist())
+    )
+
+    # VALUES pins ?p; extra VALUES-only var joins in as a new column
+    out = bgp_match(
+        t,
+        [("?p", "knows", "?q")],
+        values=(["?p", "?lbl"], [("a", "A1"), ("a", "A1"), ("c", "C1")]),
+    ).to_pandas()
+    assert sorted(map(tuple, out[["p", "q", "lbl"]].values.tolist())) == [
+        ("a", "b", "A1"),
+        ("c", "a", "C1"),
+    ]
+
+    with pytest.raises(ValueError, match="UNDEF"):
+        bgp_match(t, [("?p", "knows", "?q")], values=(["?p"], [(None,)]))
+    with pytest.raises(ValueError, match="cartesian"):
+        bgp_match(t, [("?p", "knows", "?q")], values=(["?zz"], [("a",)]))
+    with pytest.raises(ValueError, match="must be a .variable"):
+        bgp_match(t, [("?p", "knows", "?q")], values=(["p"], [("a",)]))
+    with pytest.raises(ValueError, match="order must be"):
+        bgp_match(t, [("?p", "knows", "?q")], order="fastest")
