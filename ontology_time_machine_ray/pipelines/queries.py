@@ -1116,6 +1116,36 @@ def kg_bgp_values(sf_dir: str):
     )
 
 
+def kg_ask(sf_dir: str):
+    """SPARQL ASK (existence check, as a 1-row table the driver can
+    hash): does any owl:sameAs pair have a peer typed owl:Class?
+    ``Dataset.limit(1)`` lets the streaming executor stop pulling blocks
+    after the first solution -- a hit on an early partition never runs
+    the full match."""
+    import pandas as pd
+
+    from ontology_time_machine_ray.schema import OWL_CLASS, OWL_SAME_AS, RDF_TYPE
+    from ontology_time_machine_ray.stages.bgp import bgp_ask
+
+    t = _pipe(sf_dir).triples().select_columns(["subj", "pred", "obj"]).materialize()
+    hit = bgp_ask(
+        t,
+        [("?cls", OWL_SAME_AS, "?peer"), ("?peer", RDF_TYPE, OWL_CLASS)],
+    )
+    return pd.DataFrame({"ask": [int(hit)]})
+
+
+def kg_describe(sf_dir: str):
+    """SPARQL DESCRIBE of a seed resource (symmetric concise form):
+    every stored triple where it appears as subject OR object -- the
+    dereference view a linked-data consumer gets for one IRI.  One
+    vectorized pushdown scan, no shuffle."""
+    from ontology_time_machine_ray.stages.bgp import describe_resource
+
+    t = _pipe(sf_dir).triples().select_columns(["subj", "pred", "obj"]).materialize()
+    return describe_resource(t, KG_VALUES_SEEDS[0])
+
+
 def kg_sparql_agg(sf_dir: str):
     """SPARQL SELECT with the full solution-modifier chain -- GROUP BY,
     COUNT(*) / COUNT(DISTINCT) / MIN / MAX aggregates, ORDER BY, LIMIT:
@@ -1888,6 +1918,8 @@ QUERIES = {
     "kg_bgp_union": kg_bgp_union,
     "kg_bgp_filter": kg_bgp_filter,
     "kg_bgp_values": kg_bgp_values,
+    "kg_ask": kg_ask,
+    "kg_describe": kg_describe,
     "kg_path_query": kg_path_query,
     "kg_sparql_agg": kg_sparql_agg,
     "kg_shacl_report": kg_shacl_report,
@@ -2017,6 +2049,8 @@ _KG_ORACLE_NAMES = (
     "kg_bgp_union",
     "kg_bgp_filter",
     "kg_bgp_values",
+    "kg_ask",
+    "kg_describe",
     "kg_path_query",
     "kg_sparql_agg",
     "kg_shacl_report",

@@ -590,6 +590,20 @@ reach(s, o) AS (
 SELECT DISTINCT r.s AS term, d.obj AS typ
 FROM reach r
 JOIN t d ON d.subj = r.o AND d.pred = '{RDF_TYPE}'""",
+        # SPARQL ASK: existence as a 1-row 0/1 table
+        "kg_ask": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
+        f"""t AS (SELECT DISTINCT subj, pred, obj FROM dedup)
+SELECT CAST(EXISTS (
+  SELECT 1 FROM t sa
+  JOIN t ty ON ty.subj = sa.obj AND ty.pred = '{RDF_TYPE}'
+           AND ty.obj = '{OWL_CLASS}'
+  WHERE sa.pred = '{SAME_AS}') AS BIGINT) AS ask""",
+        # SPARQL DESCRIBE: symmetric concise form of one resource
+        "kg_describe": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
+        """t AS (SELECT DISTINCT subj, pred, obj FROM dedup)
+SELECT subj, pred, obj FROM t
+WHERE subj = 'http://onto0.example.org/ns/v0#C0'
+   OR obj = 'http://onto0.example.org/ns/v0#C0'""",
         # SPARQL VALUES: inline binding table inner-joined on ?cls
         "kg_bgp_values": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
         f"""t AS (SELECT DISTINCT subj, pred, obj FROM dedup),

@@ -803,3 +803,23 @@ def bgp_select(
             # no row cap => a real global sort (range-partitioned exchange)
             result = result.sort(by, descending=[not a for a in asc])
     return result
+
+
+def bgp_ask(triples, patterns: Sequence[Sequence[str]], **kwargs) -> bool:
+    """SPARQL ASK: does at least one solution exist?  Evaluates the BGP
+    with ``limit``-style early materialization -- ``Dataset.limit(1)``
+    lets the streaming executor stop pulling blocks once one row has
+    arrived, so a hit on the first scanned partition never runs the
+    full match.  Accepts every ``bgp_match`` keyword."""
+    return len(bgp_match(triples, patterns, **kwargs).limit(1).take(1)) > 0
+
+
+def describe_resource(triples, iri: str):
+    """SPARQL DESCRIBE (symmetric concise form): every triple where the
+    resource appears as subject OR object -- one vectorized pushdown
+    scan, no shuffle (the union of two masks in a single pass)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return df[(df["subj"] == iri) | (df["obj"] == iri)]
+
+    return triples.map_batches(fn, batch_format="pandas")

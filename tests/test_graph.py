@@ -898,3 +898,30 @@ def test_bgp_auto_order_and_values(ray_session):
         bgp_match(t, [("?p", "knows", "?q")], values=(["p"], [("a",)]))
     with pytest.raises(ValueError, match="order must be"):
         bgp_match(t, [("?p", "knows", "?q")], order="fastest")
+
+
+def test_bgp_ask_and_describe(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.bgp import bgp_ask, describe_resource
+
+    t = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "subj": ["a", "b", "a"],
+                "pred": ["knows", "knows", "type"],
+                "obj": ["b", "c", "P"],
+            }
+        )
+    )
+    assert bgp_ask(t, [("?p", "knows", "?q"), ("?q", "type", "P")]) is False
+    assert bgp_ask(t, [("?p", "knows", "?q"), ("?p", "type", "P")]) is True
+    # ASK composes with the full bgp_match keyword surface
+    assert bgp_ask(t, [("?p", "knows", "?q")], filters=[("?q", "==", "zz")]) is False
+
+    d = describe_resource(t, "b").to_pandas()
+    assert sorted(map(tuple, d.values.tolist())) == [
+        ("a", "knows", "b"),
+        ("b", "knows", "c"),
+    ]
