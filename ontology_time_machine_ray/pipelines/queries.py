@@ -1119,9 +1119,10 @@ def kg_bgp_values(sf_dir: str):
 def kg_ask(sf_dir: str):
     """SPARQL ASK (existence check, as a 1-row table the driver can
     hash): does any owl:sameAs pair have a peer typed owl:Class?
-    ``Dataset.limit(1)`` lets the streaming executor stop pulling blocks
-    after the first solution -- a hit on an early partition never runs
-    the full match."""
+    ``Dataset.limit(1)`` stops the streaming executor at the first
+    output row -- which, for this two-pattern BGP, saves only the
+    post-join tail (the bucketed join is an all-to-all barrier; a
+    single-pattern ASK would stop after the first scanned partition)."""
     import pandas as pd
 
     from ontology_time_machine_ray.schema import OWL_CLASS, OWL_SAME_AS, RDF_TYPE

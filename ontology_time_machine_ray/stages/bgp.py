@@ -84,8 +84,13 @@ def _check_filters(filters: Sequence[Sequence[str]]):
         lhs, op, rhs = clause
         if op not in _FILTER_OPS:
             raise ValueError(f"unknown filter op {op!r} (have {sorted(_FILTER_OPS)})")
-        if not _is_var(lhs):
+        if not isinstance(lhs, str) or not _is_var(lhs):
             raise ValueError(f"filter {clause}: lhs must be a ?variable")
+        if not isinstance(rhs, str):
+            raise ValueError(
+                f"filter {clause}: rhs must be a string (the store's terms "
+                "are IRIs; compare lexicographically)"
+            )
         if _is_var(rhs):
             if op in ("contains", "prefix", "suffix", "regex"):
                 raise ValueError(
@@ -675,6 +680,11 @@ def bgp_select(
     group; the variable is ignored, pass ``"*"``), ``count_distinct``,
     ``min``, ``max``.  ``order_by``: ``[(output_column, "asc"|"desc")]``.
     ``limit``: top-k row cap (requires ``order_by`` for determinism).
+    Like FILTER, GROUP BY and aggregate variables scope to the REQUIRED
+    group: a variable bound only by an OPTIONAL clause may be unbound,
+    and SPARQL's unbound-aware aggregate semantics (NULL group,
+    COUNT-DISTINCT ignoring unbound) are not modeled -- such variables
+    error loudly.
 
     Execution shape: plain aggregates are ONE bucketed exchange on the
     group key (`grouped_aggregate`); each COUNT(DISTINCT v) is a
@@ -701,18 +711,32 @@ def bgp_select(
     bindings = bgp_match(
         triples, patterns, optional=optional, minus=minus, filters=filters
     )
-    schema = _group_schema(patterns)
+    required_schema = _group_schema(patterns)
+    schema = dict(required_schema)
     for pattern in optional:
         schema.update(_group_schema([pattern]))
 
+    def _require_required(v: str, role: str) -> str:
+        """Aggregation scopes to the REQUIRED group, like FILTER: an
+        optional-only variable may be unbound (NULL), and SPARQL's
+        NULL-group / ignore-unbound aggregate semantics diverge from the
+        pandas machinery here (dropna groupby, None counted distinct,
+        object-min TypeError) -- reject loudly instead of being subtly
+        wrong."""
+        if not _is_var(v):
+            raise ValueError(f"{role} term {v!r} must be a ?variable")
+        if v[1:] in required_schema:
+            return v[1:]
+        if v[1:] in schema:
+            raise ValueError(
+                f"{role} variable {v} is bound only by an OPTIONAL clause "
+                "-- GROUP BY / aggregates scope to the required group "
+                "(unbound-aware aggregate semantics are not modeled)"
+            )
+        raise ValueError(f"{role} variable {v} is not bound")
+
     if group_by:
-        gvars = []
-        for v in group_by:
-            if not _is_var(v):
-                raise ValueError(f"group_by term {v!r} must be a ?variable")
-            if v[1:] not in schema:
-                raise ValueError(f"group_by variable {v} is not bound")
-            gvars.append(v[1:])
+        gvars = [_require_required(v, "group_by") for v in group_by]
         plain: dict[str, tuple[str, str]] = {}
         distincts: list[tuple[str, str]] = []
         for out, (op, var) in aggs.items():
@@ -723,8 +747,7 @@ def bgp_select(
             if op == "count":
                 plain[out] = (gvars[0], "size")
                 continue
-            if not _is_var(var) or var[1:] not in schema:
-                raise ValueError(f"agg {out}: {var!r} is not a bound ?variable")
+            var = "?" + _require_required(var, f"agg {out}")
             if op == "count_distinct":
                 distincts.append((out, var[1:]))
             else:
@@ -806,11 +829,13 @@ def bgp_select(
 
 
 def bgp_ask(triples, patterns: Sequence[Sequence[str]], **kwargs) -> bool:
-    """SPARQL ASK: does at least one solution exist?  Evaluates the BGP
-    with ``limit``-style early materialization -- ``Dataset.limit(1)``
-    lets the streaming executor stop pulling blocks once one row has
-    arrived, so a hit on the first scanned partition never runs the
-    full match.  Accepts every ``bgp_match`` keyword."""
+    """SPARQL ASK: does at least one solution exist?  ``limit(1)``
+    stops the streaming executor at the first output row -- which skips
+    work only up to the first all-to-all barrier: a single-pattern ASK
+    can stop after the first scanned partition, but a multi-pattern BGP
+    joins through a bucketed groupby exchange, so its scans run in full
+    before the first row exists (the limit then saves only the
+    post-join tail).  Accepts every ``bgp_match`` keyword."""
     return len(bgp_match(triples, patterns, **kwargs).limit(1).take(1)) > 0
 
 

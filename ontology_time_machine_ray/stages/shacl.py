@@ -113,15 +113,31 @@ def validate(triples, shapes: Sequence[dict]):
     violations ``(focus, shape, constraint, value)`` (empty = conforms,
     SHACL's ``sh:conforms true``)."""
     reports = []
+    # per-focus counts are per-PREDICATE relations, independent of shape
+    # and of min-vs-max: compute each once and materialize, so a shape
+    # asserting both bounds on one predicate pays ONE scan + exchange
+    # instead of two (Datasets are lazy -- an unmaterialized relation
+    # consumed by two joins would re-execute its upstream per consumer)
+    counts_cache: dict[str, object] = {}
+
+    def _counts(pred: str):
+        if pred not in counts_cache:
+            counts_cache[pred] = grouped_aggregate(
+                _scan_values(triples, pred), ["focus"], {"cnt": ("value", "size")}
+            ).materialize()
+        return counts_cache[pred]
+
     for spec in shapes:
         shape = spec["shape"]
         targets = _targets(triples, spec["target"])
+        if len(spec["constraints"]) > 1:
+            # same laziness argument: N constraints would re-derive the
+            # focus set N times
+            targets = targets.materialize()
         for kind, pred, arg in spec["constraints"]:
             label = f"{kind}({pred},{arg})"
             if kind in ("minCount", "maxCount"):
-                counts = grouped_aggregate(
-                    _scan_values(triples, pred), ["focus"], {"cnt": ("value", "size")}
-                )
+                counts = _counts(pred)
                 joined = bucketed_join(
                     targets,
                     counts,

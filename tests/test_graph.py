@@ -925,3 +925,37 @@ def test_bgp_ask_and_describe(ray_session):
         ("a", "knows", "b"),
         ("b", "knows", "c"),
     ]
+
+
+def test_bgp_select_optional_scope_and_filter_types(ray_session):
+    """Aggregation scopes to the required group (optional-only variables
+    error loudly instead of silently NULL-mismatching SPARQL), and
+    non-string filter terms get the documented ValueError."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.bgp import bgp_match, bgp_select
+
+    t = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "subj": ["a", "b", "a"],
+                "pred": ["in", "in", "type"],
+                "obj": ["g1", "g1", "T"],
+            }
+        )
+    )
+    req = [("?m", "in", "?g")]
+    opt = [("?m", "type", "?tp")]
+    for bad in (
+        dict(group_by=["?tp"], aggs={"n": ("count", "*")}),
+        dict(group_by=["?g"], aggs={"nd": ("count_distinct", "?tp")}),
+        dict(group_by=["?g"], aggs={"mn": ("min", "?tp")}),
+    ):
+        with pytest.raises(ValueError, match="only by an OPTIONAL"):
+            bgp_select(t, req, optional=opt, **bad)
+    with pytest.raises(ValueError, match="rhs must be a string"):
+        bgp_match(t, req, filters=[("?g", "<", 5)])
+    with pytest.raises(ValueError, match="lhs must be a .variable"):
+        bgp_match(t, req, filters=[(5, "<", "?g")])
