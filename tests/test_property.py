@@ -385,3 +385,72 @@ def test_bgp_match_random_patterns_vs_pandas(ray_session):
         want = s1.merge(s2, on="b").drop_duplicates()
         key = lambda df: sorted(map(tuple, df[["a", "b", "c"]].itertuples(index=False)))
         assert key(got) == key(want), f"trial {trial}: {pred1}/{pred2}"
+
+
+def _eval_path_reference(edges: "pd.DataFrame", path) -> set:
+    """Brute-force property-path reference: evaluate the AST over the
+    (subj, pred, obj) frame with plain set algebra (walks collapse to
+    endpoint pairs by construction)."""
+    if isinstance(path, str):
+        sub = edges[edges["pred"] == path]
+        return set(zip(sub["subj"], sub["obj"]))
+    op = path[0]
+    if op == "inv":
+        return {(o, s) for s, o in _eval_path_reference(edges, path[1])}
+    if op == "seq":
+        acc = _eval_path_reference(edges, path[1])
+        for part in path[2:]:
+            step = _eval_path_reference(edges, part)
+            acc = {(s, o2) for s, o in acc for o1, o2 in step if o1 == o}
+        return acc
+    if op == "alt":
+        out: set = set()
+        for part in path[1:]:
+            out |= _eval_path_reference(edges, part)
+        return out
+    if op == "plus":
+        base = _eval_path_reference(edges, path[1])
+        closed = set(base)
+        while True:
+            nxt = closed | {
+                (s, o2) for s, o in closed for o1, o2 in base if o1 == o
+            }
+            if nxt == closed:
+                return closed
+            closed = nxt
+    raise ValueError(op)
+
+
+def test_path_pairs_random_graphs_vs_reference(ray_session):
+    """Property: on random small multigraphs, every path-operator
+    composition equals the brute-force set-algebra reference (incl.
+    cycles, which the closure must terminate on)."""
+    import numpy as np
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.bgp import path_pairs
+
+    rng = np.random.RandomState(31)
+    shapes = [
+        ("seq", "p", "q"),
+        ("alt", "p", ("inv", "q")),
+        ("plus", "p"),
+        ("plus", ("alt", "p", ("inv", "p"))),
+        ("seq", ("plus", "p"), "q"),
+        ("seq", ("alt", "p", "q"), ("inv", ("alt", "p", "q"))),
+    ]
+    for trial in range(4):
+        n = 30
+        t = pd.DataFrame(
+            {
+                "subj": rng.choice([f"n{i}" for i in range(7)], n),
+                "pred": rng.choice(["p", "q"], n),
+                "obj": rng.choice([f"n{i}" for i in range(7)], n),
+            }
+        ).drop_duplicates()
+        for path in shapes:
+            got = path_pairs(rd.from_pandas(t), path).to_pandas()
+            got_set = set(zip(got["s"], got["o"]))
+            assert len(got) == len(got_set), f"trial {trial} {path}: dup rows"
+            want = _eval_path_reference(t, path)
+            assert got_set == want, f"trial {trial} {path}"
