@@ -1984,6 +1984,8 @@ QUERIES = {
     "winnow_dup_pairs": winnow_dup_pairs,
     "dup_ngrams": dup_ngrams,
     "text_quality": textops.quality_score,
+    "source_reputation": textops.source_reputation,
+    "source_filter": textops.source_filter,
     "text_classify": textops.classifier_filter,
     "quality_top_pct": quality_top_pct,
     "rel_fuzzy_join": _fuzzy_join,

@@ -1397,3 +1397,74 @@ def sample_per_group(sf_dir: str, k: int = SPG_K) -> rd.Dataset:
 
 def _read_docs_cols(sf_dir: str, columns: list) -> rd.Dataset:
     return sized_read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+#: a source is reputable when >= this fraction (in integer millis) of
+#: its documents pass the quality >= 2 gate
+SOURCE_ACCEPT_MILLIS = 950
+
+
+def source_reputation(sf_dir: str) -> rd.Dataset:
+    """Source-level reputation table (the RefinedWeb/C4-style DOMAIN
+    gate: curation decisions at the publisher grain, not per document):
+    per source, document count, count passing the ``quality >= 2`` gate,
+    and the accept verdict ``n_ok * 1000 >= SOURCE_ACCEPT_MILLIS *
+    n_docs`` (integer rational -- no float rate, bit-identical to SQL).
+
+    Execution shape: ONE streaming pass computes the per-doc quality
+    flag (the shared vectorized scorer) and collapses it to per-batch
+    (source, n_docs, n_ok) partials -- bounded by the SOURCE vocabulary
+    per batch, so raw rows never leave the scan; one tiny
+    source-bucketed exchange sums the partials.  Sources are
+    vocabulary-scale (domains, not documents), so the output is small
+    by construction at any corpus size."""
+    from ontology_time_machine_ray.stages.groupagg import grouped_aggregate
+
+    docs = _read_docs_cols(sf_dir, ["doc_id", "text", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = quality_score_batch(df)
+        flags = pd.DataFrame(
+            {
+                "source": df["source"].to_numpy(),
+                "n_docs": 1,
+                "n_ok": (q["quality"] >= 2).astype("int64").to_numpy(),
+            }
+        )
+        return flags.groupby("source", as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_ok=("n_ok", "sum")
+        )
+
+    rep = grouped_aggregate(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["source"],
+        {"n_docs": ("n_docs", "sum"), "n_ok": ("n_ok", "sum")},
+    )
+
+    def verdict(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["accepted"] = (
+            df["n_ok"] * 1000 >= SOURCE_ACCEPT_MILLIS * df["n_docs"]
+        ).astype("int64")
+        return df[["source", "n_docs", "n_ok", "accepted"]]
+
+    return rep.map_batches(verdict, batch_format="pandas")
+
+
+def source_filter(sf_dir: str) -> rd.Dataset:
+    """Documents surviving the source-reputation gate: compute the
+    vocabulary-scale verdict table once (driver-held -- it is #sources
+    rows by construction), broadcast the accepted-source set, and keep
+    matching documents in ONE filter pass.  The two-level shape
+    (aggregate to the small grain, broadcast the verdict, filter the
+    corpus) is the standard domain-blocklist plan -- the corpus itself
+    never joins anything."""
+    rep = source_reputation(sf_dir).to_pandas()
+    accepted = frozenset(rep.loc[rep["accepted"] == 1, "source"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["source"].isin(accepted)][["doc_id", "source"]]
+
+    return _read_docs_cols(sf_dir, ["doc_id", "source"]).map_batches(
+        keep, batch_format="pandas"
+    )
