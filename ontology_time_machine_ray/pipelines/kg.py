@@ -490,3 +490,31 @@ class KgPipeline:
             )
             out.append(dedupe_triples(raw, bucket_keys=["subj"]))
         return out
+
+    def triples_tagged_at(self, timestamps):
+        """RAW triples for SEVERAL coordinates as ONE coord-tagged
+        stream -- the fused form of ``triples_at``: one
+        ``MultiTimestampLinker`` actor pool links each mention batch at
+        every coordinate (snapshot state loaded once per actor, shared),
+        so the mention stream is read ONCE with no materialize pin (a
+        single consumer needs no checkpoint) and no per-coordinate actor
+        pools.  Rows are NOT deduped per coordinate: a consumer folds
+        distinctness into its own key pass (group on (coord, subj, pred,
+        obj) / OR a presence bit) instead of paying K dedup exchanges --
+        kg_timeline's plan."""
+        from ontology_time_machine_ray.stages.link import MultiTimestampLinker
+
+        cfgs = [replace(self.config, timestamp=ts) for ts in timestamps]
+        return self.mentions().map_batches(
+            MultiTimestampLinker,
+            fn_constructor_kwargs={
+                "origins_path": self.paths.origins,
+                "content_path": self.paths.snapshot_content,
+                "status_path": self.paths.snapshot_status,
+                "configs": cfgs,
+                "emit": "triples",
+            },
+            batch_format="pyarrow",
+            batch_size=self.batch_size,
+            concurrency=self.link_concurrency or _default_pool_size(),
+        )

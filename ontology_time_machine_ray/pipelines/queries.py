@@ -1316,11 +1316,15 @@ def kg_timeline(sf_dir: str):
     n_removed) on the logical (subj, pred, obj) key.  The first
     coordinate counts everything as added (diff vs the empty store).
 
-    Scale shape: K tagged full builds union into ONE stream; a single
-    subj-bucketed pass folds each logical triple's K-coordinate presence
-    into a bitmask and reduces it to per-bucket transition counts, so the
-    driver merges buckets x K rows -- corpus-scale data never leaves the
-    bucket pass."""
+    Scale shape (fused): ONE ``MultiTimestampLinker`` actor-pool pass
+    links every mention batch at all K coordinates (snapshot state
+    loaded once per actor, mention stream read once, no per-coordinate
+    pools), then a single subj-bucketed pass folds each logical triple's
+    K-coordinate presence into a bitmask -- per-coordinate DISTINCTNESS
+    folds into the same pass as a (key, coord) dedup before the bit sum,
+    replacing the K dedup exchanges the unfused plan paid -- and reduces
+    it to per-bucket transition counts, so the driver merges buckets x K
+    rows; corpus-scale data crosses exactly ONE exchange end to end."""
     import numpy as np
 
     from ontology_time_machine_ray.stages.groupagg import grouped_apply
@@ -1329,23 +1333,19 @@ def kg_timeline(sf_dir: str):
     key = ["subj", "pred", "obj"]
     k_coords = len(KG_TIMELINE_TS)
 
-    def tag(i: int):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
-            out = df[key].copy()
-            out["coord"] = np.int64(i)
-            return out
-
-        return f
-
-    allu = None
-    # one shared detection pass; only the linker re-runs per coordinate
-    for i, store in enumerate(p.triples_at(KG_TIMELINE_TS)):
-        part = store.map_batches(tag(i), batch_format="pandas")
-        allu = part if allu is None else allu.union(part)
+    allu = p.triples_tagged_at(KG_TIMELINE_TS).map_batches(
+        # local combiner: the linker emits per-batch-distinct rows per
+        # coordinate, but the projection to the logical key can re-dup
+        lambda df: df[key + ["coord"]].drop_duplicates(),
+        batch_format="pandas",
+    )
 
     def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        # exact (key, coord) dedup inside the bucket: each coordinate
+        # contributes its bit at most once, so the sum IS the bitmask OR
+        d = g.drop_duplicates(key + ["coord"])
         m = (
-            g.assign(bit=np.int64(1) << g["coord"].to_numpy(dtype="int64"))
+            d.assign(bit=np.int64(1) << d["coord"].to_numpy(dtype="int64"))
             .groupby(key, as_index=False)
             .agg(mask=("bit", "sum"))
         )

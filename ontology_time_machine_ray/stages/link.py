@@ -154,8 +154,12 @@ class EntityLinker:
         status_path: str,
         config: Optional[PipelineConfig] = None,
         emit: str = "triples",
+        store: Optional[SnapshotStore] = None,
     ):
-        self.store = SnapshotStore(origins_path, content_path, status_path)
+        # ``store`` lets a multi-coordinate wrapper share ONE loaded
+        # snapshot state across its per-coordinate linkers (the state is
+        # timestamp-independent; only resolution differs per coordinate)
+        self.store = store or SnapshotStore(origins_path, content_path, status_path)
         self.config = config or PipelineConfig()
         self.emit = emit
         self._memo: dict[tuple, Resolution] = {}
@@ -366,3 +370,52 @@ class EntityLinker:
                 emit(a, OWL_EQUIVALENT_CLASS, b, doc, ver, fmt)
 
         return pa.table(cols, schema=TRIPLES_SCHEMA)
+
+
+class MultiTimestampLinker:
+    """One actor-pool pass linking the SAME mention stream at K
+    time-machine coordinates (the kg_timeline plan): the snapshot store
+    loads ONCE per actor and is shared by K per-coordinate
+    ``EntityLinker``s; each batch links K times (vectorized per
+    coordinate, each linker keeping its own combo memo) and the outputs
+    concatenate tagged with an int64 ``coord`` column.
+
+    Vs. K separate linker passes this reads the pinned mention stream
+    once instead of K times, spins one actor pool instead of K, and
+    loads one snapshot state instead of K -- the multi-query
+    optimization a version sweep wants.  Callers that need per-
+    coordinate DISTINCT triples fold the dedup into their downstream
+    key pass (group on (coord, subj, pred, obj) or OR a presence bit)
+    instead of paying K dedup exchanges."""
+
+    def __init__(
+        self,
+        origins_path: str,
+        content_path: str,
+        status_path: str,
+        configs,
+        emit: str = "triples",
+    ):
+        if not configs:
+            raise ValueError("MultiTimestampLinker needs >= 1 config")
+        store = SnapshotStore(origins_path, content_path, status_path)
+        self.linkers = [
+            EntityLinker(
+                origins_path,
+                content_path,
+                status_path,
+                config=cfg,
+                emit=emit,
+                store=store,
+            )
+            for cfg in configs
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for i, linker in enumerate(self.linkers):
+            t = linker(batch)
+            outs.append(
+                t.append_column("coord", pa.array([i] * len(t), type=pa.int64()))
+            )
+        return pa.concat_tables(outs)

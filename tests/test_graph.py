@@ -959,3 +959,21 @@ def test_bgp_select_optional_scope_and_filter_types(ray_session):
         bgp_match(t, req, filters=[("?g", "<", 5)])
     with pytest.raises(ValueError, match="lhs must be a .variable"):
         bgp_match(t, req, filters=[(5, "<", "?g")])
+
+
+def test_triples_tagged_at_equals_per_coordinate_builds(ray_session, sf_dir):
+    """The fused multi-coordinate linker pass (one actor pool, shared
+    snapshot state, no per-coordinate dedup) yields exactly the same
+    per-coordinate DISTINCT logical triples as K independent builds."""
+    from ontology_time_machine_ray.pipelines.kg import KgPipeline
+
+    ts = ("2019-06-01", "2021-06-01")
+    p = KgPipeline.for_sf_dir(sf_dir)
+    key = ["subj", "pred", "obj"]
+
+    fused = p.triples_tagged_at(ts).to_pandas()
+    for i, store in enumerate(p.triples_at(ts)):
+        want = store.to_pandas()[key].drop_duplicates()
+        got = fused[fused["coord"] == i][key].drop_duplicates()
+        k = lambda df: sorted(map(tuple, df[key].itertuples(index=False)))
+        assert k(got) == k(want), f"coordinate {i} ({ts[i]}) diverges"
