@@ -87,44 +87,54 @@ def kg_version_diff(sf_dir: str):
     ontology versions, proxy_logic.py's timestampArchived / as-of
     resolution), emitting every triple whose existence or resolved
     ontology version changed between ``KG_DIFF_OLD_TS`` and the default
-    T.  Each leg is the full distributed build; the diff is one
-    side-tagged union + one grouped pass on the triple key -- no
-    corpus-scale data ever meets the driver.  Absent sides carry '' (a
+    T.  Fused plan: ONE multi-coordinate linker pass tags both legs
+    (``triples_tagged_at`` -- snapshot state loaded once, mention stream
+    read once), a per-batch combiner keeps each batch's per-(coord, key)
+    dedup winner, and a single subj-bucketed pass finishes the exact
+    winner selection (same (doc_id, ontology_version, format) tie order
+    as the store dedup, so each leg reproduces ``triples_at`` bit-for-
+    bit) AND the old/new diff -- corpus-scale data crosses exactly one
+    exchange and never meets the driver.  Absent sides carry '' (a
     version string is never empty) so the output stays string-typed."""
-    from ontology_time_machine_ray.stages.groupagg import grouped_aggregate
+    from ontology_time_machine_ray.stages.dedup import _KEY, _TIE
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply
 
     p = _pipe(sf_dir)
-    key = ["subj", "pred", "obj", "doc_id"]
+    ckey = ["coord"] + _KEY
 
-    def tag(side: str):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
-            out = df[key].copy()
-            out["version_old"] = df["ontology_version"] if side == "old" else ""
-            out["version_new"] = df["ontology_version"] if side == "new" else ""
-            return out
+    def local_winner(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ckey + _TIE
+        if len(df) == 0:
+            return df.reindex(columns=cols)
+        return (
+            df.sort_values(cols, kind="stable")
+            .drop_duplicates(ckey, keep="first")[cols]
+        )
 
-        return f
-
-    old_ds, new_ds = p.triples_at([KG_DIFF_OLD_TS, p.config.timestamp])
-    both = old_ds.map_batches(tag("old"), batch_format="pandas").union(
-        new_ds.map_batches(tag("new"), batch_format="pandas")
-    )
-    # (subj,pred,obj,doc_id) is unique within a side (triples() is the
-    # deduped store), so max() just selects the present value per side
-    merged = grouped_aggregate(
-        both,
-        key,
-        {"version_old": ("version_old", "max"), "version_new": ("version_new", "max")},
+    tagged = p.triples_tagged_at([KG_DIFF_OLD_TS, p.config.timestamp]).map_batches(
+        local_winner, batch_format="pandas"
     )
 
-    def classify(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["version_old"] != df["version_new"]].copy()
-        df["change"] = "moved"
-        df.loc[df["version_old"] == "", "change"] = "added"
-        df.loc[df["version_new"] == "", "change"] = "removed"
-        return df
+    def diff_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # finish the per-leg dedup (the global head-1 picks the same
+        # winner as any pre-combined subset under the same sort order)
+        g = g.sort_values(ckey + _TIE, kind="stable").drop_duplicates(
+            ckey, keep="first"
+        )
+        coord = g["coord"].to_numpy()
+        out = g[_KEY + ["doc_id"]].copy()
+        out["version_old"] = g["ontology_version"].where(coord == 0, "")
+        out["version_new"] = g["ontology_version"].where(coord == 1, "")
+        m = out.groupby(_KEY + ["doc_id"], as_index=False).agg(
+            version_old=("version_old", "max"), version_new=("version_new", "max")
+        )
+        m = m[m["version_old"] != m["version_new"]].copy()
+        m["change"] = "moved"
+        m.loc[m["version_old"] == "", "change"] = "added"
+        m.loc[m["version_new"] == "", "change"] = "removed"
+        return m
 
-    return merged.map_batches(classify, batch_format="pandas")
+    return grouped_apply(tagged, ckey, diff_bucket, bucket_keys=["subj"])
 
 
 def kg_download_log(sf_dir: str):
