@@ -355,18 +355,35 @@ def cooccurrence_edges(mentions_ds) -> rd.Dataset:
         batch_format="pandas",
     )
 
+    empty = pd.DataFrame({"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)})
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, sub in g.groupby("doc_id", sort=False):
-            ids = np.sort(sub["ontology_id"].unique())
-            if len(ids) >= 2:
-                ia, ib = np.triu_indices(len(ids), k=1)
-                out.append(pd.DataFrame({"a": ids[ia], "b": ids[ib]}))
-        if not out:
-            return pd.DataFrame(
-                {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)}
-            )
-        return pd.concat(out, ignore_index=True).drop_duplicates()
+        # fully vectorized unordered-pair expansion (no Python loop over
+        # the half-million doc groups): sort (doc, ontology), compute
+        # each element's distance to its doc-segment end, and build the
+        # (i, j) index arrays with repeat/cumsum -- the sorted order
+        # makes a < b hold by construction
+        d = g.drop_duplicates(["doc_id", "ontology_id"]).sort_values(
+            ["doc_id", "ontology_id"], kind="stable"
+        )
+        n = len(d)
+        if n == 0:
+            return empty
+        vals = d["ontology_id"].to_numpy()
+        doc = d["doc_id"].to_numpy()
+        change = np.flatnonzero(doc[1:] != doc[:-1]) + 1
+        seg_starts = np.concatenate(([0], change))
+        seg_ends = np.concatenate((change, [n]))
+        end_per_elem = np.repeat(seg_ends, seg_ends - seg_starts)
+        pos = np.arange(n)
+        runs = end_per_elem - pos - 1  # pairs each element opens
+        total = int(runs.sum())
+        if total == 0:
+            return empty
+        i_idx = np.repeat(pos, runs)
+        run_starts = np.concatenate(([0], np.cumsum(runs)[:-1]))
+        j_idx = np.arange(total) - np.repeat(run_starts, runs) + i_idx + 1
+        return pd.DataFrame({"a": vals[i_idx], "b": vals[j_idx]}).drop_duplicates()
 
     e = grouped_apply(mo, ["doc_id"], pairs)
     return grouped_apply(e, ["a", "b"], lambda g: g.drop_duplicates(["a", "b"]))
