@@ -1746,6 +1746,10 @@ def ann_bruteforce(sf_dir: str) -> pd.DataFrame:
     return similarity.ann_bruteforce(sf_dir)
 
 
+def ann_recall(sf_dir: str) -> pd.DataFrame:
+    return similarity.ann_recall(sf_dir)
+
+
 def ann_lsh(sf_dir: str) -> pd.DataFrame:
     return similarity.ann_lsh(sf_dir)
 
@@ -2034,6 +2038,7 @@ QUERIES = {
     # similarity search
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
+    "ann_recall": ann_recall,
     "ann_ivf": ann_ivf,                  # unrolled k-means lists: full SQL oracle
     "ann_pq": ann_pq,                    # unrolled subspace k-means + ADC: full SQL oracle
 }
@@ -2095,6 +2100,15 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["kg_config_grid"] = sql_oracles.config_grid_sql(paths.root)
     out["ann_lsh"] = sql_oracles.ann_lsh_sql(
         similarity._emb_dim(os.path.join(sf_dir, "embeddings.parquet"))
+    )
+    # recall@k metric: the two ANN statements composed as subqueries
+    out["ann_recall"] = (
+        "SELECT b.query_id, COUNT(l.vec_id) AS n_hits,\n"
+        "       CAST(COUNT(l.vec_id) * 1000000 / 10 AS BIGINT) AS recall_ppm\n"
+        f"FROM ({sql_oracles.TESTDATA_SQL['ann_bruteforce']}) b\n"
+        f"LEFT JOIN ({out['ann_lsh']}) l\n"
+        "  ON l.query_id = b.query_id AND l.vec_id = b.vec_id\n"
+        "GROUP BY b.query_id"
     )
     out["pii_scrub"] = sql_oracles.pii_scrub_sql(paths.root)
     out["inverted_index"] = sql_oracles.inverted_index_sql(

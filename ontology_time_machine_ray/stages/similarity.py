@@ -789,3 +789,30 @@ def embedding_outliers(
         )
 
     return _read_emb(emb_path).map_batches(flag, batch_format="pandas")
+
+
+def ann_recall(sf_dir: str, k: int = 10, n_queries: int = 3) -> pd.DataFrame:
+    """Index-quality metric: recall@k of the LSH index against the
+    brute-force ground truth, per query -- the QA check an ANN rollout
+    gates on.  Both sides are the existing distributed scans (partial
+    top-k per block, driver sees blocks x k x q rows); the recall join
+    itself runs on the two k x q metric tables, which are driver-small
+    BY CONSTRUCTION.  ``recall_ppm`` is the integer-rational
+    ``n_hits * 1_000_000 // k`` (bit-identical to SQL, no floats)."""
+    bf = ann_bruteforce(sf_dir, k=k, n_queries=n_queries)
+    approx = ann_lsh(sf_dir, k=k, n_queries=n_queries)
+    hit = bf.merge(approx, on=["query_id", "vec_id"], how="inner")
+    n = (
+        hit.groupby("query_id", as_index=False)
+        .size()
+        .rename(columns={"size": "n_hits"})
+    )
+    out = (
+        bf[["query_id"]]
+        .drop_duplicates()
+        .merge(n, on="query_id", how="left")
+        .fillna({"n_hits": 0})
+    )
+    out["n_hits"] = out["n_hits"].astype("int64")
+    out["recall_ppm"] = out["n_hits"] * 1_000_000 // k
+    return out[["query_id", "n_hits", "recall_ppm"]]
