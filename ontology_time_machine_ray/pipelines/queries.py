@@ -1549,6 +1549,20 @@ def kg_store_asof(sf_dir: str):
     return read_store_asof(out, version=0, columns=_STORE_COLS)
 
 
+def kg_lookup(sf_dir: str) -> pd.DataFrame:
+    """Partition-pruned entity dereference from the PERSISTED store (the
+    serving path): the subject's stable hash names its partition
+    directory, so the lookup resolves and scans exactly ONE partition
+    file -- O(store/P) I/O at any corpus size -- with the same
+    per-partition time-travel resolution as a full read.  Store = the
+    incremental build (== the one-shot build by the kg_incremental
+    claim), so the oracle is the one-shot dedup filtered to the seed."""
+    from ontology_time_machine_ray.sources.writers import read_store_entity
+
+    out, _ = _incremental_store(sf_dir)
+    return read_store_entity(out, KG_VALUES_SEEDS[0], columns=_STORE_COLS)
+
+
 def kg_dependency_closure(sf_dir: str) -> pd.DataFrame:
     """J5: dependency-manifest transitive closure (the reference's dormant
     graph walk, proxy_logic.py:276-307) via distributed path doubling."""
@@ -1912,6 +1926,7 @@ QUERIES = {
     "kg_formats_complete": kg_formats_complete,
     "kg_spans_passthrough": kg_spans_passthrough,
     "kg_incremental": kg_incremental,
+    "kg_lookup": kg_lookup,
     "kg_incremental_canonical": kg_incremental_canonical,
     "kg_store_asof": kg_store_asof,
     "kg_dependency_closure": kg_dependency_closure,
@@ -2060,6 +2075,7 @@ _KG_ORACLE_NAMES = (
     "kg_dependency_closure_ttl",
     "kg_pagerank",
     "kg_incremental",
+    "kg_lookup",
     "kg_two_hop",
     "kg_bgp",
     "kg_bgp_optional",

@@ -717,6 +717,11 @@ FROM r GROUP BY 1, 2""",
         # shares the kg_triples statement -- the equality IS the claim
         "kg_incremental": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES}\n"
         "SELECT subj, pred, obj, doc_id, ontology_version, format FROM dedup",
+        # pruned point lookup off the same store: the one-shot dedup
+        # filtered to the dereferenced subject
+        "kg_lookup": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES}\n"
+        "SELECT subj, pred, obj, doc_id, ontology_version, format FROM dedup\n"
+        "WHERE subj = 'http://onto0.example.org/ns/v0#C0'",
         # likewise the incremental CANONICAL update (mapping repair +
         # moved-representative rewrite) must equal the one-shot canonical
         # build, so it shares kg_triples_canonical's statement verbatim

@@ -519,6 +519,86 @@ def update_partitioned(
     return summary
 
 
+def _partition_file_asof(pdir: str, version: int | None) -> str | None:
+    """Newest data file of ONE partition visible at ``version`` (None =
+    current); None when the partition contributes nothing (no DONE
+    manifest, or first created after ``version``); raises when the
+    requested version was vacuumed away (partial data is never returned
+    silently).  Pure per-partition local metadata -- the unit both the
+    full time-travel scan and the pruned point lookup resolve with."""
+    mpath = os.path.join(pdir, "_manifest.json")
+    if not os.path.exists(mpath):
+        return None
+    m = json.load(open(mpath))
+    if m.get("status") != "DONE":
+        return None
+    if version is None or int(m.get("version", 0)) <= version:
+        return os.path.join(pdir, "data.parquet")
+    best = -1
+    for f in os.listdir(pdir):
+        if f.startswith("data@") and f.endswith(".parquet"):
+            v = int(f[len("data@"):-len(".parquet")])
+            if v <= version and v > best:
+                best = v
+    if best >= 0:
+        return os.path.join(pdir, f"data@{best}.parquet")
+    if int(m.get("created_version", 0)) <= version:
+        raise ValueError(
+            f"{pdir}: version {version} no longer available "
+            "(removed by vacuum_store)"
+        )
+    return None  # partition first created after `version`
+
+
+def read_store_entity(
+    out_dir: str,
+    value: str,
+    key: str = "subj",
+    version: int | None = None,
+    columns: list[str] | None = None,
+) -> pd.DataFrame:
+    """Partition-pruned point dereference (the serving path): the key's
+    stable hash names its partition directory, so the lookup resolves
+    and scans exactly ONE ``part=NNNNN`` file -- O(store/P) I/O instead
+    of a store scan, the dividend the hash layout exists to pay.  The
+    partition count comes from the store's own manifests (any DONE
+    manifest records it; ``done_partitions`` enforces they agree), and
+    the per-partition version resolution is the same time-travel logic
+    as ``read_store_asof``.  A single file is a driver-side pyarrow
+    read, not a Ray job -- this is the low-latency lookup a serving
+    layer issues, and at 10^12 docs it still touches one file."""
+    if not os.path.isdir(out_dir):
+        raise ValueError(f"{out_dir} is not a store directory")
+    num_partitions = None
+    for name in sorted(os.listdir(out_dir)):
+        if not name.startswith("part=") or name.endswith((".tmp", ".old")):
+            continue
+        mpath = os.path.join(out_dir, name, "_manifest.json")
+        if os.path.exists(mpath):
+            m = json.load(open(mpath))
+            if m.get("status") == "DONE":
+                num_partitions = int(m["num_partitions"])
+                break
+    if num_partitions is None:
+        raise ValueError(f"no DONE partitions in {out_dir}")
+    # int() BEFORE the modulo: a np.uint64 SCALAR % python-int promotes
+    # to float64 (unlike the array form add_partition_column uses) and
+    # silently rounds the 64-bit hash past 2^53 -- wrong partition
+    part = int(stable_hash64_series(pd.Series([value], dtype=object))[0]) % num_partitions
+    f = _partition_file_asof(os.path.join(out_dir, f"part={part:05d}"), version)
+    if f is None or not os.path.exists(f):
+        hit = pd.DataFrame()  # entity's partition never written => no rows
+    else:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(f, columns=columns)
+        hit = tbl.to_pandas()
+        hit = hit[hit[key] == value].reset_index(drop=True)
+    if len(hit) == 0 and columns is not None:
+        hit = pd.DataFrame({c: pd.Series(dtype=object) for c in columns})
+    return hit
+
+
 def read_store_asof(out_dir: str, version: int | None = None, columns: list[str] | None = None):
     """Time-travel read of a partitioned store: the content AS OF store
     ``version`` (initial build = 0, each ``update_partitioned`` = +1);
@@ -540,33 +620,9 @@ def read_store_asof(out_dir: str, version: int | None = None, columns: list[str]
     for name in sorted(os.listdir(out_dir)):
         if not name.startswith("part=") or name.endswith((".tmp", ".old")):
             continue
-        pdir = os.path.join(out_dir, name)
-        mpath = os.path.join(pdir, "_manifest.json")
-        if not os.path.exists(mpath):
-            continue
-        m = json.load(open(mpath))
-        if m.get("status") != "DONE":
-            continue
-        if version is None or int(m.get("version", 0)) <= version:
-            files.append(os.path.join(pdir, "data.parquet"))
-            continue
-        best = -1
-        for f in os.listdir(pdir):
-            if f.startswith("data@") and f.endswith(".parquet"):
-                v = int(f[len("data@"):-len(".parquet")])
-                if v <= version and v > best:
-                    best = v
-        if best >= 0:
-            files.append(os.path.join(pdir, f"data@{best}.parquet"))
-        elif int(m.get("created_version", 0)) <= version:
-            # the partition EXISTED at this version but its file was
-            # vacuumed: raising beats silently returning partial data
-            raise ValueError(
-                f"{pdir}: version {version} no longer available "
-                "(removed by vacuum_store)"
-            )
-        # else: partition first created after `version` -- legitimately
-        # contributes nothing
+        f = _partition_file_asof(os.path.join(out_dir, name), version)
+        if f is not None:
+            files.append(f)
     if not files:
         raise ValueError(f"no partitions in {out_dir} visible at version {version}")
     ds = rd.read_parquet(files)

@@ -521,3 +521,50 @@ def test_overwrite_sweeps_other_config_partitions(ray_session, tmp_path):
     # ONLY config-B rows survive; config-A leftovers must be swept
     assert set(latest["doc_id"]) == {"dB"}
     assert len(latest) == 2  # s0 deduped
+
+
+def test_read_store_entity_pruned_lookup(ray_session, tmp_path):
+    """Point dereference agrees with the full read for EVERY subject
+    (pinning the partition-hash round trip, incl. the uint64-scalar
+    modulo trap), honors time travel, and returns an empty typed frame
+    for unknown keys."""
+    from ontology_time_machine_ray.sources.writers import (
+        read_store_asof,
+        read_store_entity,
+        update_partitioned,
+        write_partitioned,
+    )
+
+    out = str(tmp_path / "store")
+    ds, df = _toy_ds()
+    write_partitioned(ds, out, num_partitions=8, config_hash="cfg1")
+
+    full = read_store_asof(out).to_pandas()
+    for subj in df["subj"]:
+        got = read_store_entity(out, subj)
+        want = full[full["subj"] == subj]
+        assert len(got) == 1
+        assert got.iloc[0]["obj"] == want.iloc[0]["obj"], subj
+
+    # unknown key: empty frame, requested columns materialized
+    miss = read_store_entity(out, "nope", columns=["subj", "obj"])
+    assert len(miss) == 0 and miss.columns.tolist() == ["subj", "obj"]
+
+    # time travel: a subject merged in by an update is visible now but
+    # NOT at version 0, via the SAME pruned path
+    import ray.data as rd
+
+    delta = rd.from_pandas(
+        pd.DataFrame({"subj": ["s-new"], "pred": ["p"], "obj": ["o-new"]})
+    )
+    update_partitioned(
+        delta, out, num_partitions=8, config_hash="cfg1",
+        dedup_keys=["subj", "pred"], dedup_order=["obj"],
+    )
+    now = read_store_entity(out, "s-new")
+    assert now["obj"].tolist() == ["o-new"]
+    base = read_store_entity(out, "s-new", version=0, columns=["subj", "obj"])
+    assert len(base) == 0
+    # pre-existing subjects unchanged at both versions
+    assert read_store_entity(out, "s3")["obj"].tolist() == ["o3"]
+    assert read_store_entity(out, "s3", version=0)["obj"].tolist() == ["o3"]
