@@ -671,6 +671,9 @@ def bgp_select(
     aggs: dict[str, tuple[str, str]] | None = None,
     order_by: Sequence[tuple[str, str]] | None = None,
     limit: int | None = None,
+    values: tuple[Sequence[str], Sequence[Sequence[str]]] | None = None,
+    order: str = "given",
+    stats: dict[str, int] | None = None,
 ):
     """SPARQL SELECT over a BGP with solution modifiers: GROUP BY +
     aggregates, ORDER BY, LIMIT.
@@ -709,9 +712,15 @@ def bgp_select(
         raise ValueError("limit without order_by is nondeterministic")
 
     bindings = bgp_match(
-        triples, patterns, optional=optional, minus=minus, filters=filters
+        triples, patterns, optional=optional, minus=minus, filters=filters,
+        values=values, order=order, stats=stats,
     )
     required_schema = _group_schema(patterns)
+    if values is not None:
+        # VALUES-only variables join the binding schema as new columns
+        for v in values[0]:
+            if _is_var(v):
+                required_schema.setdefault(v[1:], "object")
     schema = dict(required_schema)
     for pattern in optional:
         schema.update(_group_schema([pattern]))
