@@ -1157,6 +1157,25 @@ def kg_describe(sf_dir: str):
     return describe_resource(t, KG_VALUES_SEEDS[0])
 
 
+def kg_bfs(sf_dir: str):
+    """Seeded multi-source BFS over the triple graph: minimum hop count
+    from any of the VALUES seed entities along directed (subj -> obj)
+    edges -- the "neighborhood of these entities" traversal a consumer
+    runs after a lookup.  Work is proportional to the REACHABLE region
+    (frontier-sized shuffles, early exit at the fixpoint), not the
+    graph (``graph.bfs_from_seeds``)."""
+    from ontology_time_machine_ray.stages.graph import bfs_from_seeds
+
+    t = _pipe(sf_dir).triples().select_columns(["subj", "pred", "obj"])
+    edges = t.map_batches(
+        lambda df: df.loc[df["subj"] != df["obj"], ["subj", "obj"]].rename(
+            columns={"subj": "a", "obj": "b"}
+        ),
+        batch_format="pandas",
+    )
+    return bfs_from_seeds(edges, KG_VALUES_SEEDS)
+
+
 def kg_sparql_agg(sf_dir: str):
     """SPARQL SELECT with the full solution-modifier chain -- GROUP BY,
     COUNT(*) / COUNT(DISTINCT) / MIN / MAX aggregates, ORDER BY, LIMIT:
@@ -1948,6 +1967,7 @@ QUERIES = {
     "kg_bgp_union": kg_bgp_union,
     "kg_bgp_filter": kg_bgp_filter,
     "kg_bgp_values": kg_bgp_values,
+    "kg_bfs": kg_bfs,
     "kg_ask": kg_ask,
     "kg_describe": kg_describe,
     "kg_path_query": kg_path_query,
@@ -2083,6 +2103,7 @@ _KG_ORACLE_NAMES = (
     "kg_bgp_union",
     "kg_bgp_filter",
     "kg_bgp_values",
+    "kg_bfs",
     "kg_ask",
     "kg_describe",
     "kg_path_query",

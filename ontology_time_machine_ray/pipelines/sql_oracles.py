@@ -604,6 +604,20 @@ SELECT CAST(EXISTS (
 SELECT subj, pred, obj FROM t
 WHERE subj = 'http://onto0.example.org/ns/v0#C0'
    OR obj = 'http://onto0.example.org/ns/v0#C0'""",
+        # seeded multi-source BFS: depth-bounded recursive expansion,
+        # MIN depth per node (= BFS first-discovery depth)
+        "kg_bfs": f"WITH RECURSIVE {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
+        f"""t AS (SELECT DISTINCT subj, pred, obj FROM dedup),
+e AS MATERIALIZED (SELECT DISTINCT subj AS a, obj AS b FROM t WHERE subj <> obj),
+seeds(node) AS (VALUES ('http://onto0.example.org/ns/v0#C0'),
+                      ('http://onto0.example.org/ns/v12#C0'),
+                      ('http://onto1.example.org/ontology1#C0')),
+reach(node, depth) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.b, r.depth + 1 FROM reach r JOIN e ON e.a = r.node
+  WHERE r.depth < 16)
+SELECT node, MIN(depth) AS depth FROM reach GROUP BY node""",
         # SPARQL VALUES: inline binding table inner-joined on ?cls
         "kg_bgp_values": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
         f"""t AS (SELECT DISTINCT subj, pred, obj FROM dedup),

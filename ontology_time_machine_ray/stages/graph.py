@@ -725,3 +725,93 @@ def kcore(edges_ds, k: int = 2, rounds: int = 3) -> rd.Dataset:
         ),
         batch_format="pandas",
     )
+
+
+def bfs_from_seeds(
+    edges_ds,
+    seeds,
+    max_rounds: int = 16,
+    small_edges_limit: int | None = None,
+) -> rd.Dataset:
+    """Multi-source seeded BFS: Dataset[(node, depth)] -- the minimum
+    hop count from ANY seed along directed edges, seeds at depth 0 (the
+    "neighborhood of these entities" traversal a KG consumer runs after
+    a lookup).  Unlike ``closure_with_depth`` (all-pairs) the work is
+    proportional to the REACHABLE region only: per round ONE bucketed
+    join (frontier x edges on the meeting column) + ONE anti join
+    against the visited set; shuffle volume is the frontier, which
+    shrinks as the region saturates, and the loop exits early at the
+    fixpoint (empty frontier).  The seed set is query-literal -- driver
+    -small by definition -- and the only driver state is the loop
+    counter + the per-round empty check.  Below ``small_edges_limit``
+    the whole traversal is one driver BFS (the hybrid sizing rationale
+    of transitive_closure; the distributed path is pytest-forced with
+    the limit at 0)."""
+    from ontology_time_machine_ray.stages.groupagg import bucketed_join
+
+    seeds = sorted(set(seeds))
+    if not seeds:
+        raise ValueError("bfs_from_seeds needs >= 1 seed")
+    if small_edges_limit is None:
+        small_edges_limit = SMALL_EDGES_LIMIT
+    edges = _distinct_pairs(edges_ds).materialize()
+    if edges.count() <= small_edges_limit:
+        df = edges.to_pandas()
+        adj: dict[str, set] = {}
+        for a, b in zip(df["a"], df["b"]):
+            adj.setdefault(a, set()).add(b)
+        dist = {s: 0 for s in seeds}
+        frontier = list(seeds)
+        for depth in range(1, max_rounds + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = depth
+                        nxt.append(v)
+            if not nxt:
+                break
+            frontier = nxt
+        out = pd.DataFrame(
+            {"node": list(dist), "depth": pd.Series(list(dist.values()), dtype="int64")}
+        )
+        return rd.from_pandas(out.sort_values("node").reset_index(drop=True))
+
+    visited = rd.from_pandas(
+        pd.DataFrame({"node": seeds, "depth": pd.Series(0, index=range(len(seeds)), dtype="int64")})
+    ).materialize()
+    frontier = visited
+    node_schema = {"node": "object", "depth": "int64"}
+    for depth in range(1, max_rounds + 1):
+        ext = bucketed_join(
+            frontier.map_batches(
+                lambda df: pd.DataFrame({"m": df["node"]}), batch_format="pandas"
+            ),
+            edges.map_batches(
+                lambda df: pd.DataFrame({"m": df["a"], "node": df["b"]}),
+                batch_format="pandas",
+            ),
+            on=["m"],
+            left_schema={"m": "object"},
+            right_schema={"m": "object", "node": "object"},
+        ).map_batches(
+            lambda df: df[["node"]].drop_duplicates(), batch_format="pandas"
+        )
+        new = bucketed_join(
+            grouped_apply(ext, ["node"], lambda g: g.drop_duplicates()),
+            visited.map_batches(lambda df: df[["node"]], batch_format="pandas"),
+            on=["node"],
+            how="anti",
+            left_schema={"node": "object"},
+            right_schema={"node": "object"},
+        ).map_batches(
+            lambda df, depth=depth: df.assign(
+                depth=pd.Series(depth, index=df.index, dtype="int64")
+            ),
+            batch_format="pandas",
+        ).materialize()
+        if new.count() == 0:
+            break
+        visited = visited.union(new).materialize()
+        frontier = new
+    return visited

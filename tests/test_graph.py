@@ -977,3 +977,27 @@ def test_triples_tagged_at_equals_per_coordinate_builds(ray_session, sf_dir):
         got = fused[fused["coord"] == i][key].drop_duplicates()
         k = lambda df: sorted(map(tuple, df[key].itertuples(index=False)))
         assert k(got) == k(want), f"coordinate {i} ({ts[i]}) diverges"
+
+
+@pytest.mark.parametrize("limit", [None, 0], ids=["driver-bfs", "distributed-bfs"])
+def test_bfs_from_seeds_paths_agree(ray_session, limit):
+    """Seeded BFS: min hop from ANY seed, seeds at depth 0, unreachable
+    nodes absent, cycles terminate -- identical on both paths."""
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.graph import bfs_from_seeds
+
+    edges = pd.DataFrame(
+        {
+            # s1 -> a -> b -> c, cycle c -> a; s2 -> b; island x -> y
+            "a": ["s1", "a", "b", "c", "s2", "x"],
+            "b": ["a", "b", "c", "a", "b", "y"],
+        }
+    )
+    kw = {} if limit is None else {"small_edges_limit": 0}
+    out = bfs_from_seeds(rd.from_pandas(edges), ["s1", "s2"], **kw).to_pandas()
+    got = {n: int(d) for n, d in zip(out["node"], out["depth"])}
+    assert got == {"s1": 0, "s2": 0, "a": 1, "b": 1, "c": 2}
+
+    with pytest.raises(ValueError, match=">= 1 seed"):
+        bfs_from_seeds(rd.from_pandas(edges), [])
