@@ -1157,6 +1157,28 @@ def kg_describe(sf_dir: str):
     return describe_resource(t, KG_VALUES_SEEDS[0])
 
 
+def kg_bgp_bind(sf_dir: str):
+    """SPARQL BIND expression columns over the BGP: per sameAs pair,
+    the fragment local name (STRAFTER), the uppercased peer (UCASE),
+    a CONCAT display key and the IRI STRLEN -- one vectorized in-batch
+    pass, zero shuffles (BIND is projection; rows neither die nor
+    multiply)."""
+    from ontology_time_machine_ray.schema import OWL_SAME_AS
+    from ontology_time_machine_ray.stages.bgp import bgp_select
+
+    t = _pipe(sf_dir).triples().select_columns(["subj", "pred", "obj"]).materialize()
+    return bgp_select(
+        t,
+        [("?cls", OWL_SAME_AS, "?peer")],
+        binds={
+            "local_name": ("strafter", "?cls", "#"),
+            "peer_up": ("ucase", "?peer"),
+            "pair": ("concat", "?cls", "|", "?peer"),
+            "len_cls": ("strlen", "?cls"),
+        },
+    )
+
+
 def kg_bfs(sf_dir: str):
     """Seeded multi-source BFS over the triple graph: minimum hop count
     from any of the VALUES seed entities along directed (subj -> obj)
@@ -1967,6 +1989,7 @@ QUERIES = {
     "kg_bgp_union": kg_bgp_union,
     "kg_bgp_filter": kg_bgp_filter,
     "kg_bgp_values": kg_bgp_values,
+    "kg_bgp_bind": kg_bgp_bind,
     "kg_bfs": kg_bfs,
     "kg_ask": kg_ask,
     "kg_describe": kg_describe,
@@ -2103,6 +2126,7 @@ _KG_ORACLE_NAMES = (
     "kg_bgp_union",
     "kg_bgp_filter",
     "kg_bgp_values",
+    "kg_bgp_bind",
     "kg_bfs",
     "kg_ask",
     "kg_describe",

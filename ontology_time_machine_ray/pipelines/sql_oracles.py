@@ -604,6 +604,17 @@ SELECT CAST(EXISTS (
 SELECT subj, pred, obj FROM t
 WHERE subj = 'http://onto0.example.org/ns/v0#C0'
    OR obj = 'http://onto0.example.org/ns/v0#C0'""",
+        # SPARQL BIND expression columns: STRAFTER/UCASE/CONCAT/STRLEN
+        # restated as ANSI-SQL string functions
+        "kg_bgp_bind": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
+        f"""t AS (SELECT DISTINCT subj, pred, obj FROM dedup)
+SELECT subj AS cls, obj AS peer,
+  CASE WHEN strpos(subj, '#') > 0
+       THEN substr(subj, strpos(subj, '#') + 1) ELSE '' END AS local_name,
+  upper(obj) AS peer_up,
+  subj || '|' || obj AS pair,
+  CAST(length(subj) AS BIGINT) AS len_cls
+FROM t WHERE pred = '{SAME_AS}'""",
         # seeded multi-source BFS: depth-bounded recursive expansion,
         # MIN depth per node (= BFS first-discovery depth)
         "kg_bfs": f"WITH RECURSIVE {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"

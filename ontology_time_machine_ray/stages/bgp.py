@@ -674,6 +674,7 @@ def bgp_select(
     values: tuple[Sequence[str], Sequence[Sequence[str]]] | None = None,
     order: str = "given",
     stats: dict[str, int] | None = None,
+    binds: dict | None = None,
 ):
     """SPARQL SELECT over a BGP with solution modifiers: GROUP BY +
     aggregates, ORDER BY, LIMIT.
@@ -724,6 +725,14 @@ def bgp_select(
     schema = dict(required_schema)
     for pattern in optional:
         schema.update(_group_schema([pattern]))
+    if binds:
+        # BIND evaluates inside the group pattern (SPARQL sequential
+        # scoping), so GROUP BY / aggregates may use its outputs; BIND
+        # outputs derive from the required match, hence join the
+        # "required" scope for aggregation purposes
+        bindings, schema = bind_columns(bindings, schema, binds)
+        for out in binds:
+            required_schema.setdefault(out, schema[out])
 
     def _require_required(v: str, role: str) -> str:
         """Aggregation scopes to the REQUIRED group, like FILTER: an
@@ -857,3 +866,87 @@ def describe_resource(triples, iri: str):
         return df[(df["subj"] == iri) | (df["obj"] == iri)]
 
     return triples.map_batches(fn, batch_format="pandas")
+
+
+#: BIND expression operators -> vectorized pandas evaluator.  Each takes
+#: the binding frame and the (already-resolved) argument list, where an
+#: argument is either a bound column Series or a literal string; all
+#: restate SPARQL 1.1 string builtins with ANSI-SQL twins (STRLEN/
+#: CONCAT/STRBEFORE/STRAFTER/UCASE/LCASE/REPLACE).  strbefore/strafter
+#: return '' when the needle is absent -- SPARQL's exact semantics
+#: (and SQL's, via the split trick in the oracle).
+def _bind_strlen(a):
+    return a[0].str.len().astype("int64")
+
+
+def _bind_concat(a):
+    out = a[0].astype(str) if hasattr(a[0], "str") else a[0]
+    for part in a[1:]:
+        out = out + part
+    return out
+
+
+def _bind_strbefore(a):
+    return a[0].str.split(a[1], n=1).str[0].where(a[0].str.contains(a[1], regex=False), "")
+
+
+def _bind_strafter(a):
+    parts = a[0].str.split(a[1], n=1)
+    return parts.str[1].where(parts.str.len() > 1, "")
+
+
+_BIND_OPS = {
+    "strlen": (1, 1, _bind_strlen),
+    "concat": (2, 9, _bind_concat),
+    "strbefore": (2, 2, _bind_strbefore),
+    "strafter": (2, 2, _bind_strafter),
+    "ucase": (1, 1, lambda a: a[0].str.upper()),
+    "lcase": (1, 1, lambda a: a[0].str.lower()),
+    "replace": (3, 3, lambda a: a[0].str.replace(a[1], a[2], regex=True)),
+}
+
+
+def bind_columns(bindings, schema: dict, binds: dict):
+    """SPARQL BIND: extend a binding Dataset with computed columns, one
+    vectorized in-batch pass, zero shuffles (BIND is projection -- rows
+    neither die nor multiply).  ``binds``: new column -> ``(op, arg,
+    ...)`` where each arg is a ``?variable`` (must be bound) or a string
+    literal; ops: ``strlen concat strbefore strafter ucase lcase
+    replace``.  Binds evaluate in dict order and may reference earlier
+    BIND outputs (SPARQL's sequential scoping).  Returns (Dataset,
+    extended schema)."""
+    schema = dict(schema)
+    plans: list[tuple[str, object, list]] = []
+    for out, spec in binds.items():
+        if out in schema:
+            raise ValueError(f"BIND output {out!r} collides with a bound variable")
+        op, args = spec[0], list(spec[1:])
+        if op not in _BIND_OPS:
+            raise ValueError(f"unknown BIND op {op!r} (have {sorted(_BIND_OPS)})")
+        lo, hi, _ = _BIND_OPS[op]
+        if not (lo <= len(args) <= hi):
+            raise ValueError(f"BIND {out}: {op} takes {lo}..{hi} args, got {len(args)}")
+        for arg in args:
+            if not isinstance(arg, str):
+                raise ValueError(f"BIND {out}: arg {arg!r} must be a string")
+            if _is_var(arg) and arg[1:] not in schema:
+                raise ValueError(f"BIND {out}: variable {arg} is not bound")
+        if not any(_is_var(a) for a in args):
+            raise ValueError(f"BIND {out}: at least one arg must be a ?variable")
+        if op in ("strbefore", "strafter", "replace") and any(
+            _is_var(a) for a in args[1:]
+        ):
+            raise ValueError(
+                f"BIND {out}: {op} needs literal needle/replacement args"
+            )
+        plans.append((out, op, args))
+        schema[out] = "object" if op != "strlen" else "int64"
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for out, op, args in plans:
+            resolved = [df[a[1:]] if _is_var(a) else a for a in args]
+            df[out] = _BIND_OPS[op][2](resolved)
+        return df
+
+    return bindings.map_batches(apply, batch_format="pandas"), schema

@@ -1001,3 +1001,66 @@ def test_bfs_from_seeds_paths_agree(ray_session, limit):
 
     with pytest.raises(ValueError, match=">= 1 seed"):
         bfs_from_seeds(rd.from_pandas(edges), [])
+
+
+def test_bind_columns_expressions(ray_session):
+    """BIND ops: value semantics (absent-needle -> ''), sequential
+    scoping (later binds see earlier outputs), aggregate over a BIND
+    output, and the validation errors."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.bgp import bgp_select
+
+    t = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "subj": ["ns#a", "ns#b", "plain"],
+                "pred": ["p", "p", "p"],
+                "obj": ["X", "Y", "Z"],
+            }
+        )
+    )
+    out = bgp_select(
+        t,
+        [("?s", "p", "?o")],
+        binds={
+            "frag": ("strafter", "?s", "#"),
+            "pre": ("strbefore", "?s", "#"),
+            "lo": ("lcase", "?o"),
+            "tagged": ("concat", "<", "?frag", ">"),  # sees earlier bind
+            "n": ("strlen", "?s"),
+            "fixed": ("replace", "?s", "^ns", "NS"),
+        },
+    ).to_pandas()
+    by_s = out.set_index("s")
+    assert by_s.loc["ns#a", "frag"] == "a" and by_s.loc["plain", "frag"] == ""
+    assert by_s.loc["ns#a", "pre"] == "ns" and by_s.loc["plain", "pre"] == ""
+    assert by_s.loc["ns#b", "lo"] == "y"
+    assert by_s.loc["ns#a", "tagged"] == "<a>"
+    assert int(by_s.loc["plain", "n"]) == 5
+    assert by_s.loc["ns#a", "fixed"] == "NS#a"
+
+    # aggregate over a BIND output (joins the required scope)
+    agg = bgp_select(
+        t,
+        [("?s", "p", "?o")],
+        binds={"frag": ("strafter", "?s", "#")},
+        group_by=["?frag"],
+        aggs={"cnt": ("count", "*")},
+        order_by=[("frag", "asc")],
+        limit=10,
+    ).to_pandas()
+    assert agg.values.tolist() == [["", 1], ["a", 1], ["b", 1]]
+
+    for bad, msg in (
+        ({"s": ("ucase", "?s")}, "collides"),
+        ({"x": ("shout", "?s")}, "unknown BIND op"),
+        ({"x": ("ucase", "?zz")}, "is not bound"),
+        ({"x": ("ucase", "lit")}, "at least one arg"),
+        ({"x": ("strafter", "?s", "?o")}, "literal needle"),
+        ({"x": ("strlen", "?s", "?o")}, "takes 1..1"),
+    ):
+        with pytest.raises(ValueError, match=msg):
+            bgp_select(t, [("?s", "p", "?o")], binds=bad)
