@@ -1235,7 +1235,7 @@ FROM documents""",
     # source-level reputation: same integer quality formula, grouped
     # at the publisher grain, integer-rational accept verdict
     "source_reputation": f"""
-WITH q AS (SELECT source,
+WITH q AS (SELECT COALESCE(source, '') AS source,
       CAST(length(text) BETWEEN 100 AND 20000 AS BIGINT)
       + CAST(len(regexp_extract_all(text, '\\S+')) > 0
              AND len(regexp_extract_all(text, '\\b({STOP_RE})\\b')) * 100
@@ -1250,7 +1250,7 @@ SELECT source, COUNT(*) AS n_docs,
             >= 950 * COUNT(*) AS BIGINT) AS accepted
 FROM q GROUP BY source""",
     "source_filter": f"""
-WITH q AS (SELECT source,
+WITH q AS (SELECT COALESCE(source, '') AS source,
       CAST(length(text) BETWEEN 100 AND 20000 AS BIGINT)
       + CAST(len(regexp_extract_all(text, '\\S+')) > 0
              AND len(regexp_extract_all(text, '\\b({STOP_RE})\\b')) * 100
@@ -1262,7 +1262,7 @@ WITH q AS (SELECT source,
 rep AS (SELECT source FROM q GROUP BY source
         HAVING SUM(CAST(quality >= 2 AS BIGINT)) * 1000 >= 950 * COUNT(*))
 SELECT d.doc_id, d.source FROM documents d
-JOIN rep ON rep.source = d.source""",
+JOIN rep ON rep.source = COALESCE(d.source, '')""",
     "text_repetition": """
 WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
 e AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g

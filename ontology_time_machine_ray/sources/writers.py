@@ -570,6 +570,7 @@ def read_store_entity(
     if not os.path.isdir(out_dir):
         raise ValueError(f"{out_dir} is not a store directory")
     num_partitions = None
+    done_part = None
     for name in sorted(os.listdir(out_dir)):
         if not name.startswith("part=") or name.endswith((".tmp", ".old")):
             continue
@@ -578,9 +579,12 @@ def read_store_entity(
             m = json.load(open(mpath))
             if m.get("status") == "DONE":
                 num_partitions = int(m["num_partitions"])
+                done_part = name
                 break
     if num_partitions is None:
         raise ValueError(f"no DONE partitions in {out_dir}")
+    import pyarrow.parquet as pq
+
     # int() BEFORE the modulo: a np.uint64 SCALAR % python-int promotes
     # to float64 (unlike the array form add_partition_column uses) and
     # silently rounds the 64-bit hash past 2^53 -- wrong partition
@@ -589,12 +593,17 @@ def read_store_entity(
     if f is None or not os.path.exists(f):
         hit = pd.DataFrame()  # entity's partition never written => no rows
     else:
-        import pyarrow.parquet as pq
-
         tbl = pq.read_table(f, columns=columns)
         hit = tbl.to_pandas()
         hit = hit[hit[key] == value].reset_index(drop=True)
-    if len(hit) == 0 and columns is not None:
+    if len(hit) == 0:
+        # a miss must still carry the store schema (every hit path does);
+        # with no explicit projection, take it from the DONE partition
+        # that supplied num_partitions
+        if columns is None:
+            columns = pq.read_schema(
+                os.path.join(out_dir, f"part={done_part}", "data.parquet")
+            ).names
         hit = pd.DataFrame({c: pd.Series(dtype=object) for c in columns})
     return hit
 

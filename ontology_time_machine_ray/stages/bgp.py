@@ -727,9 +727,23 @@ def bgp_select(
         schema.update(_group_schema([pattern]))
     if binds:
         # BIND evaluates inside the group pattern (SPARQL sequential
-        # scoping), so GROUP BY / aggregates may use its outputs; BIND
-        # outputs derive from the required match, hence join the
-        # "required" scope for aggregation purposes
+        # scoping), so GROUP BY / aggregates may use its outputs -- but
+        # only a REQUIRED-scope derivation may join the required schema:
+        # a bind over an OPTIONAL-only variable sees unbound (NULL)
+        # inputs, exactly the unbound-aggregate semantics this function
+        # rejects (see _require_required); error loudly instead
+        grown = dict(required_schema)
+        for out, spec in binds.items():
+            for arg in spec[1:]:
+                if isinstance(arg, str) and _is_var(arg) and arg[1:] not in grown:
+                    if arg[1:] in schema:
+                        raise ValueError(
+                            f"BIND {out}: variable {arg} is bound only by an "
+                            "OPTIONAL clause -- BIND inputs scope to the "
+                            "required group (unbound-aware expression "
+                            "semantics are not modeled)"
+                        )
+            grown[out] = "object"
         bindings, schema = bind_columns(bindings, schema, binds)
         for out in binds:
             required_schema.setdefault(out, schema[out])
@@ -880,18 +894,24 @@ def _bind_strlen(a):
 
 
 def _bind_concat(a):
-    out = a[0].astype(str) if hasattr(a[0], "str") else a[0]
-    for part in a[1:]:
-        out = out + part
+    # every part is stringified (SPARQL CONCAT is string-typed; an int64
+    # BIND output concatenates as its decimal form, matching SQL concat)
+    out = None
+    for part in a:
+        part = part.astype(str) if isinstance(part, pd.Series) else part
+        out = part if out is None else out + part
     return out
 
 
 def _bind_strbefore(a):
-    return a[0].str.split(a[1], n=1).str[0].where(a[0].str.contains(a[1], regex=False), "")
+    # regex=False: the needle is a LITERAL substring (SPARQL STRBEFORE),
+    # never a pattern -- pandas' split defaults to regex for len > 1
+    parts = a[0].str.split(a[1], n=1, regex=False)
+    return parts.str[0].where(parts.str.len() > 1, "")
 
 
 def _bind_strafter(a):
-    parts = a[0].str.split(a[1], n=1)
+    parts = a[0].str.split(a[1], n=1, regex=False)
     return parts.str[1].where(parts.str.len() > 1, "")
 
 

@@ -1424,9 +1424,11 @@ def source_reputation(sf_dir: str) -> rd.Dataset:
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         q = quality_score_batch(df)
+        # '' sentinel for a null source: pandas groupby drops NaN keys,
+        # and the SQL twin COALESCEs to '' for the same reason
         flags = pd.DataFrame(
             {
-                "source": df["source"].to_numpy(),
+                "source": df["source"].fillna("").to_numpy(),
                 "n_docs": 1,
                 "n_ok": (q["quality"] >= 2).astype("int64").to_numpy(),
             }
@@ -1463,7 +1465,7 @@ def source_filter(sf_dir: str) -> rd.Dataset:
     accepted = frozenset(rep.loc[rep["accepted"] == 1, "source"])
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["source"].isin(accepted)][["doc_id", "source"]]
+        return df[df["source"].fillna("").isin(accepted)][["doc_id", "source"]]
 
     return _read_docs_cols(sf_dir, ["doc_id", "source"]).map_batches(
         keep, batch_format="pandas"

@@ -1064,3 +1064,49 @@ def test_bind_columns_expressions(ray_session):
     ):
         with pytest.raises(ValueError, match=msg):
             bgp_select(t, [("?s", "p", "?o")], binds=bad)
+
+
+def test_bind_literal_needles_and_scope(ray_session):
+    """Review regressions pinned: multi-char needles are LITERAL (not
+    regex), CONCAT stringifies numeric bind outputs, and a BIND over an
+    OPTIONAL-only variable errors loudly."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.bgp import bgp_select
+
+    t = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "subj": ["aXb-c", "aXb.a.b-z"],
+                "pred": ["p", "p"],
+                "obj": ["o1", "o2"],
+            }
+        )
+    )
+    out = bgp_select(
+        t,
+        [("?s", "p", "?o")],
+        binds={
+            "after": ("strafter", "?s", "a.b"),
+            "before": ("strbefore", "?s", "a.b"),
+            "n": ("strlen", "?o"),
+            "m": ("strlen", "?s"),
+            "nm": ("concat", "?n", "-", "?m"),
+        },
+    ).to_pandas().set_index("s")
+    # 'a.b' is a LITERAL substring: absent in 'aXb-c'
+    assert out.loc["aXb-c", "after"] == "" and out.loc["aXb-c", "before"] == ""
+    assert out.loc["aXb.a.b-z", "after"] == "-z"
+    assert out.loc["aXb.a.b-z", "before"] == "aXb."
+    # numeric binds concatenate as decimal strings, not arithmetic
+    assert out.loc["aXb-c", "nm"] == "2-5"
+
+    with pytest.raises(ValueError, match="only by an OPTIONAL"):
+        bgp_select(
+            t,
+            [("?s", "p", "?o")],
+            optional=[("?s", "q", "?tp")],
+            binds={"x": ("ucase", "?tp")},
+        )
