@@ -1179,6 +1179,28 @@ def kg_bgp_bind(sf_dir: str):
     )
 
 
+def kg_sparql_having(sf_dir: str):
+    """The full SPARQL analytic chain in one query: BIND (STRLEN) ->
+    GROUP BY -> COUNT(DISTINCT) + SUM over the numeric bind -> HAVING
+    -> ORDER BY -> LIMIT.  HAVING is a vectorized post-aggregate mask
+    (each group is one row by then -- no exchange); SUM rides the same
+    single bucketed exchange as the other plain aggregates."""
+    from ontology_time_machine_ray.schema import RDFS_IS_DEFINED_BY
+    from ontology_time_machine_ray.stages.bgp import bgp_select
+
+    t = _pipe(sf_dir).triples().select_columns(["subj", "pred", "obj"]).materialize()
+    return bgp_select(
+        t,
+        [("?term", RDFS_IS_DEFINED_BY, "?ont")],
+        binds={"tlen": ("strlen", "?term")},
+        group_by=["?ont"],
+        aggs={"n_terms": ("count_distinct", "?term"), "sum_len": ("sum", "?tlen")},
+        having=[("n_terms", ">=", 3)],
+        order_by=[("sum_len", "desc"), ("ont", "asc")],
+        limit=10,
+    )
+
+
 def kg_bfs(sf_dir: str):
     """Seeded multi-source BFS over the triple graph: minimum hop count
     from any of the VALUES seed entities along directed (subj -> obj)
@@ -1995,6 +2017,7 @@ QUERIES = {
     "kg_describe": kg_describe,
     "kg_path_query": kg_path_query,
     "kg_sparql_agg": kg_sparql_agg,
+    "kg_sparql_having": kg_sparql_having,
     "kg_shacl_report": kg_shacl_report,
     "kg_void_stats": kg_void_stats,
     "kg_construct": kg_construct,
@@ -2132,6 +2155,7 @@ _KG_ORACLE_NAMES = (
     "kg_describe",
     "kg_path_query",
     "kg_sparql_agg",
+    "kg_sparql_having",
     "kg_shacl_report",
     "kg_void_stats",
     "kg_construct",

@@ -652,6 +652,17 @@ SELECT ont, COUNT(*) AS n_bindings, COUNT(DISTINCT term) AS n_terms,
 FROM b GROUP BY ont
 ORDER BY n_terms DESC, ont
 LIMIT 10""",
+        # BIND -> GROUP BY -> SUM/COUNT DISTINCT -> HAVING -> ORDER/LIMIT
+        "kg_sparql_having": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
+        f"""t AS (SELECT DISTINCT subj, pred, obj FROM dedup),
+b AS (SELECT DISTINCT subj AS term, obj AS ont FROM t
+      WHERE pred = '{IS_DEFINED_BY}')
+SELECT ont, COUNT(DISTINCT term) AS n_terms,
+       CAST(SUM(length(term)) AS BIGINT) AS sum_len
+FROM b GROUP BY ont
+HAVING COUNT(DISTINCT term) >= 3
+ORDER BY sum_len DESC, ont
+LIMIT 10""",
         # SHACL-lite report: one SELECT per (shape, constraint), UNION
         # ALL (rows are distinct across constraints by construction)
         "kg_shacl_report": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"

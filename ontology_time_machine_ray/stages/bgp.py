@@ -657,7 +657,7 @@ def path_match(triples, path, s_name: str = "s", o_name: str = "o",
 #: yields DISTINCT bindings, so ``count`` counts solutions (SPARQL
 #: SELECT DISTINCT + COUNT(*)), and min/max are lexicographic on the
 #: ASCII IRIs (= ANSI-SQL string collation).
-_AGG_OPS = ("count", "count_distinct", "min", "max")
+_AGG_OPS = ("count", "count_distinct", "min", "max", "sum")
 
 
 def bgp_select(
@@ -671,6 +671,7 @@ def bgp_select(
     aggs: dict[str, tuple[str, str]] | None = None,
     order_by: Sequence[tuple[str, str]] | None = None,
     limit: int | None = None,
+    having: Sequence[tuple] = (),
     values: tuple[Sequence[str], Sequence[Sequence[str]]] | None = None,
     order: str = "given",
     stats: dict[str, int] | None = None,
@@ -780,6 +781,11 @@ def bgp_select(
                 plain[out] = (gvars[0], "size")
                 continue
             var = "?" + _require_required(var, f"agg {out}")
+            if op == "sum" and schema.get(var[1:]) != "int64":
+                raise ValueError(
+                    f"agg {out}: sum needs a numeric variable (an int64 "
+                    "BIND output like strlen); IRI bindings are strings"
+                )
             if op == "count_distinct":
                 distincts.append((out, var[1:]))
             else:
@@ -794,7 +800,7 @@ def bgp_select(
                     {
                         **obj_schema,
                         **{
-                            out: ("int64" if how == "size" else "object")
+                            out: ("int64" if how in ("size", "sum") else "object")
                             for out, (_, how) in plain.items()
                         },
                     },
@@ -827,7 +833,34 @@ def bgp_select(
         result = acc.map_batches(
             lambda df: df.reindex(columns=out_cols), batch_format="pandas"
         )
+        if having:
+            # HAVING: a vectorized post-aggregate filter -- each group is
+            # one row by now, so this is an in-batch mask, no exchange
+            hav = []
+            for clause in having:
+                if len(clause) != 3:
+                    raise ValueError(f"having {clause} is not (col, op, rhs)")
+                col, hop, rhs = clause
+                if hop not in _FILTER_OPS:
+                    raise ValueError(
+                        f"unknown having op {hop!r} (have {sorted(_FILTER_OPS)})"
+                    )
+                if col not in out_cols:
+                    raise ValueError(
+                        f"having column {col!r} not in output {out_cols}"
+                    )
+                hav.append((col, hop, rhs))
+
+            def apply_having(df: pd.DataFrame) -> pd.DataFrame:
+                mask = pd.Series(True, index=df.index)
+                for col, hop, rhs in hav:
+                    mask &= _FILTER_OPS[hop](df[col], rhs)
+                return df[mask]
+
+            result = result.map_batches(apply_having, batch_format="pandas")
     else:
+        if having:
+            raise ValueError("having requires group_by aggregates")
         out_cols = list(schema)
         result = bindings
 

@@ -1110,3 +1110,55 @@ def test_bind_literal_needles_and_scope(ray_session):
             optional=[("?s", "q", "?tp")],
             binds={"x": ("ucase", "?tp")},
         )
+
+
+def test_bgp_select_sum_and_having(ray_session):
+    """SUM over a numeric BIND output and HAVING post-aggregate filters;
+    sum over a string variable and ungrouped having error loudly."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.bgp import bgp_select
+
+    t = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "subj": ["aa", "bbb", "cccc", "d"],
+                "pred": ["in"] * 4,
+                "obj": ["g1", "g1", "g2", "g2"],
+            }
+        )
+    )
+    out = bgp_select(
+        t,
+        [("?m", "in", "?g")],
+        binds={"n": ("strlen", "?m")},
+        group_by=["?g"],
+        aggs={"total": ("sum", "?n"), "cnt": ("count", "*")},
+        having=[("total", ">", 4)],
+        order_by=[("g", "asc")],
+        limit=10,
+    ).to_pandas()
+    # g1: 2+3=5 (kept), g2: 4+1=5 (kept); drop the threshold to prove it cuts
+    assert out[["g", "total", "cnt"]].values.tolist() == [["g1", 5, 2], ["g2", 5, 2]]
+    out2 = bgp_select(
+        t,
+        [("?m", "in", "?g")],
+        binds={"n": ("strlen", "?m")},
+        group_by=["?g"],
+        aggs={"mx": ("max", "?m"), "total": ("sum", "?n")},
+        having=[("mx", "suffix", "b"), ("total", ">=", 5)],
+    ).to_pandas()
+    assert out2["g"].tolist() == ["g1"]
+
+    with pytest.raises(ValueError, match="sum needs a numeric"):
+        bgp_select(t, [("?m", "in", "?g")], group_by=["?g"], aggs={"x": ("sum", "?m")})
+    with pytest.raises(ValueError, match="having requires group_by"):
+        bgp_select(t, [("?m", "in", "?g")], having=[("m", "==", "aa")])
+    with pytest.raises(ValueError, match="unknown having op"):
+        bgp_select(t, [("?m", "in", "?g")], group_by=["?g"],
+                   aggs={"c": ("count", "*")}, having=[("c", "~", 1)])
+    with pytest.raises(ValueError, match="having column"):
+        bgp_select(t, [("?m", "in", "?g")], group_by=["?g"],
+                   aggs={"c": ("count", "*")}, having=[("zz", ">", 1)])
