@@ -49,25 +49,62 @@ def kg_report_ab(sf_dir: str) -> pd.DataFrame:
     side-by-side table, experiments/aggregate_results.py:22-35,167-187):
     the SAME corpus routed under policy ``original`` (direct-to-origin)
     and ``originalFailoverLiveLatest`` (proxy with Archivo failover),
-    category x format counts side by side.  Each leg is the distributed
-    kg_report pipeline; only the two ~28-row aggregates meet on the
-    driver."""
+    category x format counts side by side.  Fused plan: the two
+    policies ride ONE ``MultiTimestampLinker`` actor-pool pass (the
+    class generalizes to ANY per-coordinate config difference -- here
+    the version POLICY, not the timestamp), so the corpus is detected
+    and linked once, a per-batch combiner collapses to (coord,
+    category, format) partials, and only the two ~28-row aggregates
+    meet on the driver for the pivot."""
     from ontology_time_machine_ray.config import OntoVersion
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply
+    from ontology_time_machine_ray.stages.link import MultiTimestampLinker
 
     p = _pipe(sf_dir)
-    a = (
-        p.with_policy(OntoVersion.ORIGINAL)
-        .report()
-        .to_pandas()
-        .rename(columns={"count()": "n_original"})
+    from ontology_time_machine_ray.pipelines.kg import _default_pool_size
+
+    cfgs = [
+        p.with_policy(OntoVersion.ORIGINAL).config,
+        p.with_policy(OntoVersion.ORIGINAL_FAILOVER_LIVE_LATEST).config,
+    ]
+    tagged = p.mentions().map_batches(
+        MultiTimestampLinker,
+        fn_constructor_kwargs={
+            "origins_path": p.paths.origins,
+            "content_path": p.paths.snapshot_content,
+            "status_path": p.paths.snapshot_status,
+            "configs": cfgs,
+            "emit": "status",
+        },
+        batch_format="pyarrow",
+        batch_size=p.batch_size,
+        concurrency=p.link_concurrency or _default_pool_size(),
     )
-    b = (
-        p.with_policy(OntoVersion.ORIGINAL_FAILOVER_LIVE_LATEST)
-        .report()
-        .to_pandas()
-        .rename(columns={"count()": "n_failover"})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(
+            ["coord", "category", "format"], dropna=False, as_index=False
+        ).agg(n=("doc_id", "size"))
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: format is nullable and the NULL-format bucket is
+        # a real report row (same contract as KgPipeline.report)
+        return g.groupby(
+            ["coord", "category", "format"], dropna=False, as_index=False
+        ).agg(n=("n", "sum"))
+
+    counts = grouped_apply(
+        tagged.map_batches(partial, batch_format="pandas"),
+        ["coord", "category", "format"],
+        sum_bucket,
+    ).to_pandas()
+    a = counts[counts["coord"] == 0].rename(columns={"n": "n_original"})
+    b = counts[counts["coord"] == 1].rename(columns={"n": "n_failover"})
+    out = a[["category", "format", "n_original"]].merge(
+        b[["category", "format", "n_failover"]],
+        on=["category", "format"],
+        how="outer",  # NaN keys match
     )
-    out = a.merge(b, on=["category", "format"], how="outer")  # NaN keys match
     for c in ("n_original", "n_failover"):
         out[c] = out[c].fillna(0).astype("int64")
     return out.sort_values(["category", "format"]).reset_index(drop=True)
