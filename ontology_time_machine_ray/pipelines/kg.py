@@ -494,7 +494,7 @@ class KgPipeline:
     def triples_tagged_at(self, timestamps):
         """RAW triples for SEVERAL coordinates as ONE coord-tagged
         stream -- the fused form of ``triples_at``: one
-        ``MultiTimestampLinker`` actor pool links each mention batch at
+        ``MultiConfigLinker`` actor pool links each mention batch at
         every coordinate (snapshot state loaded once per actor, shared),
         so the mention stream is read ONCE with no materialize pin (a
         single consumer needs no checkpoint) and no per-coordinate actor
@@ -502,11 +502,11 @@ class KgPipeline:
         distinctness into its own key pass (group on (coord, subj, pred,
         obj) / OR a presence bit) instead of paying K dedup exchanges --
         kg_timeline's plan."""
-        from ontology_time_machine_ray.stages.link import MultiTimestampLinker
+        from ontology_time_machine_ray.stages.link import MultiConfigLinker
 
         cfgs = [replace(self.config, timestamp=ts) for ts in timestamps]
         return self.mentions().map_batches(
-            MultiTimestampLinker,
+            MultiConfigLinker,
             fn_constructor_kwargs={
                 "origins_path": self.paths.origins,
                 "content_path": self.paths.snapshot_content,

@@ -50,7 +50,7 @@ def kg_report_ab(sf_dir: str) -> pd.DataFrame:
     the SAME corpus routed under policy ``original`` (direct-to-origin)
     and ``originalFailoverLiveLatest`` (proxy with Archivo failover),
     category x format counts side by side.  Fused plan: the two
-    policies ride ONE ``MultiTimestampLinker`` actor-pool pass (the
+    policies ride ONE ``MultiConfigLinker`` actor-pool pass (the
     class generalizes to ANY per-coordinate config difference -- here
     the version POLICY, not the timestamp), so the corpus is detected
     and linked once, a per-batch combiner collapses to (coord,
@@ -58,7 +58,7 @@ def kg_report_ab(sf_dir: str) -> pd.DataFrame:
     meet on the driver for the pivot."""
     from ontology_time_machine_ray.config import OntoVersion
     from ontology_time_machine_ray.stages.groupagg import grouped_apply
-    from ontology_time_machine_ray.stages.link import MultiTimestampLinker
+    from ontology_time_machine_ray.stages.link import MultiConfigLinker
 
     p = _pipe(sf_dir)
     from ontology_time_machine_ray.pipelines.kg import _default_pool_size
@@ -68,7 +68,7 @@ def kg_report_ab(sf_dir: str) -> pd.DataFrame:
         p.with_policy(OntoVersion.ORIGINAL_FAILOVER_LIVE_LATEST).config,
     ]
     tagged = p.mentions().map_batches(
-        MultiTimestampLinker,
+        MultiConfigLinker,
         fn_constructor_kwargs={
             "origins_path": p.paths.origins,
             "content_path": p.paths.snapshot_content,
@@ -1426,7 +1426,7 @@ def kg_timeline(sf_dir: str):
     n_removed) on the logical (subj, pred, obj) key.  The first
     coordinate counts everything as added (diff vs the empty store).
 
-    Scale shape (fused): ONE ``MultiTimestampLinker`` actor-pool pass
+    Scale shape (fused): ONE ``MultiConfigLinker`` actor-pool pass
     links every mention batch at all K coordinates (snapshot state
     loaded once per actor, mention stream read once, no per-coordinate
     pools), then a single subj-bucketed pass folds each logical triple's

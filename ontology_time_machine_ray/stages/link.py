@@ -372,13 +372,15 @@ class EntityLinker:
         return pa.table(cols, schema=TRIPLES_SCHEMA)
 
 
-class MultiTimestampLinker:
-    """One actor-pool pass linking the SAME mention stream at K
-    time-machine coordinates (the kg_timeline plan): the snapshot store
-    loads ONCE per actor and is shared by K per-coordinate
-    ``EntityLinker``s; each batch links K times (vectorized per
-    coordinate, each linker keeping its own combo memo) and the outputs
-    concatenate tagged with an int64 ``coord`` column.
+class MultiConfigLinker:
+    """One actor-pool pass linking the SAME mention stream under K
+    pipeline configs -- time-machine coordinates (kg_timeline /
+    kg_version_diff), version policies (kg_report_ab), or any other
+    config axis: the snapshot store loads ONCE per actor and is shared
+    by K per-config ``EntityLinker``s; each batch links K times
+    (vectorized per config, each linker keeping its own combo memo) and
+    the outputs concatenate tagged with an int64 ``coord`` column (the
+    index into ``configs``).
 
     Vs. K separate linker passes this reads the pinned mention stream
     once instead of K times, spins one actor pool instead of K, and
@@ -397,7 +399,7 @@ class MultiTimestampLinker:
         emit: str = "triples",
     ):
         if not configs:
-            raise ValueError("MultiTimestampLinker needs >= 1 config")
+            raise ValueError("MultiConfigLinker needs >= 1 config")
         store = SnapshotStore(origins_path, content_path, status_path)
         self.linkers = [
             EntityLinker(
@@ -419,3 +421,7 @@ class MultiTimestampLinker:
                 t.append_column("coord", pa.array([i] * len(t), type=pa.int64()))
             )
         return pa.concat_tables(outs)
+
+
+#: backwards-compatible alias (the class predates its policy-sweep use)
+MultiTimestampLinker = MultiConfigLinker
