@@ -2094,6 +2094,7 @@ QUERIES = {
     "events_asof_join": relational.events_asof_join,
     "events_range_join": relational.events_range_join,
     "events_sliding": relational.events_sliding,
+    "events_trends": relational.events_trends,
     "events_topk_users": events_topk_users,
     # text analysis
     "text_stats": textops.text_stats,

@@ -1639,3 +1639,44 @@ def cheapest_part(sf_dir: str) -> rd.Dataset:
     return grouped_head1(
         ds, keys=["p_brand", "p_size"], order_by=["price_c", "p_partkey"]
     )
+
+
+def events_trends(sf_dir: str, min_run: int = 3) -> rd.Dataset:
+    """Kleene+-style event TREND aggregation (the SASE / event-trend-
+    aggregation pattern, cf. "Event Trend Aggregation Under Rich Event
+    Matching Semantics", SIGMOD 2019): per user, the maximal strictly-
+    increasing value runs in event-time order -- count of runs reaching
+    ``min_run`` events and the longest run.  Trend aggregation avoids
+    materializing the (exponentially many) sub-trends by aggregating
+    maximal runs directly; here that collapses to ONE user-bucketed pass
+    with a vectorized gap-and-island (a run starts at a user change or
+    a non-increase), no per-event pattern automaton.
+
+    Ordering contract: rows sort by (user, ts, event_id) inside the
+    bucket, so cross-block order never matters."""
+
+    def trends_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        new_user = g["user_id"] != g["user_id"].shift()
+        rising = g["value"] > g["value"].shift()
+        start = (new_user | ~rising).astype("int64")
+        run_id = start.cumsum()
+        runs = (
+            g.assign(_run=run_id.to_numpy())
+            .groupby(["user_id", "_run"], as_index=False)
+            .agg(run_len=("event_id", "size"))
+        )
+        return runs.groupby("user_id", as_index=False).agg(
+            n_trends=("run_len", lambda s: int((s >= min_run).sum())),
+            max_run=("run_len", "max"),
+        )
+
+    out = grouped_apply(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        ["user_id"],
+        trends_in_bucket,
+    )
+    return out.map_batches(
+        lambda df: df.astype({"n_trends": "int64", "max_run": "int64"}),
+        batch_format="pandas",
+    )

@@ -1227,6 +1227,25 @@ SELECT user_id, count(*) AS n_events,
   SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
 FROM events GROUP BY 1
 ORDER BY SUM(CAST(round(value * 100) AS BIGINT)) DESC, user_id LIMIT 10""",
+    # Kleene+ event-trend aggregation: maximal strictly-increasing runs
+    # per user via the lag/gap-and-island window idiom
+    "events_trends": """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(value) OVER w IS NULL OR value <= lag(value) OVER w
+         THEN 1 ELSE 0 END AS st
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+rid AS (
+  SELECT user_id,
+    SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM s),
+runs AS (SELECT user_id, run_id, COUNT(*) AS run_len FROM rid GROUP BY 1, 2)
+SELECT user_id,
+       CAST(SUM(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_trends,
+       CAST(MAX(run_len) AS BIGINT) AS max_run
+FROM runs GROUP BY user_id""",
     "text_stats": f"""
 SELECT doc_id, length(text) AS n_chars,
   len(regexp_extract_all(text, '\\S+')) AS n_tokens,
