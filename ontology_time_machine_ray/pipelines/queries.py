@@ -2095,6 +2095,7 @@ QUERIES = {
     "events_range_join": relational.events_range_join,
     "events_sliding": relational.events_sliding,
     "events_trends": relational.events_trends,
+    "events_comovement": relational.events_comovement,
     "events_topk_users": events_topk_users,
     # text analysis
     "text_stats": textops.text_stats,

@@ -1680,3 +1680,61 @@ def events_trends(sf_dir: str, min_run: int = 3) -> rd.Dataset:
         lambda df: df.astype({"n_trends": "int64", "max_run": "int64"}),
         batch_format="pandas",
     )
+
+
+def events_comovement(
+    sf_dir: str, min_shared: int = 4, max_cell_users: int = 64
+) -> rd.Dataset:
+    """Distributed co-movement pattern detection (cf. "Real-time
+    Distributed Co-Movement Pattern Detection on Streaming Trajectories",
+    VLDB 2019, restated on the events stream): pairs of users co-present
+    in the same (hour, event_type) cell at least ``min_shared`` times --
+    the spatio-temporal-companion shape with the cell grid standing in
+    for the trajectory snapshot partitioning.
+
+    Scale shape: ONE cell-bucketed pass expands each cell's user set to
+    unordered pairs with the shared vectorized index machinery
+    (`graph.pairwise_within` -- no Python loop over cells), then one
+    pair-bucketed count.  The quadratic hazard is a HOT CELL, not a hot
+    user: cells with more than ``max_cell_users`` distinct users are
+    dropped BEFORE expansion (a stampede cell carries no companionship
+    signal; the cap is the df-cap idiom of the dup-pair family) -- so
+    pair volume per cell is bounded by the cap squared."""
+    from ontology_time_machine_ray.stages.graph import pairwise_within
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def to_cells(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "hh": df["ts"].dt.floor("h"),
+                "event_type": df["event_type"],
+                "user_id": df["user_id"],
+            }
+        ).drop_duplicates()
+
+    cells = ev.map_batches(to_cells, batch_format="pandas")
+
+    def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["hh", "event_type", "user_id"])
+        sizes = g.groupby(["hh", "event_type"])["user_id"].transform("size")
+        g = g[sizes <= max_cell_users]
+        return pairwise_within(g, ["hh", "event_type"], "user_id")
+
+    pairs = grouped_apply(cells, ["hh", "event_type"], cell_pairs)
+    counts = grouped_aggregate(
+        pairs.map_batches(
+            lambda df: df.groupby(["a", "b"], as_index=False).agg(n=("a", "size")),
+            batch_format="pandas",
+        ),
+        ["a", "b"],
+        {"n_shared": ("n", "sum")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["n_shared"] >= min_shared].rename(
+            columns={"a": "user_a", "b": "user_b"}
+        )
+        return out.astype({"user_a": "int64", "user_b": "int64", "n_shared": "int64"})
+
+    return counts.map_batches(finish, batch_format="pandas")

@@ -1227,6 +1227,19 @@ SELECT user_id, count(*) AS n_events,
   SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
 FROM events GROUP BY 1
 ORDER BY SUM(CAST(round(value * 100) AS BIGINT)) DESC, user_id LIMIT 10""",
+    # co-movement companions: same (hour, type) cell >= k times, hot
+    # cells (> 64 users) dropped before the pair self-join
+    "events_comovement": """
+WITH c AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS hh, event_type
+           FROM events),
+ok AS (SELECT hh, event_type FROM c GROUP BY 1, 2 HAVING COUNT(*) <= 64),
+p AS (SELECT x.user_id AS ua, y.user_id AS ub
+      FROM c x
+      JOIN ok ON ok.hh = x.hh AND ok.event_type = x.event_type
+      JOIN c y ON y.hh = x.hh AND y.event_type = x.event_type
+             AND x.user_id < y.user_id)
+SELECT ua AS user_a, ub AS user_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 4""",
     # Kleene+ event-trend aggregation: maximal strictly-increasing runs
     # per user via the lag/gap-and-island window idiom
     "events_trends": """

@@ -339,6 +339,41 @@ def dependency_pagerank(dependencies_path: str, iters: int = 5) -> pd.DataFrame:
 # --------------------------------------------------------------------- #
 # Triangle counting + degree stats (ontology co-mention graph)           #
 # --------------------------------------------------------------------- #
+def pairwise_within(g: pd.DataFrame, keys: list, item: str) -> pd.DataFrame:
+    """Fully vectorized unordered-pair expansion within each ``keys``
+    group (no Python loop over groups -- the pattern behind co-mention
+    edges and co-movement cells): dedup (keys, item), sort, compute each
+    element's distance to its group-segment end, and build the (i, j)
+    index arrays with repeat/cumsum; the sorted order makes a < b hold
+    by construction.  Returns columns (a, b); caller dedups if group
+    multiplicity matters."""
+    import numpy as np
+
+    empty = pd.DataFrame({"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)})
+    d = g.drop_duplicates(keys + [item]).sort_values(keys + [item], kind="stable")
+    n = len(d)
+    if n == 0:
+        return empty
+    vals = d[item].to_numpy()
+    same = np.ones(n - 1, dtype=bool) if n > 1 else np.array([], dtype=bool)
+    for k in keys:
+        col = d[k].to_numpy()
+        same &= col[1:] == col[:-1]
+    change = np.flatnonzero(~same) + 1
+    seg_starts = np.concatenate(([0], change))
+    seg_ends = np.concatenate((change, [n]))
+    end_per_elem = np.repeat(seg_ends, seg_ends - seg_starts)
+    pos = np.arange(n)
+    runs = end_per_elem - pos - 1  # pairs each element opens
+    total = int(runs.sum())
+    if total == 0:
+        return empty
+    i_idx = np.repeat(pos, runs)
+    run_starts = np.concatenate(([0], np.cumsum(runs)[:-1]))
+    j_idx = np.arange(total) - np.repeat(run_starts, runs) + i_idx + 1
+    return pd.DataFrame({"a": vals[i_idx], "b": vals[j_idx]})
+
+
 def cooccurrence_edges(mentions_ds) -> rd.Dataset:
     """Distinct undirected edges (a < b) between ontologies co-mentioned
     in the same document.  Per-doc pair expansion is bounded by the
@@ -355,35 +390,8 @@ def cooccurrence_edges(mentions_ds) -> rd.Dataset:
         batch_format="pandas",
     )
 
-    empty = pd.DataFrame({"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)})
-
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # fully vectorized unordered-pair expansion (no Python loop over
-        # the half-million doc groups): sort (doc, ontology), compute
-        # each element's distance to its doc-segment end, and build the
-        # (i, j) index arrays with repeat/cumsum -- the sorted order
-        # makes a < b hold by construction
-        d = g.drop_duplicates(["doc_id", "ontology_id"]).sort_values(
-            ["doc_id", "ontology_id"], kind="stable"
-        )
-        n = len(d)
-        if n == 0:
-            return empty
-        vals = d["ontology_id"].to_numpy()
-        doc = d["doc_id"].to_numpy()
-        change = np.flatnonzero(doc[1:] != doc[:-1]) + 1
-        seg_starts = np.concatenate(([0], change))
-        seg_ends = np.concatenate((change, [n]))
-        end_per_elem = np.repeat(seg_ends, seg_ends - seg_starts)
-        pos = np.arange(n)
-        runs = end_per_elem - pos - 1  # pairs each element opens
-        total = int(runs.sum())
-        if total == 0:
-            return empty
-        i_idx = np.repeat(pos, runs)
-        run_starts = np.concatenate(([0], np.cumsum(runs)[:-1]))
-        j_idx = np.arange(total) - np.repeat(run_starts, runs) + i_idx + 1
-        return pd.DataFrame({"a": vals[i_idx], "b": vals[j_idx]}).drop_duplicates()
+        return pairwise_within(g, ["doc_id"], "ontology_id").drop_duplicates()
 
     e = grouped_apply(mo, ["doc_id"], pairs)
     return grouped_apply(e, ["a", "b"], lambda g: g.drop_duplicates(["a", "b"]))
