@@ -1245,8 +1245,7 @@ FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 4""",
     "events_trends": """
 WITH s AS (
   SELECT user_id, ts, event_id,
-    CASE WHEN lag(value) OVER w IS NULL OR value <= lag(value) OVER w
-         THEN 1 ELSE 0 END AS st
+    CASE WHEN value > lag(value) OVER w THEN 0 ELSE 1 END AS st
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 rid AS (

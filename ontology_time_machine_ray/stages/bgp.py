@@ -683,8 +683,14 @@ def bgp_select(
     ``group_by``: list of ``?variables`` to group on.  ``aggs``: output
     column -> ``(op, ?variable)`` with op in ``count`` (solutions per
     group; the variable is ignored, pass ``"*"``), ``count_distinct``,
-    ``min``, ``max``.  ``order_by``: ``[(output_column, "asc"|"desc")]``.
-    ``limit``: top-k row cap (requires ``order_by`` for determinism).
+    ``min``, ``max``, ``sum`` (sum needs a NUMERIC variable -- an int64
+    BIND output like strlen; IRI bindings are strings and would
+    concatenate silently).  ``having``: post-aggregate filter clauses
+    ``(output_column, op, rhs)`` over the FILTER op set, applied as a
+    vectorized mask after the aggregates (each group is one row by
+    then -- no exchange); requires ``group_by``.  ``order_by``:
+    ``[(output_column, "asc"|"desc")]``.  ``limit``: top-k row cap
+    (requires ``order_by`` for determinism).
     Like FILTER, GROUP BY and aggregate variables scope to the REQUIRED
     group: a variable bound only by an OPTIONAL clause may be unbound,
     and SPARQL's unbound-aware aggregate semantics (NULL group,

@@ -349,7 +349,9 @@ def pairwise_within(g: pd.DataFrame, keys: list, item: str) -> pd.DataFrame:
     multiplicity matters."""
     import numpy as np
 
-    empty = pd.DataFrame({"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)})
+    # dtype-consistent empty frame: an object-dtype empty block next to
+    # int64 pair blocks would promote the whole column on concat
+    empty = pd.DataFrame({"a": g[item].iloc[:0], "b": g[item].iloc[:0]})
     d = g.drop_duplicates(keys + [item]).sort_values(keys + [item], kind="stable")
     n = len(d)
     if n == 0:
