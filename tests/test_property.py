@@ -454,3 +454,57 @@ def test_path_pairs_random_graphs_vs_reference(ray_session):
             assert len(got) == len(got_set), f"trial {trial} {path}: dup rows"
             want = _eval_path_reference(t, path)
             assert got_set == want, f"trial {trial} {path}"
+
+
+def test_bgp_select_aggregates_random_vs_pandas(ray_session):
+    """Property: for random stores and random GROUP BY / aggregate /
+    HAVING / ORDER-LIMIT configurations, bgp_select equals a direct
+    pandas evaluation over the distinct-binding relation."""
+    import numpy as np
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.bgp import bgp_select
+
+    rng = np.random.RandomState(37)
+    for trial in range(4):
+        n = 60
+        t = pd.DataFrame(
+            {
+                "subj": rng.choice([f"s{i}" for i in range(10)], n),
+                "pred": ["in"] * n,
+                "obj": rng.choice([f"g{i}" for i in range(4)], n),
+            }
+        ).drop_duplicates()
+        min_n = int(rng.randint(1, 4))
+        got = bgp_select(
+            rd.from_pandas(t),
+            [("?m", "in", "?g")],
+            binds={"L": ("strlen", "?m")},
+            group_by=["?g"],
+            aggs={
+                "cnt": ("count", "*"),
+                "nd": ("count_distinct", "?m"),
+                "lo": ("min", "?m"),
+                "hi": ("max", "?m"),
+                "tot": ("sum", "?L"),
+            },
+            having=[("cnt", ">=", min_n)],
+            order_by=[("cnt", "desc"), ("g", "asc")],
+            limit=3,
+        ).to_pandas()
+
+        b = t.rename(columns={"subj": "m", "obj": "g"})[["m", "g"]].drop_duplicates()
+        b["L"] = b["m"].str.len().astype("int64")
+        want = b.groupby("g", as_index=False).agg(
+            cnt=("m", "size"), nd=("m", "nunique"),
+            lo=("m", "min"), hi=("m", "max"), tot=("L", "sum"),
+        )
+        want = want[want["cnt"] >= min_n]
+        want = want.sort_values(
+            ["cnt", "g", "nd", "lo", "hi", "tot"],
+            ascending=[False, True, True, True, True, True],
+            kind="stable",
+        ).head(3).reset_index(drop=True)
+        got = got.reset_index(drop=True)
+        assert got.columns.tolist() == ["g", "cnt", "nd", "lo", "hi", "tot"]
+        assert got.values.tolist() == want[got.columns].values.tolist(), f"trial {trial}"
