@@ -1238,6 +1238,28 @@ def kg_sparql_having(sf_dir: str):
     )
 
 
+def kg_walks(sf_dir: str):
+    """Deterministic random-walk corpus over the triple graph -- the
+    DeepWalk/node2vec graph-ML data-prep step: 2 walks of up to 4 hops
+    from every node with out-edges; the hop at step s of walk w from
+    node u is neighbor md5_64("w:{w}:{s}:{u}") % deg(u) of u's sorted
+    neighbor list (a pure row function: rerun/partitioning-invariant,
+    replayable as an unrolled SQL oracle).  Distributed: indexed
+    adjacency pinned once, ONE bucketed (node, idx) join per step,
+    frontier-sized shuffles, early exit at sinks
+    (``graph.random_walks``)."""
+    from ontology_time_machine_ray.stages.graph import random_walks
+
+    t = _pipe(sf_dir).triples().select_columns(["subj", "pred", "obj"])
+    edges = t.map_batches(
+        lambda df: df.loc[df["subj"] != df["obj"], ["subj", "obj"]].rename(
+            columns={"subj": "a", "obj": "b"}
+        ),
+        batch_format="pandas",
+    )
+    return random_walks(edges, walks_per_node=2, length=4)
+
+
 def kg_bfs(sf_dir: str):
     """Seeded multi-source BFS over the triple graph: minimum hop count
     from any of the VALUES seed entities along directed (subj -> obj)
@@ -2050,6 +2072,7 @@ QUERIES = {
     "kg_bgp_values": kg_bgp_values,
     "kg_bgp_bind": kg_bgp_bind,
     "kg_bfs": kg_bfs,
+    "kg_walks": kg_walks,
     "kg_ask": kg_ask,
     "kg_describe": kg_describe,
     "kg_path_query": kg_path_query,
@@ -2190,6 +2213,7 @@ _KG_ORACLE_NAMES = (
     "kg_bgp_values",
     "kg_bgp_bind",
     "kg_bfs",
+    "kg_walks",
     "kg_ask",
     "kg_describe",
     "kg_path_query",

@@ -502,6 +502,35 @@ WHERE epoch < rate_e6 // 1000000
       < printf('%06x', CAST(rate_e6 % 1000000 AS BIGINT) * 16777216 // 1000000)"""
 
 
+def _walk_step_ctes(length: int, walks_per_node: int, seed: str) -> str:
+    """Unrolled per-step CTEs for the kg_walks oracle: each step joins
+    the previous frontier to the indexed adjacency on the SAME md5
+    neighbor choice the engine makes (md5_hash64_series == DuckDB's
+    UBIGINT cast of the first 16 md5 hex chars)."""
+    vals = ", ".join(f"({w})" for w in range(walks_per_node))
+    parts = [
+        "adj AS MATERIALIZED (SELECT a, b,"
+        " row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS idx,"
+        " COUNT(*) OVER (PARTITION BY a) AS deg FROM e),",
+        f"w0 AS (SELECT DISTINCT a || ':' || ws.w AS walk_id, a AS node"
+        f" FROM e CROSS JOIN (VALUES {vals}) ws(w)),",
+    ]
+    for st in range(1, length + 1):
+        prev = "w0" if st == 1 else f"s{st - 1}"
+        parts.append(
+            f"s{st} AS (SELECT w.walk_id, adj.b AS node FROM {prev} w"
+            " JOIN adj ON adj.a = w.node AND adj.idx ="
+            " CAST(CAST(concat('0x', substr(md5(concat("
+            f"'{seed}:', w.walk_id, ':{st}:', w.node)), 1, 16)) AS UBIGINT)"
+            " % CAST(adj.deg AS UBIGINT) AS BIGINT)),"
+        )
+    selects = ["SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0"]
+    for st in range(1, length + 1):
+        selects.append(f"SELECT walk_id, {st}, node FROM s{st}")
+    parts[-1] = parts[-1].rstrip(",")  # last CTE has no trailing comma
+    return "\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
 def kg_sql(name: str, fixture_root: str, timestamp: str = "2021-06-01") -> str:
     """Full SQL statement for a KG-family query over ``fixture_root``."""
     bodies = {
@@ -615,6 +644,12 @@ SELECT subj AS cls, obj AS peer,
   subj || '|' || obj AS pair,
   CAST(length(subj) AS BIGINT) AS len_cls
 FROM t WHERE pred = '{SAME_AS}'""",
+        # deterministic random-walk corpus: the md5 hop choice replayed
+        # step by step against the indexed adjacency
+        "kg_walks": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
+        f"""t AS (SELECT DISTINCT subj, pred, obj FROM dedup),
+e AS MATERIALIZED (SELECT DISTINCT subj AS a, obj AS b FROM t WHERE subj <> obj),
+{_walk_step_ctes(4, 2, 'w')}""",
         # seeded multi-source BFS: depth-bounded recursive expansion,
         # MIN depth per node (= BFS first-discovery depth)
         "kg_bfs": f"WITH RECURSIVE {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"

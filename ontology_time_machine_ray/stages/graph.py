@@ -825,3 +825,179 @@ def bfs_from_seeds(
         visited = visited.union(new).materialize()
         frontier = new
     return visited
+
+
+def _walk_adjacency(edges: pd.DataFrame) -> pd.DataFrame:
+    """Indexed adjacency (a, idx, b, deg): neighbors sorted, idx their
+    rank -- the lookup table a deterministic walk addresses."""
+    d = edges.drop_duplicates(["a", "b"]).sort_values(["a", "b"], kind="stable")
+    d = d.assign(
+        idx=d.groupby("a").cumcount().astype("int64"),
+        deg=d.groupby("a")["b"].transform("size").astype("int64"),
+    )
+    return d[["a", "idx", "b", "deg"]]
+
+
+def _walk_choice(walk_id: pd.Series, step: int, node: pd.Series,
+                 deg: pd.Series, seed: str):
+    """Deterministic neighbor index: md5_64(seed:walk:step:node) % deg --
+    the md5-replay idiom (bit-identical to the SQL oracle's UBIGINT
+    cast), vectorized through the per-process DuckDB digest."""
+    import numpy as np
+
+    from ontology_time_machine_ray.functions.hashing import md5_hash64_series
+
+    key = seed + ":" + walk_id.astype(str) + ":" + str(step) + ":" + node.astype(str)
+    h = md5_hash64_series(key)
+    return (h % deg.to_numpy().astype(np.uint64)).astype("int64")
+
+
+def random_walks(
+    edges_ds,
+    walks_per_node: int = 2,
+    length: int = 4,
+    seed: str = "w",
+    small_edges_limit: int | None = None,
+) -> rd.Dataset:
+    """Deterministic random-walk corpus over directed edges -- the
+    DeepWalk/node2vec graph-ML data-prep step, rerun/partitioning-
+    invariant by construction: from every node with out-edges,
+    ``walks_per_node`` walks of up to ``length`` hops; the hop taken at
+    step s of walk w from node u is neighbor ``md5_64(f"{seed}:{w}:{s}:
+    {u}") % deg(u)`` of u's lexicographically sorted neighbor list (a
+    pure row function -- no RNG state, so the corpus is identical under
+    any partitioning and replayable as an unrolled SQL oracle).  Walks
+    stop early at sink nodes.  Output: (walk_id, step, node) rows --
+    step 0 is the start -- ready for skip-gram windowing.
+
+    Distributed shape: the adjacency (a, idx, b, deg) pins once (one
+    node-bucketed rank pass); each step is ONE bucketed join of the
+    walk frontier against it on (node, idx) -- the frontier computes
+    its own idx vectorized BEFORE the join, so fan-out per state is 1,
+    never degree.  Shuffle volume per step = the live frontier; the
+    driver holds the loop counter.  Below ``small_edges_limit`` the
+    walk runs as a driver loop over the same vectorized helpers."""
+    import numpy as np  # noqa: F811 -- local for the worker closures
+
+    if walks_per_node < 1 or length < 1:
+        raise ValueError("walks_per_node and length must be >= 1")
+    edges = _distinct_pairs(edges_ds).materialize()
+    if small_edges_limit is None:
+        small_edges_limit = SMALL_EDGES_LIMIT
+
+    if edges.count() <= small_edges_limit:
+        adj = _walk_adjacency(edges.to_pandas())
+        nbr = adj.set_index(["a", "idx"])["b"]
+        deg = adj.drop_duplicates("a").set_index("a")["deg"]
+        starts = sorted(adj["a"].unique())
+        frames = []
+        state = pd.DataFrame(
+            {
+                "walk_id": [f"{n}:{w}" for n in starts for w in range(walks_per_node)],
+                "node": [n for n in starts for _ in range(walks_per_node)],
+            }
+        )
+        frames.append(state.assign(step=np.int64(0)))
+        for s in range(1, length + 1):
+            d = deg.reindex(state["node"]).to_numpy()
+            alive = ~pd.isna(d)
+            state = state[alive]
+            if not len(state):
+                break
+            dv = pd.Series(d[alive], index=state.index, dtype="int64")
+            idx = _walk_choice(state["walk_id"], s, state["node"], dv, seed)
+            nxt = nbr.reindex(
+                pd.MultiIndex.from_arrays([state["node"].to_numpy(), idx])
+            ).to_numpy()
+            state = pd.DataFrame(
+                {"walk_id": state["walk_id"].to_numpy(), "node": nxt}
+            )
+            frames.append(state.assign(step=np.int64(s)))
+        out = pd.concat(frames, ignore_index=True)[["walk_id", "step", "node"]]
+        return rd.from_pandas(
+            out.sort_values(["walk_id", "step"], kind="stable").reset_index(drop=True)
+        )
+
+    adj = grouped_apply(
+        edges, ["a"], lambda g: _walk_adjacency(g)
+    ).materialize()
+    deg_tbl = adj.map_batches(
+        lambda df: df.drop_duplicates("a")[["a", "deg"]].rename(columns={"a": "node"}),
+        batch_format="pandas",
+    )
+    starts = grouped_apply(
+        adj.map_batches(lambda df: df[["a"]].drop_duplicates(), batch_format="pandas"),
+        ["a"],
+        lambda g: g.drop_duplicates(),
+    )
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        reps = pd.concat(
+            [df.assign(_w=w) for w in range(walks_per_node)], ignore_index=True
+        )
+        return pd.DataFrame(
+            {
+                "walk_id": reps["a"].astype(str) + ":" + reps["_w"].astype(str),
+                "node": reps["a"],
+            }
+        )
+
+    state = starts.map_batches(expand, batch_format="pandas").materialize()
+    outputs = [
+        state.map_batches(
+            lambda df: df.assign(step=pd.Series(0, index=df.index, dtype="int64")),
+            batch_format="pandas",
+        )
+    ]
+    st_schema = {"walk_id": "object", "node": "object"}
+    for s in range(1, length + 1):
+        with_deg = bucketed_join(
+            state,
+            deg_tbl,
+            on=["node"],
+            left_schema=st_schema,
+            right_schema={"node": "object", "deg": "int64"},
+        )
+
+        def pick(df: pd.DataFrame, s=s) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame(
+                    {"walk_id": pd.Series(dtype=object),
+                     "node": pd.Series(dtype=object),
+                     "idx": pd.Series(dtype="int64")}
+                )
+            idx = _walk_choice(df["walk_id"], s, df["node"], df["deg"], seed)
+            return pd.DataFrame(
+                {"walk_id": df["walk_id"], "node": df["node"], "idx": idx}
+            )
+
+        chosen = with_deg.map_batches(pick, batch_format="pandas")
+        state = bucketed_join(
+            chosen,
+            adj.map_batches(
+                lambda df: df[["a", "idx", "b"]].rename(columns={"a": "node"}),
+                batch_format="pandas",
+            ),
+            on=["node", "idx"],
+            left_schema={"walk_id": "object", "node": "object", "idx": "int64"},
+            right_schema={"node": "object", "idx": "int64", "b": "object"},
+        ).map_batches(
+            lambda df: pd.DataFrame({"walk_id": df["walk_id"], "node": df["b"]}),
+            batch_format="pandas",
+        ).materialize()
+        if state.count() == 0:
+            break
+        outputs.append(
+            state.map_batches(
+                lambda df, s=s: df.assign(
+                    step=pd.Series(s, index=df.index, dtype="int64")
+                ),
+                batch_format="pandas",
+            )
+        )
+    out = outputs[0]
+    for o in outputs[1:]:
+        out = out.union(o)
+    return out.map_batches(
+        lambda df: df[["walk_id", "step", "node"]], batch_format="pandas"
+    )

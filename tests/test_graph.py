@@ -1162,3 +1162,33 @@ def test_bgp_select_sum_and_having(ray_session):
     with pytest.raises(ValueError, match="having column"):
         bgp_select(t, [("?m", "in", "?g")], group_by=["?g"],
                    aggs={"c": ("count", "*")}, having=[("zz", ">", 1)])
+
+
+@pytest.mark.parametrize("limit", [None, 0], ids=["driver", "distributed"])
+def test_random_walks_paths_agree(ray_session, limit):
+    """Deterministic walks: both paths identical, sinks terminate walks
+    early, step 0 is the start, every hop follows an existing edge."""
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.graph import random_walks
+
+    edges = pd.DataFrame(
+        {"a": ["a", "a", "b", "c", "x"], "b": ["b", "c", "c", "a", "y"]}
+    )
+    kw = {} if limit is None else {"small_edges_limit": 0}
+    out = random_walks(rd.from_pandas(edges), walks_per_node=2, length=3, **kw).to_pandas()
+    # starts: nodes with out-edges (a, b, c, x), 2 walks each at step 0
+    step0 = out[out["step"] == 0]
+    assert sorted(step0["node"]) == sorted(["a", "a", "b", "b", "c", "c", "x", "x"])
+    # walks from x hit sink y at step 1 and stop
+    x_walks = out[out["walk_id"].str.startswith("x:")]
+    assert x_walks["step"].max() == 1 and set(x_walks[x_walks.step == 1]["node"]) == {"y"}
+    # every consecutive (step, step+1) pair is an edge
+    eset = set(zip(edges["a"], edges["b"]))
+    for _, w in out.sort_values(["walk_id", "step"]).groupby("walk_id"):
+        nodes = w["node"].tolist()
+        for u, v in zip(nodes, nodes[1:]):
+            assert (u, v) in eset
+
+    with pytest.raises(ValueError, match="must be >= 1"):
+        random_walks(rd.from_pandas(edges), walks_per_node=0)
