@@ -1260,6 +1260,24 @@ def kg_walks(sf_dir: str):
     return random_walks(edges, walks_per_node=2, length=4)
 
 
+def kg_skipgrams(sf_dir: str):
+    """Skip-gram co-occurrence counts over the deterministic walk corpus
+    (window 2) -- the (center, context, n_pairs) table a node-embedding
+    trainer consumes; walks are short so the within-walk expansion is a
+    bounded self-merge in one walk-bucketed pass
+    (``graph.walk_skipgrams`` over ``kg_walks``)."""
+    from ontology_time_machine_ray.stages.graph import random_walks, walk_skipgrams
+
+    t = _pipe(sf_dir).triples().select_columns(["subj", "pred", "obj"])
+    edges = t.map_batches(
+        lambda df: df.loc[df["subj"] != df["obj"], ["subj", "obj"]].rename(
+            columns={"subj": "a", "obj": "b"}
+        ),
+        batch_format="pandas",
+    )
+    return walk_skipgrams(random_walks(edges, walks_per_node=2, length=4), window=2)
+
+
 def kg_bfs(sf_dir: str):
     """Seeded multi-source BFS over the triple graph: minimum hop count
     from any of the VALUES seed entities along directed (subj -> obj)
@@ -2073,6 +2091,7 @@ QUERIES = {
     "kg_bgp_bind": kg_bgp_bind,
     "kg_bfs": kg_bfs,
     "kg_walks": kg_walks,
+    "kg_skipgrams": kg_skipgrams,
     "kg_ask": kg_ask,
     "kg_describe": kg_describe,
     "kg_path_query": kg_path_query,
@@ -2214,6 +2233,7 @@ _KG_ORACLE_NAMES = (
     "kg_bgp_bind",
     "kg_bfs",
     "kg_walks",
+    "kg_skipgrams",
     "kg_ask",
     "kg_describe",
     "kg_path_query",

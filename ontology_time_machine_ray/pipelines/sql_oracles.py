@@ -650,6 +650,19 @@ FROM t WHERE pred = '{SAME_AS}'""",
         f"""t AS (SELECT DISTINCT subj, pred, obj FROM dedup),
 e AS MATERIALIZED (SELECT DISTINCT subj AS a, obj AS b FROM t WHERE subj <> obj),
 {_walk_step_ctes(4, 2, 'w')}""",
+        # skip-grams over the walk corpus: within-walk self-join bounded
+        # by |step diff| <= window, then pair counts
+        "kg_skipgrams": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
+        f"""t AS (SELECT DISTINCT subj, pred, obj FROM dedup),
+e AS MATERIALIZED (SELECT DISTINCT subj AS a, obj AS b FROM t WHERE subj <> obj),
+{_walk_step_ctes(4, 2, 'w').replace(
+    "SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0",
+    ",walks AS (SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0", 1)})
+SELECT x.node AS center, y.node AS context,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM walks x JOIN walks y ON y.walk_id = x.walk_id
+ AND abs(y.step - x.step) BETWEEN 1 AND 2
+GROUP BY 1, 2""",
         # seeded multi-source BFS: depth-bounded recursive expansion,
         # MIN depth per node (= BFS first-discovery depth)
         "kg_bfs": f"WITH RECURSIVE {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"

@@ -1001,3 +1001,42 @@ def random_walks(
     return out.map_batches(
         lambda df: df[["walk_id", "step", "node"]], batch_format="pandas"
     )
+
+
+def walk_skipgrams(walks_ds, window: int = 2) -> rd.Dataset:
+    """Skip-gram co-occurrence counts over a walk corpus -- the actual
+    training input a node-embedding run consumes: for every walk, all
+    (center, context) position pairs within ``window`` hops (excluding
+    self-position), aggregated to (center, context, n_pairs).
+
+    Shape: walks are SHORT by construction (<= length+1 rows), so the
+    within-walk pair expansion is a bounded self-merge inside ONE
+    walk-bucketed pass; the only other exchange is the (center, context)
+    count -- two shuffles end to end, nothing quadratic in the corpus."""
+    from ontology_time_machine_ray.stages.groupagg import grouped_aggregate, grouped_apply
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+
+    def grams(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[["walk_id", "step", "node"]].merge(
+            g[["walk_id", "step", "node"]].rename(
+                columns={"step": "cstep", "node": "context"}
+            ),
+            on="walk_id",
+        )
+        d = (m["cstep"] - m["step"]).abs()
+        m = m[(d > 0) & (d <= window)]
+        return pd.DataFrame({"center": m["node"], "context": m["context"]})
+
+    pairs = grouped_apply(walks_ds, ["walk_id"], grams)
+    return grouped_aggregate(
+        pairs.map_batches(
+            lambda df: df.groupby(["center", "context"], as_index=False).agg(
+                n=("center", "size")
+            ),
+            batch_format="pandas",
+        ),
+        ["center", "context"],
+        {"n_pairs": ("n", "sum")},
+    )

@@ -1192,3 +1192,32 @@ def test_random_walks_paths_agree(ray_session, limit):
 
     with pytest.raises(ValueError, match="must be >= 1"):
         random_walks(rd.from_pandas(edges), walks_per_node=0)
+
+
+def test_walk_skipgrams_window(ray_session):
+    """Skip-gram pairs: window bound respected, self-position excluded,
+    counts aggregate across walks; window validation errors."""
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.graph import walk_skipgrams
+
+    walks = pd.DataFrame(
+        {
+            "walk_id": ["w1"] * 3 + ["w2"] * 2,
+            "step": [0, 1, 2, 0, 1],
+            "node": ["a", "b", "c", "a", "b"],
+        }
+    )
+    out = walk_skipgrams(rd.from_pandas(walks), window=1).to_pandas()
+    got = {(c, x): int(n) for c, x, n in out[["center", "context", "n_pairs"]].values}
+    # adjacent pairs only, both directions; (a,b) appears in both walks
+    assert got == {("a", "b"): 2, ("b", "a"): 2, ("b", "c"): 1, ("c", "b"): 1}
+
+    out2 = walk_skipgrams(rd.from_pandas(walks), window=2).to_pandas()
+    got2 = {(c, x): int(n) for c, x, n in out2[["center", "context", "n_pairs"]].values}
+    assert got2[("a", "c")] == 1 and got2[("c", "a")] == 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="window must be"):
+        walk_skipgrams(rd.from_pandas(walks), window=0)
