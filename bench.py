@@ -307,6 +307,9 @@ def run_bench() -> dict:
         from ontology_time_machine_ray.pipelines.queries import kg_timeline
 
         timed("kg_timeline", lambda: kg_timeline(SF_DIR))
+        from ontology_time_machine_ray.pipelines.queries import kg_skipgrams
+
+        timed("kg_skipgrams", lambda: kg_skipgrams(SF_DIR))
 
     ray.shutdown()
     return {
