@@ -1265,17 +1265,11 @@ def kg_skipgrams(sf_dir: str):
     (window 2) -- the (center, context, n_pairs) table a node-embedding
     trainer consumes; walks are short so the within-walk expansion is a
     bounded self-merge in one walk-bucketed pass
-    (``graph.walk_skipgrams`` over ``kg_walks``)."""
-    from ontology_time_machine_ray.stages.graph import random_walks, walk_skipgrams
+    (``graph.walk_skipgrams`` over ``kg_walks`` -- the walk corpus and
+    its parameters live in ONE place)."""
+    from ontology_time_machine_ray.stages.graph import walk_skipgrams
 
-    t = _pipe(sf_dir).triples().select_columns(["subj", "pred", "obj"])
-    edges = t.map_batches(
-        lambda df: df.loc[df["subj"] != df["obj"], ["subj", "obj"]].rename(
-            columns={"subj": "a", "obj": "b"}
-        ),
-        batch_format="pandas",
-    )
-    return walk_skipgrams(random_walks(edges, walks_per_node=2, length=4), window=2)
+    return walk_skipgrams(kg_walks(sf_dir), window=2)
 
 
 def kg_bfs(sf_dir: str):

@@ -921,15 +921,22 @@ def random_walks(
     adj = grouped_apply(
         edges, ["a"], lambda g: _walk_adjacency(g)
     ).materialize()
-    deg_tbl = adj.map_batches(
-        lambda df: df.drop_duplicates("a")[["a", "deg"]].rename(columns={"a": "node"}),
-        batch_format="pandas",
-    )
-    starts = grouped_apply(
-        adj.map_batches(lambda df: df[["a"]].drop_duplicates(), batch_format="pandas"),
-        ["a"],
-        lambda g: g.drop_duplicates(),
-    )
+    # ONE node-bucketed distinct makes the degree table safe against
+    # block splitting (Ray splits a map_groups output block past
+    # target_max_block_size, which could cut a node's adjacency across
+    # batches -- a per-batch dedup would then emit duplicate deg rows
+    # and every frontier join through them would fan out); the start
+    # set reuses the same globally-distinct rows, so no extra exchange
+    deg_tbl = grouped_apply(
+        adj.map_batches(
+            lambda df: df.drop_duplicates("a")[["a", "deg"]].rename(
+                columns={"a": "node"}
+            ),
+            batch_format="pandas",
+        ),
+        ["node"],
+        lambda g: g.drop_duplicates("node"),
+    ).materialize()
 
     def expand(df: pd.DataFrame) -> pd.DataFrame:
         reps = pd.concat(
@@ -937,12 +944,12 @@ def random_walks(
         )
         return pd.DataFrame(
             {
-                "walk_id": reps["a"].astype(str) + ":" + reps["_w"].astype(str),
-                "node": reps["a"],
+                "walk_id": reps["node"].astype(str) + ":" + reps["_w"].astype(str),
+                "node": reps["node"],
             }
         )
 
-    state = starts.map_batches(expand, batch_format="pandas").materialize()
+    state = deg_tbl.map_batches(expand, batch_format="pandas").materialize()
     outputs = [
         state.map_batches(
             lambda df: df.assign(step=pd.Series(0, index=df.index, dtype="int64")),
@@ -1013,7 +1020,7 @@ def walk_skipgrams(walks_ds, window: int = 2) -> rd.Dataset:
     within-walk pair expansion is a bounded self-merge inside ONE
     walk-bucketed pass; the only other exchange is the (center, context)
     count -- two shuffles end to end, nothing quadratic in the corpus."""
-    from ontology_time_machine_ray.stages.groupagg import grouped_aggregate, grouped_apply
+    from ontology_time_machine_ray.stages.groupagg import grouped_aggregate
 
     if window < 1:
         raise ValueError("window must be >= 1")

@@ -1177,6 +1177,13 @@ def test_random_walks_paths_agree(ray_session, limit):
     )
     kw = {} if limit is None else {"small_edges_limit": 0}
     out = random_walks(rd.from_pandas(edges), walks_per_node=2, length=3, **kw).to_pandas()
+    # both paths must be IDENTICAL (same md5 hop choices), not merely valid
+    other = random_walks(
+        rd.from_pandas(edges), walks_per_node=2, length=3,
+        small_edges_limit=(0 if limit is None else None),
+    ).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["walk_id", "step", "node"]].itertuples(index=False)))
+    assert key(out) == key(other)
     # starts: nodes with out-edges (a, b, c, x), 2 walks each at step 0
     step0 = out[out["step"] == 0]
     assert sorted(step0["node"]) == sorted(["a", "a", "b", "b", "c", "c", "x", "x"])
