@@ -278,6 +278,7 @@ def minhash_clusters(
     num_perm: int = 64,
     bands: int = 16,
     docs_ds: rd.Dataset | None = None,
+    broadcast_limit: int | None = None,
 ) -> rd.Dataset:
     """(doc_id, cluster) for every document; near-dups share a cluster.
 
@@ -285,8 +286,11 @@ def minhash_clusters(
     agreement >= threshold) -> connected components (alternating-star, the
     same distributed union-find as KG canonicalization).  Cluster labels
     are applied with the broadcast-mapping rewrite (``ray.put`` once,
-    per-worker cached lookup inside ``map_batches``): the component
-    mapping covers only docs that HAVE a near-dup, never the corpus.
+    per-worker cached lookup inside ``map_batches``) while the mapping
+    fits a worker; above ``broadcast_limit`` nodes it degrades to ONE
+    doc_id-bucketed left join (the canonicalize_with_mapping pattern) --
+    at web scale 30-50%% of docs carry a near-dup edge, so the mapping is
+    corpus-proportional, not "small".
     """
     from ontology_time_machine_ray.stages.canonicalize import connected_components
 
@@ -318,37 +322,97 @@ def minhash_clusters(
             grp = grp.sort_values("doc_id")
             ids = grp["doc_id"].to_numpy()
             sig_mat = np.stack(grp["sig"].to_numpy())
-            for i in range(len(ids)):
-                agree = (sig_mat[i + 1 :] == sig_mat[i]).mean(axis=1)
-                for j in np.nonzero(agree >= verify_threshold)[0]:
-                    out_u.append(str(ids[i]))
-                    out_v.append(str(ids[i + 1 + j]))
+            # all-pairs signature agreement in one broadcasted comparison
+            # (k <= 200, num_perm-wide: k*k*num_perm bools, < 3 MB) -- no
+            # per-row Python in the verify, only the upper triangle kept
+            k = len(ids)
+            ii, jj = np.triu_indices(k, k=1)
+            agree = (sig_mat[ii] == sig_mat[jj]).mean(axis=1)
+            hit = agree >= verify_threshold
+            out_u.append(ids[ii[hit]].astype(str))
+            out_v.append(ids[jj[hit]].astype(str))
+        if not out_u:
+            return pd.DataFrame(
+                {"u": pd.Series(dtype="string"), "v": pd.Series(dtype="string")}
+            )
         return pd.DataFrame(
-            {"u": pd.Series(out_u, dtype="string"), "v": pd.Series(out_v, dtype="string")}
+            {
+                "u": pd.Series(np.concatenate(out_u), dtype="string"),
+                "v": pd.Series(np.concatenate(out_v), dtype="string"),
+            }
         )
 
     from ontology_time_machine_ray.stages.groupagg import grouped_apply
 
     pairs = grouped_apply(band_ds, ["band", "band_hash"], pairs_in_bucket)
-    comp = connected_components(pairs).to_pandas()
-    # near-dup-component mapping is the SMALL side (nodes with >=1 dup
-    # edge): broadcast it and label inside the stream, exactly like
-    # canonicalize.make_rewriter
+    comp_ds = connected_components(pairs).materialize()
+    return _label_clusters(docs, comp_ds, broadcast_limit)
+
+
+def _label_clusters(
+    docs: rd.Dataset, comp_ds: rd.Dataset, broadcast_limit: int | None = None
+) -> rd.Dataset:
+    """Rewrite (doc_id) -> (doc_id, cluster) through a (node, component)
+    mapping Dataset; unmapped docs are their own singleton cluster.
+
+    Mapping <= ``broadcast_limit`` nodes: ``ray.put`` once, per-worker
+    cached dict lookup inside ``map_batches`` (one corpus pass, no
+    shuffle).  Above the limit it degrades to ONE doc_id-bucketed left
+    join -- the same limit+fallback discipline as
+    ``canonicalize.canonicalize_with_mapping`` (near-dup mappings are
+    corpus-proportional at web scale, so an unconditional driver
+    ``to_pandas`` + broadcast would not survive 100 TB)."""
     import ray
 
     from ontology_time_machine_ray.functions.broadcast import cached_get
+    from ontology_time_machine_ray.stages.canonicalize import MAX_BROADCAST_NODES
 
-    mapping_ref = ray.put(dict(zip(comp["node"], comp["component"])))
+    if broadcast_limit is None:
+        broadcast_limit = MAX_BROADCAST_NODES
+    ids = docs.select_columns(["doc_id"])
+    n_nodes = comp_ds.count()
+    if n_nodes <= broadcast_limit:
+        comp = comp_ds.to_pandas()
+        mapping_ref = ray.put(dict(zip(comp["node"], comp["component"])))
 
-    def label(df: pd.DataFrame) -> pd.DataFrame:
-        m = cached_get(mapping_ref)
-        ids = df["doc_id"]
-        # C-level dict lookup (Series.map with a dict), not a per-row
-        # Python closure -- this pass runs over the WHOLE corpus
-        s = ids.astype(str)
-        return pd.DataFrame({"doc_id": ids, "cluster": s.map(m).fillna(s)})
+        def label(df: pd.DataFrame) -> pd.DataFrame:
+            m = cached_get(mapping_ref)
+            s = df["doc_id"].astype(str)
+            # C-level dict lookup (Series.map with a dict), not a per-row
+            # Python closure -- this pass runs over the WHOLE corpus
+            return pd.DataFrame({"doc_id": df["doc_id"], "cluster": s.map(m).fillna(s)})
 
-    return docs.select_columns(["doc_id"]).map_batches(label, batch_format="pandas")
+        return ids.map_batches(label, batch_format="pandas")
+
+    # partitioned fallback: both sides stay distributed; one hash-bucket
+    # exchange on the stringified doc_id
+    from ontology_time_machine_ray.stages.groupagg import bucketed_join, np_dtype_map
+
+    id_dtype = np_dtype_map(ids.schema())["doc_id"]
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"], "_k": df["doc_id"].astype(str)})
+
+    left = ids.map_batches(add_key, batch_format="pandas")
+    mapped = comp_ds.map_batches(
+        lambda df: df.rename(columns={"node": "_k", "component": "_comp"}),
+        batch_format="pandas",
+    )
+    joined = bucketed_join(
+        left,
+        mapped,
+        on=["_k"],
+        how="left",
+        left_schema={"doc_id": id_dtype, "_k": "object"},
+        right_schema={"_k": "object", "_comp": "object"},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "cluster": df["_comp"].fillna(df["_k"])}
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
 
 
 # --------------------------------------------------------------------- #
@@ -430,16 +494,22 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, docs_ds: rd.Dataset | None 
             grp = grp.sort_values("doc_id").drop_duplicates("doc_id")
             ids = grp["doc_id"].to_numpy()
             sims = grp["simhash"].to_numpy(dtype=np.uint64)
-            for i in range(len(ids)):
-                x = sims[i + 1 :] ^ sims[i]
-                ham = _popcount64(x)
-                for j in np.nonzero(ham <= max_hamming)[0]:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[i + 1 + j]))
-                    out_h.append(int(ham[j]))
+            # all-pairs hamming in one vectorized pass over the upper
+            # triangle (k <= 200) -- no per-row Python in the verify
+            ii, jj = np.triu_indices(len(ids), k=1)
+            ham = _popcount64(sims[ii] ^ sims[jj])
+            hit = ham <= max_hamming
+            out_a.append(ids[ii[hit]].astype(np.int64))
+            out_b.append(ids[jj[hit]].astype(np.int64))
+            out_h.append(ham[hit].astype(np.int64))
+        if not out_a:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                 "hamming": pd.Series(dtype="int64")}
+            )
         return pd.DataFrame(
-            {"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64"),
-             "hamming": pd.Series(out_h, dtype="int64")}
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b),
+             "hamming": np.concatenate(out_h)}
         )
 
     from ontology_time_machine_ray.stages.groupagg import grouped_apply, grouped_head1

@@ -50,6 +50,30 @@ def test_minhash_clusters_match_planted_dups(dup_corpus):
     assert len({by_doc[i] for i in range(5, 20)}) == 15
 
 
+def test_minhash_label_partitioned_fallback_matches_broadcast(dup_corpus):
+    """Forcing ``broadcast_limit`` to 0 routes the cluster-label rewrite
+    through the doc_id-bucketed left join; the output must be identical
+    to the broadcast path (same discipline as canonicalize's
+    limit+fallback test)."""
+    from ontology_time_machine_ray.stages.dedup_docs import minhash_clusters
+
+    df, ds = dup_corpus
+    bc = (
+        minhash_clusters("unused", threshold=0.8, docs_ds=ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    part = (
+        minhash_clusters("unused", threshold=0.8, docs_ds=ds, broadcast_limit=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(bc["doc_id"]) == list(part["doc_id"])
+    assert list(bc["cluster"].astype(str)) == list(part["cluster"].astype(str))
+
+
 def test_simhash_pairs_on_planted_dups(ray_session):
     """SimHash finds planted dups and nothing hamming-infeasible.
 
