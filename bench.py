@@ -180,8 +180,18 @@ def run_bench() -> dict:
 
     # raw link throughput (no shuffle): mentions+triples emission only --
     # timed in scaling mode too, so the per-stage 8-vs-32 efficiencies
-    # separate compute scaling from shuffle scaling
-    raw_triples = timed("kg_link_raw", lambda: pipe.triples_raw().count())
+    # separate compute scaling from shuffle scaling.  Min-of-N like
+    # kg_build: a single run after the builds eats the host's first-touch
+    # fault tax and understates the stage (round-3 verdict: the official
+    # 0.368 link_raw efficiency was this artifact, in-session clean pairs
+    # measured 0.72-0.80).
+    raw_runs = []
+    raw_triples = None
+    for i in range(n_runs):
+        raw_triples = timed(f"kg_link_raw_{i}", lambda: pipe.triples_raw().count())
+        raw_runs.append(queries.pop(f"kg_link_raw_{i}"))
+    extras["kg_link_raw_runs"] = raw_runs
+    queries["kg_link_raw"] = min(raw_runs)
     extras["raw_triples"] = raw_triples
     extras["raw_triples_per_sec"] = round(raw_triples / queries["kg_link_raw"], 1)
 
