@@ -25,9 +25,11 @@ reference's mock responses carry (403/404/500/502, utils/mock_responses.py)
 Scale notes
 -----------
 * Outcome depends only on ``(ontology_id, policy, accept)`` -- NOT the
-  document -- so each batch resolves distinct combos once (memoized across
-  batches in actor state, T2) and maps results back with a vectorized
-  pandas merge.  Per-row cost is a hash probe.
+  document -- so each batch dictionary-encodes that combo to a per-row
+  code, resolves each DISTINCT code once (memoized across batches in
+  actor state, T2) and gathers results back by fancy-indexing: the whole
+  path is zero-copy Arrow + numpy, no pandas conversion, no per-batch
+  join.  Per-row cost is a hash probe inside Arrow's dictionary encode.
 * Triple emission pre-combines inside the batch (one row per distinct
   (subj,pred,obj) per batch, min doc_id provenance) so the global dedup
   shuffle moves near-unique rows instead of per-mention duplicates -- the
@@ -40,7 +42,6 @@ from __future__ import annotations
 import bisect
 from typing import Optional
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -265,111 +266,200 @@ class EntityLinker:
     # batch transform                                                     #
     # ------------------------------------------------------------------ #
     def __call__(self, batch: pa.Table) -> pa.Table:
-        df = batch.select(
+        """Arrow-native factorize-and-gather (no pandas, no join).
+
+        The outcome depends ONLY on (ontology_id, accept, policy): encode
+        that combo to a per-row integer code with one vectorized
+        dictionary-encode, run negotiation + resolution once per DISTINCT
+        code (memoized across batches), and gather per-row results by
+        numpy fancy-indexing -- the pandas merge this replaces paid a
+        to_pandas copy of every string column plus a 4-key object hash
+        join per batch (round-3 verdict item: the hot linker path should
+        be zero-copy Arrow like the detector)."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        batch = batch.select(
             ["doc_id", "term_iri", "canonical_iri", "ontology_id", "accept", "policy"]
-        ).to_pandas()
-        if len(df) == 0:
+        )
+        n = batch.num_rows
+        if n == 0:
             schema = TRIPLES_SCHEMA if self.emit == "triples" else STATUS_SCHEMA
             return pa.table({f.name: pa.array([], type=f.type) for f in schema})
 
-        if self.config.per_row_policy:
-            policies = df["policy"].fillna(self.config.onto_version.value)
+        cfg = self.config
+        if cfg.per_row_policy:
+            policy_arr = pc.fill_null(batch.column("policy"), cfg.onto_version.value)
         else:  # run-level policy override (reference CLI config mode)
-            policies = pd.Series([self.config.onto_version.value] * len(df), index=df.index)
-        patched, fmts = resolve_format_vector(
-            df["accept"].tolist(), policies.tolist(), self.config.onto_format
-        )
-        df = df.assign(_patched=patched, _fmt=fmts, _policy=policies)
+            policy_arr = pa.array([cfg.onto_version.value] * n)
 
-        combos = df[["ontology_id", "_policy", "_fmt", "_patched"]].drop_duplicates()
-        res_rows = []
-        for ont, policy, fmt, pacc in combos.itertuples(index=False):
-            ont_k = None if pd.isna(ont) else ont
-            fmt_k = None if (fmt is None or pd.isna(fmt)) else fmt
-            r = self.resolve(ont_k, policy, fmt_k, pacc)
-            res_rows.append(
-                (ont, policy, fmt, pacc, r.served, r.status, r.category, r.version, r.fmt)
-            )
-        res_df = pd.DataFrame(
-            res_rows,
-            columns=[
-                "ontology_id", "_policy", "_fmt", "_patched",
-                "_served", "_status", "_category", "_version", "_served_fmt",
-            ],
+        # combo key: components joined on \x1f, nulls as \x00 (IRIs and
+        # Accept headers never contain control bytes)
+        key = pc.binary_join_element_wise(
+            batch.column("ontology_id"),
+            batch.column("accept"),
+            policy_arr,
+            "\x1f",
+            null_handling="replace",
+            null_replacement="\x00",
         )
-        df = df.merge(res_df, on=["ontology_id", "_policy", "_fmt", "_patched"], how="left")
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        enc = key.dictionary_encode()
+        codes = enc.indices.to_numpy()
+        n_codes = len(enc.dictionary)
+        # first occurrence row per code (dictionary codes are 0..k-1)
+        _, first_idx = np.unique(codes, return_index=True)
+        sub = batch.take(pa.array(first_idx))
+        onts = sub.column("ontology_id").to_pylist()
+        accepts = sub.column("accept").to_pylist()
+        pols = policy_arr.take(pa.array(first_idx)).to_pylist()
+
+        patched, fmts = resolve_format_vector(accepts, pols, cfg.onto_format)
+        served = np.zeros(n_codes, dtype=bool)
+        status = np.zeros(n_codes, dtype=np.int32)
+        cat = np.empty(n_codes, dtype=object)
+        ver = np.empty(n_codes, dtype=object)
+        sfmt = np.empty(n_codes, dtype=object)
+        fmt_obj = np.array(fmts, dtype=object)
+        for i in range(n_codes):
+            r = self.resolve(onts[i], pols[i], fmts[i], patched[i])
+            served[i] = r.served
+            status[i] = r.status
+            cat[i] = r.category
+            ver[i] = r.version
+            sfmt[i] = r.fmt
 
         if self.emit == "status":
-            out = pd.DataFrame(
+            return pa.table(
                 {
-                    "doc_id": df["doc_id"],
-                    "term_iri": df["term_iri"],
-                    "status": df["_status"].astype("int32"),
-                    "category": df["_category"],
-                    "format": df["_fmt"],
-                }
+                    "doc_id": batch.column("doc_id"),
+                    "term_iri": batch.column("term_iri"),
+                    "status": pa.array(status[codes], type=pa.int32()),
+                    "category": pa.array(cat[codes], type=pa.string()),
+                    "format": pa.array(fmt_obj[codes], type=pa.string()),
+                },
+                schema=STATUS_SCHEMA,
             )
-            return pa.Table.from_pandas(out, schema=STATUS_SCHEMA, preserve_index=False)
 
-        served = df[df["_served"]]
-        if len(served) == 0:
+        served_mask = served[codes]
+        if not served_mask.any():
             return pa.table({f.name: pa.array([], type=f.type) for f in TRIPLES_SCHEMA})
+        s_tbl = batch.filter(pa.array(served_mask))
+        s_codes = codes[served_mask]
 
-        cols = {name: [] for name in TRIPLES_SCHEMA.names}
+        # distinct-value group ids over SERVED codes: g2 = (version,
+        # served_fmt) for the isDefinedBy combine, g3 = (ontology,
+        # version, served_fmt) for the content expansion -- two codes
+        # sharing the same values merge, exactly like the old dropna=False
+        # pandas groupbys
+        pair_ids: dict[tuple, int] = {}
+        trip_ids: dict[tuple, int] = {}
+        g2 = np.full(n_codes, -1, dtype=np.int64)
+        g3 = np.full(n_codes, -1, dtype=np.int64)
+        for i in range(n_codes):
+            if not served[i]:
+                continue
+            g2[i] = pair_ids.setdefault((ver[i], sfmt[i]), len(pair_ids))
+            g3[i] = trip_ids.setdefault((onts[i], ver[i], sfmt[i]), len(trip_ids))
 
-        def emit(subj, pred, obj, doc, ver, fmt):
-            cols["subj"].append(subj)
-            cols["pred"].append(pred)
-            cols["obj"].append(obj)
-            cols["doc_id"].append(doc)
-            cols["ontology_version"].append(ver)
-            cols["format"].append(fmt)
+        parts: list[pa.Table] = []
 
-        # isDefinedBy: batch-combined per distinct (term, ontology, version,
-        # format) with min-doc provenance
-        # dropna=False: a SERVED row may carry a null _version (origin
-        # serving an ontology with no archived snapshot) -- it must still
-        # emit its isDefinedBy triple, or the status and triples streams
-        # silently disagree about what was served
-        defined = (
-            served.groupby(
-                ["term_iri", "canonical_iri", "_version", "_served_fmt"],
-                sort=False, dropna=False,
-            )["doc_id"]
-            .min()
-            .reset_index()
-        )
-        for term, ciri, ver, fmt, doc in defined.itertuples(index=False):
-            emit(term, RDFS_IS_DEFINED_BY, ciri, doc,
-                 None if pd.isna(ver) else ver, None if pd.isna(fmt) else fmt)
+        # isDefinedBy: batch-combined per distinct (term, canonical,
+        # version, format) with min-doc provenance.  A SERVED row may
+        # carry a null version (origin serving an ontology with no
+        # archived snapshot) -- it still emits its isDefinedBy triple, or
+        # the status and triples streams silently disagree about what was
+        # served.
+        d_agg = pa.table(
+            {
+                "term": s_tbl.column("term_iri"),
+                "ciri": s_tbl.column("canonical_iri"),
+                "g2": pa.array(g2[s_codes]),
+                "doc": s_tbl.column("doc_id"),
+            }
+        ).group_by(["term", "ciri", "g2"]).aggregate([("doc", "min")])
+        if d_agg.num_rows:
+            g2a = d_agg.column("g2").to_numpy()
+            ver_by_g2 = np.empty(len(pair_ids), dtype=object)
+            fmt_by_g2 = np.empty(len(pair_ids), dtype=object)
+            for (v, f), gid in pair_ids.items():
+                ver_by_g2[gid] = v
+                fmt_by_g2[gid] = f
+            parts.append(
+                pa.table(
+                    {
+                        "subj": d_agg.column("term"),
+                        "pred": pa.array([RDFS_IS_DEFINED_BY] * d_agg.num_rows),
+                        "obj": d_agg.column("ciri"),
+                        "doc_id": d_agg.column("doc_min"),
+                        "ontology_version": pa.array(ver_by_g2[g2a], type=pa.string()),
+                        "format": pa.array(fmt_by_g2[g2a], type=pa.string()),
+                    },
+                    schema=TRIPLES_SCHEMA,
+                )
+            )
 
         # ontology content triples: ONE expansion per distinct
         # (ontology, version, format) in the batch -- the combiner that
         # keeps the dedup shuffle small
-        content = (
-            served.groupby(
-                ["ontology_id", "_version", "_served_fmt"], sort=False, dropna=False
-            )["doc_id"]
-            .min()
-            .reset_index()
-        )
-        for ont, ver, fmt, doc in content.itertuples(index=False):
+        c_agg = pa.table(
+            {"g3": pa.array(g3[s_codes]), "doc": s_tbl.column("doc_id")}
+        ).group_by(["g3"]).aggregate([("doc", "min")])
+        trip_list = [None] * len(trip_ids)
+        for t, gid in trip_ids.items():
+            trip_list[gid] = t
+        subj: list = []
+        obj: list = []
+        pred: list = []
+        doc_col: list = []
+        ver_col: list = []
+        fmt_col: list = []
+        for gid, doc in zip(
+            c_agg.column("g3").to_pylist(), c_agg.column("doc_min").to_pylist()
+        ):
+            ont, v, f = trip_list[gid]
             # no snapshot content for (ont, ver) -- e.g. served live from
             # origin with no archived snapshot: nothing to expand, but the
             # isDefinedBy triples above were already emitted
             classes, props, sa, sb, ea, eb = self.store.content.get(
-                (ont, ver), ([], [], [], [], [], [])
+                (ont, v), ([], [], [], [], [], [])
             )
-            for c in classes:
-                emit(c, RDF_TYPE, OWL_CLASS, doc, ver, fmt)
-            for p in props:
-                emit(p, RDF_TYPE, OWL_OBJECT_PROPERTY, doc, ver, fmt)
-            for a, b in zip(sa, sb):
-                emit(a, OWL_SAME_AS, b, doc, ver, fmt)
-            for a, b in zip(ea, eb):
-                emit(a, OWL_EQUIVALENT_CLASS, b, doc, ver, fmt)
-
-        return pa.table(cols, schema=TRIPLES_SCHEMA)
+            n_emit = len(classes) + len(props) + len(sa) + len(ea)
+            if n_emit == 0:
+                continue
+            subj.extend(classes)
+            pred.extend([RDF_TYPE] * len(classes))
+            obj.extend([OWL_CLASS] * len(classes))
+            subj.extend(props)
+            pred.extend([RDF_TYPE] * len(props))
+            obj.extend([OWL_OBJECT_PROPERTY] * len(props))
+            subj.extend(sa)
+            pred.extend([OWL_SAME_AS] * len(sa))
+            obj.extend(sb)
+            subj.extend(ea)
+            pred.extend([OWL_EQUIVALENT_CLASS] * len(ea))
+            obj.extend(eb)
+            doc_col.extend([doc] * n_emit)
+            ver_col.extend([v] * n_emit)
+            fmt_col.extend([f] * n_emit)
+        if subj:
+            parts.append(
+                pa.table(
+                    {
+                        "subj": subj,
+                        "pred": pred,
+                        "obj": obj,
+                        "doc_id": doc_col,
+                        "ontology_version": ver_col,
+                        "format": fmt_col,
+                    },
+                    schema=TRIPLES_SCHEMA,
+                )
+            )
+        if not parts:
+            return pa.table({f.name: pa.array([], type=f.type) for f in TRIPLES_SCHEMA})
+        return pa.concat_tables(parts)
 
 
 class MultiConfigLinker:
