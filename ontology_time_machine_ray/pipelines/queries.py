@@ -2263,10 +2263,12 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["ann_lsh"] = sql_oracles.ann_lsh_sql(
         similarity._emb_dim(os.path.join(sf_dir, "embeddings.parquet"))
     )
-    # recall@k metric: the two ANN statements composed as subqueries
+    # recall@k metric: the two ANN statements composed as subqueries.
+    # k comes from the SAME constant the engine's ann_recall defaults to,
+    # so a changed k can never silently diverge engine from oracle.
     out["ann_recall"] = (
         "SELECT b.query_id, COUNT(l.vec_id) AS n_hits,\n"
-        "       CAST(COUNT(l.vec_id) * 1000000 / 10 AS BIGINT) AS recall_ppm\n"
+        f"       CAST(COUNT(l.vec_id) * 1000000 / {similarity.ANN_RECALL_K} AS BIGINT) AS recall_ppm\n"
         f"FROM ({sql_oracles.TESTDATA_SQL['ann_bruteforce']}) b\n"
         f"LEFT JOIN ({out['ann_lsh']}) l\n"
         "  ON l.query_id = b.query_id AND l.vec_id = b.vec_id\n"

@@ -502,11 +502,11 @@ WHERE epoch < rate_e6 // 1000000
       < printf('%06x', CAST(rate_e6 % 1000000 AS BIGINT) * 16777216 // 1000000)"""
 
 
-def _walk_step_ctes(length: int, walks_per_node: int, seed: str) -> str:
-    """Unrolled per-step CTEs for the kg_walks oracle: each step joins
-    the previous frontier to the indexed adjacency on the SAME md5
-    neighbor choice the engine makes (md5_hash64_series == DuckDB's
-    UBIGINT cast of the first 16 md5 hex chars)."""
+def _walk_step_parts(length: int, walks_per_node: int, seed: str) -> tuple[str, str]:
+    """The kg_walks oracle split into (step CTEs, walk-relation UNION
+    select) so callers compose the walk relation STRUCTURALLY --
+    kg_skipgrams wraps the select in a named ``walks`` CTE instead of
+    text-splicing into the rendered statement."""
     vals = ", ".join(f"({w})" for w in range(walks_per_node))
     parts = [
         "adj AS MATERIALIZED (SELECT a, b,"
@@ -528,7 +528,20 @@ def _walk_step_ctes(length: int, walks_per_node: int, seed: str) -> str:
     for st in range(1, length + 1):
         selects.append(f"SELECT walk_id, {st}, node FROM s{st}")
     parts[-1] = parts[-1].rstrip(",")  # last CTE has no trailing comma
-    return "\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+    return "\n".join(parts), "\nUNION ALL ".join(selects)
+
+
+def _walk_step_ctes(length: int, walks_per_node: int, seed: str) -> str:
+    """kg_walks form: the step CTEs followed directly by the walk union."""
+    ctes, union = _walk_step_parts(length, walks_per_node, seed)
+    return ctes + "\n" + union
+
+
+def _walk_step_ctes_named(length: int, walks_per_node: int, seed: str) -> str:
+    """kg_skipgrams form: same step CTEs, walk union wrapped as a
+    ``walks`` CTE for downstream self-joins."""
+    ctes, union = _walk_step_parts(length, walks_per_node, seed)
+    return ctes + "\n,walks AS (" + union + ")"
 
 
 def kg_sql(name: str, fixture_root: str, timestamp: str = "2021-06-01") -> str:
@@ -655,9 +668,7 @@ e AS MATERIALIZED (SELECT DISTINCT subj AS a, obj AS b FROM t WHERE subj <> obj)
         "kg_skipgrams": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
         f"""t AS (SELECT DISTINCT subj, pred, obj FROM dedup),
 e AS MATERIALIZED (SELECT DISTINCT subj AS a, obj AS b FROM t WHERE subj <> obj),
-{_walk_step_ctes(4, 2, 'w').replace(
-    "SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0",
-    ",walks AS (SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0", 1)})
+{_walk_step_ctes_named(4, 2, 'w')}
 SELECT x.node AS center, y.node AS context,
        CAST(COUNT(*) AS BIGINT) AS n_pairs
 FROM walks x JOIN walks y ON y.walk_id = x.walk_id

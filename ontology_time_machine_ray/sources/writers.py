@@ -591,21 +591,20 @@ def read_store_entity(
     part = int(stable_hash64_series(pd.Series([value], dtype=object))[0]) % num_partitions
     f = _partition_file_asof(os.path.join(out_dir, f"part={part:05d}"), version)
     if f is None or not os.path.exists(f):
-        hit = pd.DataFrame()  # entity's partition never written => no rows
-    else:
-        tbl = pq.read_table(f, columns=columns)
-        hit = tbl.to_pandas()
-        hit = hit[hit[key] == value].reset_index(drop=True)
-    if len(hit) == 0:
-        # a miss must still carry the store schema (every hit path does);
-        # with no explicit projection, take it from the DONE partition
-        # that supplied num_partitions
+        # entity's partition never written => no rows AND no parquet
+        # dtypes to inherit; synthesize the store schema from the DONE
+        # partition that supplied num_partitions (object dtype -- the
+        # best available without reading data)
         if columns is None:
             columns = pq.read_schema(
                 os.path.join(out_dir, f"part={done_part}", "data.parquet")
             ).names
-        hit = pd.DataFrame({c: pd.Series(dtype=object) for c in columns})
-    return hit
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in columns})
+    tbl = pq.read_table(f, columns=columns)
+    hit = tbl.to_pandas()
+    # filtered-to-empty keeps the parquet dtypes the read carried --
+    # empty and non-empty results stay dtype-consistent
+    return hit[hit[key] == value].reset_index(drop=True)
 
 
 def read_store_asof(out_dir: str, version: int | None = None, columns: list[str] | None = None):

@@ -791,7 +791,6 @@ def bfs_from_seeds(
         pd.DataFrame({"node": seeds, "depth": pd.Series(0, index=range(len(seeds)), dtype="int64")})
     ).materialize()
     frontier = visited
-    node_schema = {"node": "object", "depth": "int64"}
     for depth in range(1, max_rounds + 1):
         ext = bucketed_join(
             frontier.map_batches(

@@ -112,6 +112,14 @@ def validate(triples, shapes: Sequence[dict]):
     """Validate ``shapes`` against the store; returns the Dataset of
     violations ``(focus, shape, constraint, value)`` (empty = conforms,
     SHACL's ``sh:conforms true``)."""
+    if not shapes:
+        raise ValueError("no shapes given")
+    for spec in shapes:
+        if not spec.get("constraints"):
+            raise ValueError(
+                f"shape {spec.get('name', spec)!r} has no 'constraints' -- "
+                "every shape needs a non-empty constraints list"
+            )
     reports = []
     # per-focus counts are per-PREDICATE relations, independent of shape
     # and of min-vs-max: compute each once and materialize, so a shape
@@ -192,8 +200,6 @@ def validate(triples, shapes: Sequence[dict]):
                 )
             else:
                 raise ValueError(f"unknown constraint kind {kind!r}")
-    if not reports:
-        raise ValueError("no shapes given")
     out = reports[0]
     for r in reports[1:]:
         out = out.union(r)

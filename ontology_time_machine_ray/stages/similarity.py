@@ -791,7 +791,12 @@ def embedding_outliers(
     return _read_emb(emb_path).map_batches(flag, batch_format="pandas")
 
 
-def ann_recall(sf_dir: str, k: int = 10, n_queries: int = 3) -> pd.DataFrame:
+# recall@k default -- the oracle SQL in pipelines/queries.py is built
+# from this same constant so engine and oracle can never disagree on k.
+ANN_RECALL_K = 10
+
+
+def ann_recall(sf_dir: str, k: int = ANN_RECALL_K, n_queries: int = 3) -> pd.DataFrame:
     """Index-quality metric: recall@k of the LSH index against the
     brute-force ground truth, per query -- the QA check an ANN rollout
     gates on.  Both sides are the existing distributed scans (partial

@@ -813,7 +813,11 @@ def test_shacl_validate(ray_session):
     assert len(empty) == 0
 
     with pytest.raises(ValueError, match="unknown target"):
-        validate(t, [{"shape": "X", "target": ("nodes", C), "constraints": []}]).to_pandas()
+        validate(
+            t,
+            [{"shape": "X", "target": ("nodes", C),
+              "constraints": [("minCount", "name", 1)]}],
+        ).to_pandas()
     with pytest.raises(ValueError, match="unknown constraint"):
         validate(
             t,
@@ -822,6 +826,13 @@ def test_shacl_validate(ray_session):
         ).to_pandas()
     with pytest.raises(ValueError, match="no shapes"):
         validate(t, [])
+    # malformed shapes fail upfront with a per-shape message, not the
+    # misleading aggregate error: empty constraints list / typo'd key
+    with pytest.raises(ValueError, match="no 'constraints'"):
+        validate(t, [{"shape": "X", "target": ("class", C), "constraints": []}])
+    with pytest.raises(ValueError, match="no 'constraints'"):
+        validate(t, [{"shape": "X", "target": ("class", C),
+                      "constraint": [("minCount", "name", 1)]}])
 
 
 def test_bgp_auto_order_and_values(ray_session):
