@@ -1130,6 +1130,30 @@ def kg_path_query(sf_dir: str):
     )
 
 
+def kg_path_star(sf_dir: str):
+    """SPARQL 1.1 zero-or-more property path ``(sameAs|^sameAs)*`` --
+    the full reflexive-symmetric-transitive sameAs equivalence relation
+    over the pinned store (what canonicalization entails).  Exercises
+    the ``star`` path operator: the zero-length leg is the EXPLICIT
+    node universe of the store (distinct subjects-union-objects,
+    ``bgp._node_universe``) paired with itself, unioned with the
+    one-or-more closure and collapsed by one bucketed distinct.  Every
+    node therefore appears at least as its own peer -- including nodes
+    with no sameAs edge at all, the 0-hop endpoints that make ``p*``
+    different from ``p+``.  Oracle: recursive CTE over the symmetrized
+    sameAs edges unioned with the node table's self-pairs."""
+    from ontology_time_machine_ray.schema import OWL_SAME_AS
+    from ontology_time_machine_ray.stages.bgp import path_match
+
+    t = _pipe(sf_dir).triples().select_columns(["subj", "pred", "obj"]).materialize()
+    return path_match(
+        t,
+        ("star", ("alt", OWL_SAME_AS, ("inv", OWL_SAME_AS))),
+        s_name="term",
+        o_name="peer",
+    )
+
+
 #: VALUES-pinned seed classes for kg_bgp_values (query-literal inline
 #: bindings; the triple vocabulary is fixed across scale factors, so the
 #: constants exist at every sf).
@@ -2089,6 +2113,7 @@ QUERIES = {
     "kg_ask": kg_ask,
     "kg_describe": kg_describe,
     "kg_path_query": kg_path_query,
+    "kg_path_star": kg_path_star,
     "kg_sparql_agg": kg_sparql_agg,
     "kg_sparql_having": kg_sparql_having,
     "kg_shacl_report": kg_shacl_report,
@@ -2231,6 +2256,7 @@ _KG_ORACLE_NAMES = (
     "kg_ask",
     "kg_describe",
     "kg_path_query",
+    "kg_path_star",
     "kg_sparql_agg",
     "kg_sparql_having",
     "kg_shacl_report",

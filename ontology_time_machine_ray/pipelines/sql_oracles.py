@@ -632,6 +632,25 @@ reach(s, o) AS (
 SELECT DISTINCT r.s AS term, d.obj AS typ
 FROM reach r
 JOIN t d ON d.subj = r.o AND d.pred = '{RDF_TYPE}'""",
+        # SPARQL zero-or-more path (sameAs|^sameAs)*: node-universe
+        # self-pairs unioned with the recursive symmetric closure
+        "kg_path_star": f"WITH RECURSIVE {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
+        f"""t AS (SELECT DISTINCT subj, pred, obj FROM dedup),
+nodes AS (SELECT DISTINCT n FROM (
+  SELECT subj AS n FROM t UNION SELECT obj FROM t)),
+pe AS MATERIALIZED (
+  SELECT DISTINCT s, o FROM (
+    SELECT subj AS s, obj AS o FROM t WHERE pred = '{SAME_AS}'
+    UNION
+    SELECT obj, subj FROM t WHERE pred = '{SAME_AS}')),
+reach(s, o) AS (
+  SELECT s, o FROM pe
+  UNION
+  SELECT r.s, e.o FROM reach r JOIN pe e ON e.s = r.o)
+SELECT DISTINCT s AS term, o AS peer FROM (
+  SELECT n AS s, n AS o FROM nodes
+  UNION ALL
+  SELECT s, o FROM reach)""",
         # SPARQL ASK: existence as a 1-row 0/1 table
         "kg_ask": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
         f"""t AS (SELECT DISTINCT subj, pred, obj FROM dedup)

@@ -558,6 +558,23 @@ def _distinct_pairs_so(ds):
     return grouped_apply(ds, ["s", "o"], lambda g: g.drop_duplicates())
 
 
+def _node_universe(triples):
+    """The store's node table: DISTINCT(subj) UNION DISTINCT(obj), the
+    term universe SPARQL 1.1's zero-length path quantifies over (spec:
+    a zero-length path matches every graph term with itself; predicates
+    are not nodes).  One union + one bucketed distinct -- the node
+    table is vocabulary-sized, never materialized on the driver."""
+    subj = triples.map_batches(
+        lambda df: pd.DataFrame({"n": df["subj"].drop_duplicates()}),
+        batch_format="pandas",
+    )
+    obj = triples.map_batches(
+        lambda df: pd.DataFrame({"n": df["obj"].drop_duplicates()}),
+        batch_format="pandas",
+    )
+    return grouped_apply(subj.union(obj), ["n"], lambda g: g.drop_duplicates())
+
+
 def path_pairs(triples, path, max_rounds: int = 16):
     """Evaluate a SPARQL 1.1 property-path expression to the Dataset of
     DISTINCT ``(s, o)`` endpoint pairs it connects.
@@ -569,11 +586,15 @@ def path_pairs(triples, path, max_rounds: int = 16):
     * ``("seq", p1, p2, ...)``-- sequence ``p1/p2/...``
     * ``("alt", p1, p2, ...)``-- alternation ``p1|p2|...``
     * ``("plus", path)``      -- one-or-more ``p+`` (transitive closure)
+    * ``("star", path)``      -- zero-or-more ``p*``
+    * ``("opt", path)``       -- zero-or-one ``p?``
 
-    (``p*`` and ``p?`` include the zero-length path, whose solution set
-    is every node in the graph paired with itself -- a node-universe
-    query, not an edge query; callers wanting them union the node table
-    explicitly, so the engine never materializes an implicit universe.)
+    ``star`` and ``opt`` include the zero-length path, whose SPARQL 1.1
+    solution set is every node of the graph paired with itself.  The
+    node universe is EXPLICIT: ``_node_universe(triples)`` -- the
+    distinct subjects-union-objects of the store the path runs over
+    (predicates are not nodes).  It rides the same bucketed exchanges
+    as any relation; nothing implicit materializes on the driver.
 
     Execution shape: a predicate leaf is one pushdown scan off the
     pinned store; ``seq`` composes step relations with one bucketed
@@ -637,6 +658,17 @@ def path_pairs(triples, path, max_rounds: int = 16):
             lambda df: pd.DataFrame({"s": df["a"], "o": df["b"]}),
             batch_format="pandas",
         )
+    if op in ("star", "opt"):
+        # zero-length leg: every store node paired with itself
+        zero = _node_universe(triples).map_batches(
+            lambda df: pd.DataFrame({"s": df["n"], "o": df["n"]}),
+            batch_format="pandas",
+        )
+        inner = ("plus", path[1]) if op == "star" else path[1]
+        nonzero = path_pairs(triples, inner, max_rounds)
+        # a closure pair (x, x) from a cycle collapses into the
+        # zero-length pair here -- SPARQL's set semantics
+        return _distinct_pairs_so(zero.union(nonzero))
     raise ValueError(f"unknown path operator {op!r} in {path}")
 
 

@@ -669,8 +669,21 @@ def test_path_pairs_operators(ray_session):
     named = path_match(t, ("seq", "p", "q"), s_name="x", o_name="y").to_pandas()
     assert named.columns.tolist() == ["x", "y"]
 
+    # zero-length paths: the node universe is subjects-union-objects of
+    # the WHOLE store (a, b, c, d -- d has no p edge at all), so p* and
+    # p? both carry a 0-hop (d, d) endpoint
+    universe = ["a", "b", "c", "d"]
+    star = pairs(path_pairs(t, ("star", "p")))
+    assert star == sorted(
+        set((x, y) for x in nodes for y in nodes) | set((n, n) for n in universe)
+    )
+    opt = pairs(path_pairs(t, ("opt", "q")))
+    assert opt == sorted([("b", "d")] + [(n, n) for n in universe])
+    # cycle self-pairs from plus collapse into the zero-length pairs
+    assert len(star) == len(set(star))
+
     with pytest.raises(ValueError, match="unknown path operator"):
-        path_pairs(t, ("star", "p"))
+        path_pairs(t, ("kleene", "p"))
     with pytest.raises(ValueError, match="needs >= 2"):
         path_pairs(t, ("seq", "p"))
     with pytest.raises(ValueError, match="needs >= 2"):
