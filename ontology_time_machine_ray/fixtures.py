@@ -79,6 +79,25 @@ POLICIES = (
     "timestampArchived",
 )
 
+#: salt for the deterministic per-document request verb
+METHOD_SALT = ":method"
+
+
+def add_method_column(batch: pa.Table) -> pa.Table:
+    """Append the synthetic per-document request verb: ~1/8 of documents
+    issue HEAD, the rest GET (the reference's per-request method,
+    ``proxy_wrapper.py:65-151``).  md5-derived so the SQL oracles replay
+    the same assignment (``md5_hash64_series`` == DuckDB's UBIGINT cast
+    of the first 16 md5 hex chars)."""
+    import numpy as np
+
+    from ontology_time_machine_ray.functions.hashing import md5_hash64_series
+
+    ids = batch.column("doc_id").to_pandas()
+    h = md5_hash64_series(ids + METHOD_SALT)
+    method = np.where(h % 8 == 0, "HEAD", "GET")
+    return batch.append_column("method", pa.array(method, type=pa.string()))
+
 
 def ont_host(k: int) -> str:
     return f"onto{k % 12}.example.org" if k < N_INDEX else f"nowhere{k}.example.net"

@@ -61,6 +61,10 @@ class KgPipeline:
     #: config_hash so a delta slice can be merged into a store built
     #: from an earlier slice (see ``update``).
     doc_id_range: Optional[tuple] = None
+    #: annotate each document with its deterministic request verb
+    #: (GET/HEAD, fixtures.add_method_column); HEAD rows resolve like GET
+    #: but emit no content-derived triples (headers-only route).
+    with_method: bool = False
 
     @classmethod
     def for_sf_dir(cls, sf_dir: str, repeat: int = 1, **kw) -> "KgPipeline":
@@ -111,6 +115,7 @@ class KgPipeline:
 
     def documents(self) -> rd.Dataset:
         blocks = self._doc_read_blocks()
+        ds = None
         if self.doc_id_range is not None:
             import pyarrow.compute as pc
 
@@ -122,10 +127,16 @@ class KgPipeline:
                 e2 = pc.field("doc_id") < hi
                 expr = e2 if expr is None else expr & e2
             if expr is not None:
-                return rd.read_parquet(
+                ds = rd.read_parquet(
                     self.paths.documents, filter=expr, override_num_blocks=blocks
                 )
-        return rd.read_parquet(self.paths.documents, override_num_blocks=blocks)
+        if ds is None:
+            ds = rd.read_parquet(self.paths.documents, override_num_blocks=blocks)
+        if self.with_method:
+            from ontology_time_machine_ray.fixtures import add_method_column
+
+            ds = ds.map_batches(add_method_column, batch_format="pyarrow")
+        return ds
 
     def mentions(self) -> rd.Dataset:
         return self.documents().map_batches(

@@ -44,6 +44,40 @@ def kg_triples(sf_dir: str):
     return _pipe(sf_dir).triples()
 
 
+def kg_head_status(sf_dir: str):
+    """Per-method outcome counts over a corpus whose documents carry a
+    deterministic GET/HEAD request verb (~1/8 HEAD;
+    ``fixtures.add_method_column``).  The reference distinguishes the
+    verbs at fetch time (``requests.head`` vs ``requests.get``,
+    proxy_logic.py:147-159) but routes them identically -- negotiation,
+    policy dispatch, failover and status are method-INdependent, which
+    this aggregate makes visible: each (method, category) cell is just
+    a reweighted slice of kg_report's category counts."""
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply
+
+    p = KgPipeline.for_sf_dir(sf_dir, with_method=True)
+
+    def count_bucket(g):
+        out = g.groupby(["method", "category"], as_index=False).agg(
+            n=("doc_id", "size")
+        )
+        return out.rename(columns={"n": "count()"})
+
+    return grouped_apply(p.status(), ["method", "category"], count_bucket)
+
+
+def kg_head_requests(sf_dir: str):
+    """The deduped triple store built from the method-annotated corpus:
+    HEAD requests resolve fully (same status/category as GET) but their
+    responses are headers-only (``requests.head``,
+    proxy_logic.py:147-159), so they emit NO content-derived triples --
+    the linker masks HEAD rows out of triple emission while the status
+    stream keeps them.  Rows whose only serving requests were HEAD
+    drop relative to kg_triples; min-doc provenance skips HEAD docs."""
+    p = KgPipeline.for_sf_dir(sf_dir, with_method=True)
+    return p.triples()
+
+
 def kg_report_ab(sf_dir: str) -> pd.DataFrame:
     """Proxy-vs-direct A/B comparison report (the reference's two-scenario
     side-by-side table, experiments/aggregate_results.py:22-35,167-187):
@@ -2114,6 +2148,8 @@ QUERIES = {
     "kg_describe": kg_describe,
     "kg_path_query": kg_path_query,
     "kg_path_star": kg_path_star,
+    "kg_head_status": kg_head_status,
+    "kg_head_requests": kg_head_requests,
     "kg_sparql_agg": kg_sparql_agg,
     "kg_sparql_having": kg_sparql_having,
     "kg_shacl_report": kg_shacl_report,
@@ -2257,6 +2293,8 @@ _KG_ORACLE_NAMES = (
     "kg_describe",
     "kg_path_query",
     "kg_path_star",
+    "kg_head_status",
+    "kg_head_requests",
     "kg_sparql_agg",
     "kg_sparql_having",
     "kg_shacl_report",

@@ -94,6 +94,9 @@ _MENTIONS_CTES = f"""
   ),
   mentions AS (
     SELECT m2.doc_id, m2.span_idx, m2.term_iri, m2.accept, m2.policy,
+           CASE WHEN CAST(concat('0x',
+                  substr(md5(m2.doc_id || ':method'), 1, 16)) AS UBIGINT) % 8 = 0
+                THEN 'HEAD' ELSE 'GET' END AS method,
            i.ontology_id, i.iri AS canonical_iri
     FROM m2
     LEFT JOIN hits h ON h.mid = m2.mid
@@ -192,8 +195,13 @@ _ROUTING_CTES = f"""
     FROM routed2
   )"""
 
-_TRIPLES_CTES = f"""
-  srv AS (SELECT * FROM outcome WHERE served),
+def _triples_ctes(srv_where: str = "served") -> str:
+    """Triple-expansion CTE chain over routed outcomes.  ``srv_where``
+    selects which served rows emit content: the default is every served
+    request; the HEAD-aware queries pass ``served AND method = 'GET'``
+    (a HEAD response is headers-only, proxy_logic.py:147-159)."""
+    return f"""
+  srv AS (SELECT * FROM outcome WHERE {srv_where}),
   all_triples AS (
     SELECT term_iri AS subj, '{IS_DEFINED_BY}' AS pred, canonical_iri AS obj,
            doc_id, serve_version AS ontology_version, serve_fmt AS format
@@ -220,6 +228,12 @@ _TRIPLES_CTES = f"""
     QUALIFY row_number() OVER (
       PARTITION BY subj, pred, obj ORDER BY doc_id, ontology_version, format) = 1
   )"""
+
+
+_TRIPLES_CTES = _triples_ctes()
+
+#: srv filter for the HEAD-aware queries: only GET responses carry a body
+_SRV_GET_ONLY = "served AND method = 'GET'"
 
 _COMPONENT_CTES = f"""
   edges AS MATERIALIZED (SELECT subj AS u, obj AS v FROM dedup
@@ -555,6 +569,17 @@ def kg_sql(name: str, fixture_root: str, timestamp: str = "2021-06-01") -> str:
         "kg_report": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES}\n"
         'SELECT category, report_fmt AS format, count(*) AS "count()" '
         "FROM outcome GROUP BY 1, 2",
+        # per-method outcome counts: HEAD requests route/negotiate/fail
+        # over EXACTLY like GET (the outcome CTE never looks at method),
+        # so the split only reweights categories
+        "kg_head_status": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES}\n"
+        'SELECT method, category, count(*) AS "count()" '
+        "FROM outcome GROUP BY 1, 2",
+        # HEAD-aware triple store: content expansion restricted to GET
+        # (a HEAD response is headers-only -- no body, no triples)
+        "kg_head_requests": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},"
+        f"{_triples_ctes(srv_where=_SRV_GET_ONLY)}\n"
+        "SELECT subj, pred, obj, doc_id, ontology_version, format FROM dedup",
         "kg_triples": f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES}\n"
         "SELECT subj, pred, obj, doc_id, ontology_version, format FROM dedup",
         # 2-hop property paths over the deduped triple store: the KG-side

@@ -132,6 +132,11 @@ class MentionDetector:
         return hit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # optional request-plane columns ride along untouched: a `method`
+        # column (GET/HEAD, the reference's per-request verb --
+        # proxy_wrapper.py:65-151 accessors) propagates to each mention
+        # so the linker can route HEAD as headers-only (M-method)
+        has_method = "method" in batch.column_names
         spans = batch.column("spans")
         if isinstance(spans, pa.ChunkedArray):
             spans = spans.combine_chunks()
@@ -139,9 +144,14 @@ class MentionDetector:
         flat = spans.flatten()
         n_flat = len(flat)
         if n_flat == 0:
-            return pa.table(
+            empty = pa.table(
                 {f.name: pa.array([], type=f.type) for f in MENTIONS_SCHEMA}
             )
+            if has_method:
+                empty = empty.append_column(
+                    "method", pa.array([], type=pa.string())
+                )
+            return empty
         kinds = flat.field("kind")
         texts = flat.field("text")
         # vectorized prefilter: only text spans that can contain an IRI
@@ -184,7 +194,7 @@ class MentionDetector:
         rows = np.asarray(flat_rows, dtype=np.int64)
         parent_rows = parent[rows] if len(rows) else rows
         parent_idx = pa.array(parent_rows)
-        return pa.table(
+        out = pa.table(
             {
                 "doc_id": batch.column("doc_id").take(parent_idx),
                 "span_idx": pa.array(span_idx_all[rows] if len(rows) else [], type=pa.int32()),
@@ -197,3 +207,8 @@ class MentionDetector:
             },
             schema=MENTIONS_SCHEMA,
         )
+        if has_method:
+            out = out.append_column(
+                "method", batch.column("method").take(parent_idx)
+            )
+        return out

@@ -279,13 +279,23 @@ class EntityLinker:
         import numpy as np
         import pyarrow.compute as pc
 
-        batch = batch.select(
-            ["doc_id", "term_iri", "canonical_iri", "ontology_id", "accept", "policy"]
-        )
+        # optional per-request method column (GET/HEAD): HEAD resolves
+        # EXACTLY like GET -- negotiation, policy routing, failover,
+        # status -- but the response is headers-only (requests.head,
+        # proxy_logic.py:147-159), so it contributes no content-derived
+        # triples.  Absent column = all-GET corpus (the default).
+        cols = ["doc_id", "term_iri", "canonical_iri", "ontology_id", "accept", "policy"]
+        has_method = "method" in batch.column_names
+        if has_method:
+            cols.append("method")
+        batch = batch.select(cols)
         n = batch.num_rows
         if n == 0:
             schema = TRIPLES_SCHEMA if self.emit == "triples" else STATUS_SCHEMA
-            return pa.table({f.name: pa.array([], type=f.type) for f in schema})
+            empty = pa.table({f.name: pa.array([], type=f.type) for f in schema})
+            if has_method and self.emit == "status":
+                empty = empty.append_column("method", pa.array([], type=pa.string()))
+            return empty
 
         cfg = self.config
         if cfg.per_row_policy:
@@ -331,7 +341,7 @@ class EntityLinker:
             sfmt[i] = r.fmt
 
         if self.emit == "status":
-            return pa.table(
+            out = pa.table(
                 {
                     "doc_id": batch.column("doc_id"),
                     "term_iri": batch.column("term_iri"),
@@ -341,8 +351,19 @@ class EntityLinker:
                 },
                 schema=STATUS_SCHEMA,
             )
+            if has_method:
+                # the status outcome is method-INdependent (HEAD gets the
+                # same headers); carry the column so reports can split by it
+                out = out.append_column("method", batch.column("method"))
+            return out
 
         served_mask = served[codes]
+        if has_method:
+            # headers-only route: a HEAD response has no body to extract
+            # triples from (null method = GET, the default verb)
+            served_mask &= pc.fill_null(
+                pc.not_equal(batch.column("method"), "HEAD"), True
+            ).to_numpy(zero_copy_only=False)
         if not served_mask.any():
             return pa.table({f.name: pa.array([], type=f.type) for f in TRIPLES_SCHEMA})
         s_tbl = batch.filter(pa.array(served_mask))

@@ -44,7 +44,7 @@ def test_conformance_corpus(ray_session, sf_dir, corpus):
             "policy": [r["policy"] for r in corpus],
         },
         schema=DOCUMENTS_SCHEMA,
-    )
+    ).append_column("method", pa.array([r["method"] for r in corpus]))
     stage = DetectLink(
         paths.ontology_index,
         paths.origins,
@@ -68,22 +68,21 @@ def test_conformance_served_rows_emit_triples(ray_session, sf_dir, corpus):
     'served content describes the requested IRI',
     tests/test_integration.py:113-121 / parse_ontologies.py:13-18)."""
     paths = ensure_fixtures(sf_dir)
-    served = [
-        (i, r) for i, r in enumerate(corpus)
-        if r["error_dimension"] in ("served-archivo", "served-origin")
-    ]
-    docs = pa.table(
-        {
-            "doc_id": [f"case-{i:03d}" for i, _ in served],
-            "spans": [
-                [{"kind": "text", "text": f"probe {r['iri']} end", "media_ref": "", "offset": 0}]
-                for _, r in served
-            ],
-            "accept": [r["accept"] or None for _, r in served],
-            "policy": [r["policy"] for _, r in served],
-        },
-        schema=DOCUMENTS_SCHEMA,
-    )
+
+    def docs_for(rows):
+        return pa.table(
+            {
+                "doc_id": [f"case-{i:03d}" for i, _ in rows],
+                "spans": [
+                    [{"kind": "text", "text": f"probe {r['iri']} end", "media_ref": "", "offset": 0}]
+                    for _, r in rows
+                ],
+                "accept": [r["accept"] or None for _, r in rows],
+                "policy": [r["policy"] for _, r in rows],
+            },
+            schema=DOCUMENTS_SCHEMA,
+        ).append_column("method", pa.array([r["method"] for _, r in rows]))
+
     stage = DetectLink(
         paths.ontology_index,
         paths.origins,
@@ -91,8 +90,20 @@ def test_conformance_served_rows_emit_triples(ray_session, sf_dir, corpus):
         paths.snapshot_status,
         emit="triples",
     )
-    triples = stage(docs).to_pylist()
+    served = [
+        (i, r) for i, r in enumerate(corpus)
+        if r["error_dimension"] in ("served-archivo", "served-origin")
+    ]
+    served_get = [(i, r) for i, r in served if r["method"] == "GET"]
+    triples = stage(docs_for(served_get)).to_pylist()
     subjects = {t["subj"] for t in triples}
-    for _, r in served:
+    for _, r in served_get:
         # fragment-stripped surface IRI appears in subject position
         assert r["iri"] in subjects or r["iri"].split("#")[0] in subjects, r["iri"]
+
+    # HEAD rows resolve as served (checked by test_conformance_corpus)
+    # but a headers-only response emits NO content-derived triples
+    served_head = [(i, r) for i, r in served if r["method"] == "HEAD"]
+    assert served_head, "corpus must carry HEAD conformance rows"
+    head_triples = stage(docs_for(served_head)).to_pylist()
+    assert head_triples == []
