@@ -182,6 +182,13 @@ def main(argv=None) -> int:
         "--doc-id-to", default=None,
         help="restrict the corpus to doc_id < this (delta slice upper bound)",
     )
+    ap.add_argument(
+        "--stage", action="append", dest="stages", default=None,
+        help="compose the documents->triples chain from REGISTRY stage "
+        "names instead of the stock fused path (repeatable, in order; "
+        "e.g. --stage detect --stage drop_unmatched --stage link, or a "
+        "'module.path:attr' user stage -- stages/registry.py)",
+    )
     args = ap.parse_args(argv)
 
     import ray
@@ -227,7 +234,12 @@ def main(argv=None) -> int:
         if (args.doc_id_from is not None or args.doc_id_to is not None)
         else None
     )
-    pipe = type(pipe)(paths=pipe.paths, config=config, doc_id_range=doc_range)
+    pipe = type(pipe)(
+        paths=pipe.paths,
+        config=config,
+        doc_id_range=doc_range,
+        stages=tuple(args.stages) if args.stages else None,
+    )
 
     if args.update_canonical:
         summary = pipe.update_canonical(args.out)

@@ -65,6 +65,13 @@ class KgPipeline:
     #: (GET/HEAD, fixtures.add_method_column); HEAD rows resolve like GET
     #: but emit no content-derived triples (headers-only route).
     with_method: bool = False
+    #: user-extension surface (SURVEY §2.9, stages/registry.py): when
+    #: set, the documents->emit chain runs these REGISTRY stage names in
+    #: order as ONE actor-pool map_batches -- e.g. ("detect",
+    #: "my_filter", "link") inserts a custom mention transform, and a
+    #: "module.path:attr" name plugs in a stage from any user module.
+    #: None = the stock fused fast path.
+    stages: Optional[tuple] = None
 
     @classmethod
     def for_sf_dir(cls, sf_dir: str, repeat: int = 1, **kw) -> "KgPipeline":
@@ -152,6 +159,27 @@ class KgPipeline:
         state (see make_detect_link; the state is small+immutable, so
         elastic tasks beat a fixed actor pool).  Set ``link_concurrency``
         to force an actor pool of the ``DetectLink`` class instead."""
+        if self.stages is not None:
+            from ontology_time_machine_ray.stages.registry import (
+                ComposedStages,
+                StageCtx,
+                resolve_stages,
+            )
+
+            ctx = StageCtx(paths=self.paths, config=self.config, emit=emit)
+            return self.documents().map_batches(
+                ComposedStages,
+                fn_constructor_kwargs={
+                    "names": tuple(self.stages),
+                    "ctx": ctx,
+                    # resolved HERE so driver-registered stages reach the
+                    # actor (remote __init__ sees only import-time builtins)
+                    "fns": resolve_stages(self.stages),
+                },
+                batch_format="pyarrow",
+                batch_size=self.batch_size,
+                concurrency=self.link_concurrency or _default_pool_size(),
+            )
         fn = make_detect_link(
             index_path=self.paths.ontology_index,
             origins_path=self.paths.origins,
