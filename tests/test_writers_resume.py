@@ -568,3 +568,54 @@ def test_read_store_entity_pruned_lookup(ray_session, tmp_path):
     # pre-existing subjects unchanged at both versions
     assert read_store_entity(out, "s3")["obj"].tolist() == ["o3"]
     assert read_store_entity(out, "s3", version=0)["obj"].tolist() == ["o3"]
+
+
+def test_update_fast_path_matches_distributed(ray_session, tmp_path, monkeypatch):
+    """The small-delta driver-grouped fast path and the sort-based
+    distributed path must produce byte-identical stores (rows, manifests'
+    versions, added counts) -- the guard only changes the exchange plan."""
+    import ray.data as rd
+
+    from ontology_time_machine_ray.sources import writers
+
+    def mk(lo, hi, doc):
+        df = pd.DataFrame(
+            {
+                "subj": [f"s{i % 40}" for i in range(lo, hi)],
+                "pred": ["p"] * (hi - lo),
+                "obj": [f"o{i % 60}" for i in range(lo, hi)],
+                "doc_id": [doc] * (hi - lo),
+            }
+        )
+        return rd.from_pandas(df), df
+
+    kw = dict(
+        num_partitions=8,
+        config_hash="cfgF",
+        key="subj",
+        dedup_keys=["subj", "pred", "obj"],
+        dedup_order=["doc_id"],
+    )
+    outs, summaries = [], []
+    for limit in (None, 0):  # None = default fast path; 0 = forced distributed
+        out = str(tmp_path / f"store_{limit}")
+        base_ds, _ = mk(0, 80, "dA")
+        writers.write_partitioned(base_ds, out, **kw)
+        if limit is not None:
+            monkeypatch.setattr(writers, "SMALL_DELTA_ROWS", limit)
+        delta_ds, _ = mk(40, 120, "dB")
+        summaries.append(writers.update_partitioned(delta_ds, out, **kw))
+        outs.append(out)
+
+    cols = ["subj", "pred", "obj", "doc_id"]
+    a = _read_all(outs[0])[cols].sort_values(cols).reset_index(drop=True)
+    b = _read_all(outs[1])[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert summaries[0]["updated"] == summaries[1]["updated"]
+    assert summaries[0]["added"] == summaries[1]["added"]
+    # both paths stamp the same store version and write_digest per partition
+    for part in summaries[0]["updated"]:
+        ma = json.load(open(os.path.join(outs[0], f"part={part:05d}", "_manifest.json")))
+        mb = json.load(open(os.path.join(outs[1], f"part={part:05d}", "_manifest.json")))
+        assert ma["version"] == mb["version"] == 1
+        assert ma["write_digest"] == mb["write_digest"]
