@@ -32,8 +32,21 @@ def kg_mentions(sf_dir: str):
     )
 
 
-#: (sf_dir, ray job id) -> materialized (subj, pred, obj) store
+#: (sf_dir, driver node id) -> materialized (subj, pred, obj) store
 _SPO_CACHE: dict = {}
+
+
+def _ray_session_key():
+    """Fingerprint of the LIVE Ray cluster instance.  The driver's node
+    id is freshly random per started cluster; job ids are NOT (a local
+    cluster restarts numbering at 01000000, so shutdown+init would
+    collide a stale cache key and serve datasets whose objects died with
+    the old session)."""
+    import ray
+
+    return (
+        ray.get_runtime_context().get_node_id() if ray.is_initialized() else None
+    )
 
 
 def _spo_store(sf_dir: str):
@@ -45,19 +58,16 @@ def _spo_store(sf_dir: str):
     corpus-sized), so the pin costs what each caller's per-query
     materialize already paid; entries from dead Ray sessions are dropped
     (their object refs are gone)."""
-    import ray
-
-    job = ray.get_runtime_context().get_job_id() if ray.is_initialized() else None
-    hit = _SPO_CACHE.get((sf_dir, job))
+    hit = _SPO_CACHE.get((sf_dir, _ray_session_key()))
     if hit is not None:
         return hit
     ds = (
         _pipe(sf_dir).triples().select_columns(["subj", "pred", "obj"]).materialize()
     )
-    job = ray.get_runtime_context().get_job_id()  # materialize may have init'd Ray
-    for k in [k for k in _SPO_CACHE if k[1] != job]:
+    key = _ray_session_key()  # materialize may have init'd Ray
+    for k in [k for k in _SPO_CACHE if k[1] != key]:
         del _SPO_CACHE[k]
-    _SPO_CACHE[(sf_dir, job)] = ds
+    _SPO_CACHE[(sf_dir, key)] = ds
     return ds
 
 

@@ -562,17 +562,16 @@ def _node_universe(triples):
     """The store's node table: DISTINCT(subj) UNION DISTINCT(obj), the
     term universe SPARQL 1.1's zero-length path quantifies over (spec:
     a zero-length path matches every graph term with itself; predicates
-    are not nodes).  One union + one bucketed distinct -- the node
-    table is vocabulary-sized, never materialized on the driver."""
-    subj = triples.map_batches(
-        lambda df: pd.DataFrame({"n": df["subj"].drop_duplicates()}),
+    are not nodes).  ONE pass over the store (each block emits its
+    deduped subj+obj values) + one bucketed distinct -- the node table
+    is vocabulary-sized, never materialized on the driver."""
+    both = triples.map_batches(
+        lambda df: pd.DataFrame(
+            {"n": pd.concat([df["subj"], df["obj"]], ignore_index=True).drop_duplicates()}
+        ),
         batch_format="pandas",
     )
-    obj = triples.map_batches(
-        lambda df: pd.DataFrame({"n": df["obj"].drop_duplicates()}),
-        batch_format="pandas",
-    )
-    return grouped_apply(subj.union(obj), ["n"], lambda g: g.drop_duplicates())
+    return grouped_apply(both, ["n"], lambda g: g.drop_duplicates())
 
 
 def path_pairs(triples, path, max_rounds: int = 16):
@@ -612,6 +611,8 @@ def path_pairs(triples, path, max_rounds: int = 16):
         scan, _ = _scan(triples, ("?s", path, "?o"))
         return scan  # store distinctness => already a set
     op = path[0]
+    if op in ("inv", "plus", "star", "opt") and len(path) != 2:
+        raise ValueError(f"{op} path {path} takes exactly one inner path")
     if op == "inv":
         inner = path_pairs(triples, path[1], max_rounds)
         return inner.map_batches(

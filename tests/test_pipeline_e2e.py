@@ -149,3 +149,22 @@ def test_incremental_canonical_equals_one_shot(ray_session, sf_dir, tmp_path):
             .sort_values(cols).reset_index(drop=True))
     pd.testing.assert_frame_equal(v0, base)
     print("first-update moved representatives:", summary["moved_representatives"])
+
+
+def test_spo_cache_keys_on_live_session(ray_session):
+    """Stale entries from a dead Ray cluster must be evicted, never
+    served: the key is the driver NODE id (fresh per started cluster),
+    not the job id (which restarts numbering at 01000000 and collides
+    across shutdown+init)."""
+    from ontology_time_machine_ray.pipelines import queries as q
+
+    q._SPO_CACHE.clear()
+    try:
+        q._SPO_CACHE[("sfX", "dead-node-id")] = object()
+        ds = q._spo_store("/root/testdata/sf0.001")
+        assert ("sfX", "dead-node-id") not in q._SPO_CACHE  # evicted
+        assert q._spo_store("/root/testdata/sf0.001") is ds  # live hit
+        key = q._ray_session_key()
+        assert key is not None and key != "01000000"
+    finally:
+        q._SPO_CACHE.clear()
