@@ -2253,6 +2253,7 @@ QUERIES = {
     "text_bm25": text_bm25,
     "winnow_dup_pairs": winnow_dup_pairs,
     "dup_ngrams": dup_ngrams,
+    "dedup_substrings": textops.dedup_substrings,
     "text_quality": textops.quality_score,
     "source_reputation": textops.source_reputation,
     "source_filter": textops.source_filter,
@@ -2389,6 +2390,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         WINNOW_MIN_SHARED, WINNOW_MAX_FP_DF
     )
     out["dup_ngrams"] = sql_oracles.dup_ngrams_sql(DUP_NGRAM_N)
+    out["dedup_substrings"] = sql_oracles.dedup_substrings_sql(textops.SUB_N)
     out["dedup_segments"] = sql_oracles.dedup_segments_sql(textops.SEG_W)
     out["quality_top_pct"] = sql_oracles.quality_top_pct_sql(QUALITY_TOP_PCT)
     from ontology_time_machine_ray.stages.fuzzy import MAX_DIST

@@ -2167,6 +2167,47 @@ FROM g JOIN d USING (gram)
 GROUP BY g.doc_id"""
 
 
+def dedup_substrings_sql(n: int) -> str:
+    """``dedup_substrings`` restatement: same raw ``\\S+`` tokens and
+    52-bit md5-prefix gram hashes as ``dup_ngrams``; every gram
+    occurrence beyond the corpus-wide first (ROW_NUMBER over
+    ``(doc_id, pos)``) covers positions ``[pos, pos+n)``; surviving
+    tokens re-join position-ordered."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+occ AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+    CAST(concat('0x', substr(md5(array_to_string(list_slice(t, i, i + {n - 1}), ' ')), 1, 13))
+         AS BIGINT) AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - {n - 2})) AS i
+        FROM toks WHERE len(t) >= {n})),
+r AS (
+  SELECT doc_id, pos,
+    ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM occ),
+cov AS (
+  SELECT DISTINCT r.doc_id, r.pos + u.o AS cpos
+  FROM r, (SELECT unnest(range(0, {n})) AS o) u WHERE r.rn > 1),
+tk AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)),
+kept AS (
+  SELECT tk.doc_id, tk.pos, tk.tok FROM tk
+  LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.cpos
+  WHERE cov.doc_id IS NULL)
+SELECT d.doc_id,
+  COALESCE(s.clean_text, '') AS clean_text,
+  CAST(COALESCE(nt.n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(nt.n_tokens, 0) - COALESCE(s.n_kept, 0) AS BIGINT) AS n_removed
+FROM documents d
+LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                  COUNT(*) AS n_kept
+           FROM kept GROUP BY doc_id) s ON d.doc_id = s.doc_id
+LEFT JOIN (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks) nt
+  ON d.doc_id = nt.doc_id"""
+
+
 def dedup_segments_sql(seg_w: int) -> str:
     """``dedup_segments`` restatement: same lowercase ``\\S+`` tokens, the
     same non-overlapping ``seg_w``-token segments keyed by the 52-bit md5

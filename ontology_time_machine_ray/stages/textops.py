@@ -562,6 +562,153 @@ def dup_ngrams(sf_dir: str, n: int = 5, docs_ds: rd.Dataset | None = None) -> rd
     )
 
 
+#: duplicated-substring cut length (word n-grams) for dedup_substrings.
+SUB_N = 8
+
+
+def dedup_substrings(
+    sf_dir: str, n: int = SUB_N, docs_ds: rd.Dataset | None = None
+) -> rd.Dataset:
+    """ExactSubstr deduplication, the REMOVAL half (Lee et al. 2022):
+    every occurrence of a duplicated word ``n``-gram EXCEPT the
+    corpus-wide first (min ``(doc_id, pos)``) is cut from its document;
+    the output is each document's surviving tokens re-joined, plus
+    counts.  ``dup_ngrams`` is the detection half (per-doc dup-gram
+    counts); this one rewrites the corpus.
+
+    Scale shape: the occurrence stream is token-proportional -- inherent
+    to substring dedup (the reference formulation is a corpus-wide
+    suffix array; this is its n-gram-join restatement).  TWO bucketed
+    exchanges, no broadcast, no driver state: (1) occurrences co-locate
+    by gram hash; ONE vectorized sort per bucket marks every occurrence
+    after its gram's global first as a cut.  (2) cut positions co-locate
+    with their document's text (tagged union on doc_id) and one
+    vectorized explode / anti-filter / ordered-join rebuilds the
+    surviving text.  A degenerate hub gram concentrates its occurrence
+    list in one bucket, where it still costs one O(occ log occ) C sort,
+    not Python.  Gram hashes are the 52-bit md5 prefix the other n-gram
+    operators use, so the oracle replays them exactly (collisions
+    included).
+    """
+    import numpy as np
+
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply
+
+    docs = docs_ds or _read_docs(sf_dir)
+
+    def occ_rows(df: pd.DataFrame) -> pd.DataFrame:
+        doc_i, grams = ngram_rows(df, n)
+        if not len(grams):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="object"),
+                    "pos": pd.Series([], dtype="int64"),
+                    "gram": pd.Series([], dtype="int64"),
+                }
+            )
+        # within-doc gram positions: ngram_rows emits grams in document
+        # order and drops only each doc's tail (cross-doc) grams, so a
+        # doc's surviving grams are exactly positions 0..L-n in order
+        m = len(doc_i)
+        run_start = np.r_[0, np.flatnonzero(np.diff(doc_i)) + 1]
+        run_len = np.diff(np.r_[run_start, m])
+        pos = np.arange(m) - np.repeat(run_start, run_len)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy()[doc_i],
+                "pos": pos.astype("int64"),
+                "gram": md5_prefix_int_series(grams, 13),
+            }
+        )
+
+    occ = docs.map_batches(occ_rows, batch_format="pandas")
+
+    def mark_cuts(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return g[["doc_id", "pos"]]
+        g = g.sort_values(["gram", "doc_id", "pos"], kind="stable")
+        arr = g["gram"].to_numpy()
+        dup = arr == np.r_[np.int64(-1), arr[:-1]]  # every row after its
+        return g.loc[dup, ["doc_id", "pos"]]  # gram's first occurrence
+
+    cuts = grouped_apply(occ, ["gram"], mark_cuts)
+
+    def texts_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "pos": pd.Series(np.full(len(df), -1, dtype="int64")),
+                "text": df["text"].astype("string").fillna(""),
+            }
+        )
+
+    def cuts_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "pos": df["pos"].astype("int64"),
+                "text": pd.Series([""] * len(df), dtype="string"),
+            }
+        )
+
+    both = docs.map_batches(texts_side, batch_format="pandas").union(
+        cuts.map_batches(cuts_side, batch_format="pandas")
+    )
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        t = g[g["pos"] < 0]
+        c = g[g["pos"] >= 0]
+        if not len(t):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="object"),
+                    "clean_text": pd.Series([], dtype="object"),
+                    "n_tokens": pd.Series([], dtype="int64"),
+                    "n_removed": pd.Series([], dtype="int64"),
+                }
+            )
+        toks = t["text"].str.findall(TOKEN_RE)
+        lengths = toks.str.len().to_numpy().astype(np.int64)
+        di = np.repeat(np.arange(len(t)), lengths)
+        start = np.r_[np.int64(0), np.cumsum(lengths)[:-1]]
+        tpos = np.arange(int(lengths.sum())) - np.repeat(start, lengths)
+        tok_df = pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy()[di],
+                "pos": tpos,
+                "tok": toks.explode().dropna().to_numpy(),
+            }
+        )
+        if len(c):
+            starts = c["pos"].to_numpy()
+            cov = pd.DataFrame(
+                {
+                    "doc_id": np.repeat(c["doc_id"].to_numpy(), n),
+                    "pos": (starts[:, None] + np.arange(n)).ravel(),
+                }
+            ).drop_duplicates()
+            merged = tok_df.merge(
+                cov, on=["doc_id", "pos"], how="left", indicator=True
+            )
+            keep = merged[merged["_merge"] == "left_only"]
+        else:
+            keep = tok_df
+        # merge preserves left row order, so the ordered join below IS
+        # position order
+        agg = keep.groupby("doc_id", sort=False)["tok"].agg(" ".join)
+        kept_n = keep.groupby("doc_id", sort=False)["tok"].size()
+        out = pd.DataFrame({"doc_id": t["doc_id"].to_numpy()})
+        out["clean_text"] = out["doc_id"].map(agg).fillna("").astype("object")
+        out["n_tokens"] = lengths
+        out["n_removed"] = (
+            lengths - out["doc_id"].map(kept_n).fillna(0).to_numpy()
+        ).astype("int64")
+        out["n_tokens"] = out["n_tokens"].astype("int64")
+        return out
+
+    return grouped_apply(both, ["doc_id"], rebuild)
+
+
 #: non-overlapping segment width (tokens) for exact segment-level dedup.
 SEG_W = 16
 

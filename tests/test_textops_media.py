@@ -762,3 +762,54 @@ def test_quality_score_zero_token_doc_gets_no_ratio_points():
         pd.DataFrame({"doc_id": [1, 2, 3], "text": ["", "   ", None]})
     )
     assert out["quality"].tolist() == [0, 0, 0]
+
+
+def test_dedup_substrings_vs_naive(ray_session, tmp_path):
+    """Keep-first substring cut vs a row-at-a-time Python replay: every
+    occurrence of a duplicated n-gram except the corpus-wide first (min
+    (doc_id, pos)) covers its n token positions; survivors re-join."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_time_machine_ray.stages.textops import dedup_substrings
+
+    shared = "alpha beta gamma delta"
+    docs = pd.DataFrame(
+        {
+            "doc_id": ["d1", "d2", "d3", "d4"],
+            "text": [
+                f"{shared} tail one two",          # first occurrence: kept whole
+                f"lead in {shared} out",           # dup occurrence: cut
+                f"x {shared} y {shared} z",        # two dup occurrences, one doc
+                "nothing duplicated here at all",  # untouched
+            ],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+    n = 4
+    got = (
+        dedup_substrings(str(tmp_path), n=n)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    # naive replay
+    toks = {r.doc_id: r.text.split() for r in docs.itertuples()}
+    occ = {}
+    for d in sorted(toks):  # doc_id order = keep-first order
+        t = toks[d]
+        for i in range(len(t) - n + 1):
+            occ.setdefault(" ".join(t[i : i + n]), []).append((d, i))
+    cover = {d: set() for d in toks}
+    for gram, places in occ.items():
+        for d, i in sorted(places)[1:]:  # all but the global first
+            cover[d].update(range(i, i + n))
+    for d, t in toks.items():
+        keep = [w for i, w in enumerate(t) if i not in cover[d]]
+        assert got.loc[d, "clean_text"] == " ".join(keep), d
+        assert got.loc[d, "n_tokens"] == len(t)
+        assert got.loc[d, "n_removed"] == len(t) - len(keep)
+    # the planted run was actually cut somewhere
+    assert got["n_removed"].sum() > 0
+    assert got.loc["d1", "n_removed"] == 0  # first occurrence survives
