@@ -261,6 +261,9 @@ def run_bench() -> dict:
         timed("tfidf_topk", lambda: tfidf_topk(SF_DIR))
         timed("winnow_dup_pairs", lambda: winnow_dup_pairs(SF_DIR))
         timed("dedup_segments", lambda: dedup_segments(SF_DIR))
+        from ontology_time_machine_ray.stages.textops import dedup_substrings
+
+        timed("dedup_substrings", lambda: dedup_substrings(SF_DIR))
         timed("ann_pq", lambda: similarity.ann_pq(SF_DIR))
         timed("rel_q3_shipping", lambda: relational.q3_shipping(SF_DIR))
         from ontology_time_machine_ray.pipelines.queries import quality_top_pct
