@@ -601,7 +601,7 @@ def dedup_substrings(
         if not len(grams):
             return pd.DataFrame(
                 {
-                    "doc_id": pd.Series([], dtype="object"),
+                    "doc_id": pd.Series([], dtype=df["doc_id"].dtype),
                     "pos": pd.Series([], dtype="int64"),
                     "gram": pd.Series([], dtype="int64"),
                 }
@@ -629,24 +629,32 @@ def dedup_substrings(
         g = g.sort_values(["gram", "doc_id", "pos"], kind="stable")
         arr = g["gram"].to_numpy()
         dup = arr == np.r_[np.int64(-1), arr[:-1]]  # every row after its
-        return g.loc[dup, ["doc_id", "pos"]]  # gram's first occurrence
+        # gram's first occurrence; index reset so downstream frame
+        # constructors never align against a sparse .loc index
+        return g.loc[dup, ["doc_id", "pos"]].reset_index(drop=True)
 
     cuts = grouped_apply(occ, ["gram"], mark_cuts)
 
     def texts_side(df: pd.DataFrame) -> pd.DataFrame:
+        # ndarray-only construction: a block arriving with a non-default
+        # index (e.g. a filtered pandas UDF upstream) must not NaN-align
+        # against the fresh RangeIndex of the constant columns
         return pd.DataFrame(
             {
-                "doc_id": df["doc_id"],
-                "pos": pd.Series(np.full(len(df), -1, dtype="int64")),
-                "text": df["text"].astype("string").fillna(""),
+                "doc_id": df["doc_id"].to_numpy(),
+                "pos": np.full(len(df), -1, dtype="int64"),
+                "text": pd.Series(
+                    df["text"].astype("string").fillna("").to_numpy(),
+                    dtype="string",
+                ),
             }
         )
 
     def cuts_side(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "doc_id": df["doc_id"],
-                "pos": df["pos"].astype("int64"),
+                "doc_id": df["doc_id"].to_numpy(),
+                "pos": df["pos"].to_numpy().astype("int64"),
                 "text": pd.Series([""] * len(df), dtype="string"),
             }
         )
@@ -661,7 +669,7 @@ def dedup_substrings(
         if not len(t):
             return pd.DataFrame(
                 {
-                    "doc_id": pd.Series([], dtype="object"),
+                    "doc_id": pd.Series([], dtype=g["doc_id"].dtype),
                     "clean_text": pd.Series([], dtype="object"),
                     "n_tokens": pd.Series([], dtype="int64"),
                     "n_removed": pd.Series([], dtype="int64"),
@@ -703,7 +711,6 @@ def dedup_substrings(
         out["n_removed"] = (
             lengths - out["doc_id"].map(kept_n).fillna(0).to_numpy()
         ).astype("int64")
-        out["n_tokens"] = out["n_tokens"].astype("int64")
         return out
 
     return grouped_apply(both, ["doc_id"], rebuild)

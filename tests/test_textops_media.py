@@ -764,10 +764,18 @@ def test_quality_score_zero_token_doc_gets_no_ratio_points():
     assert out["quality"].tolist() == [0, 0, 0]
 
 
-def test_dedup_substrings_vs_naive(ray_session, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("ids", [["d1", "d2", "d3", "d4"], [1, 2, 3, 4]])
+def test_dedup_substrings_vs_naive(ray_session, tmp_path, ids):
     """Keep-first substring cut vs a row-at-a-time Python replay: every
     occurrence of a duplicated n-gram except the corpus-wide first (min
-    (doc_id, pos)) covers its n token positions; survivors re-join."""
+    (doc_id, pos)) covers its n token positions; survivors re-join.
+    Parametrized over string AND int64 doc_ids: the shipped corpora use
+    BIGINT ids, and an early version of the operator silently dropped
+    every cut for int ids (sparse-index NaN alignment promoted the cut
+    frame's ids to float64, which hash to different buckets)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -776,7 +784,7 @@ def test_dedup_substrings_vs_naive(ray_session, tmp_path):
     shared = "alpha beta gamma delta"
     docs = pd.DataFrame(
         {
-            "doc_id": ["d1", "d2", "d3", "d4"],
+            "doc_id": ids,
             "text": [
                 f"{shared} tail one two",          # first occurrence: kept whole
                 f"lead in {shared} out",           # dup occurrence: cut
@@ -812,4 +820,4 @@ def test_dedup_substrings_vs_naive(ray_session, tmp_path):
         assert got.loc[d, "n_removed"] == len(t) - len(keep)
     # the planted run was actually cut somewhere
     assert got["n_removed"].sum() > 0
-    assert got.loc["d1", "n_removed"] == 0  # first occurrence survives
+    assert got.loc[ids[0], "n_removed"] == 0  # first occurrence survives
