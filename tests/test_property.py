@@ -508,3 +508,49 @@ def test_bgp_select_aggregates_random_vs_pandas(ray_session):
         got = got.reset_index(drop=True)
         assert got.columns.tolist() == ["g", "cnt", "nd", "lo", "hi", "tot"]
         assert got.values.tolist() == want[got.columns].values.tolist(), f"trial {trial}"
+
+
+def test_dedup_substrings_random_corpora_vs_naive(ray_session):
+    """Random small-vocabulary corpora (dense accidental duplication)
+    against the row-at-a-time keep-first replay: clean text, token and
+    removal counts must match exactly, for both int and string ids."""
+    import numpy as np
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.textops import dedup_substrings
+
+    n = 3
+    for seed in (1, 2, 3):
+        rng = np.random.RandomState(seed)
+        words = [f"w{j}" for j in range(5)]  # tiny vocab => many dup grams
+        n_docs = 12
+        texts = [
+            " ".join(rng.choice(words, size=rng.randint(0, 12)))
+            for _ in range(n_docs)
+        ]
+        ids = (
+            [f"d{i:02d}" for i in range(n_docs)]
+            if seed % 2
+            else list(range(n_docs))
+        )
+        docs = pd.DataFrame({"doc_id": ids, "text": texts})
+        got = (
+            dedup_substrings("unused", n=n, docs_ds=rd.from_pandas(docs))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        occ: dict[str, list] = {}
+        toks = {d: t.split() for d, t in zip(ids, texts)}
+        for d in sorted(toks):
+            t = toks[d]
+            for i in range(len(t) - n + 1):
+                occ.setdefault(" ".join(t[i : i + n]), []).append((d, i))
+        cover = {d: set() for d in toks}
+        for places in occ.values():
+            for d, i in sorted(places)[1:]:
+                cover[d].update(range(i, i + n))
+        for d, t in toks.items():
+            keep = [w for i, w in enumerate(t) if i not in cover[d]]
+            assert got.loc[d, "clean_text"] == " ".join(keep), (seed, d)
+            assert got.loc[d, "n_tokens"] == len(t), (seed, d)
+            assert got.loc[d, "n_removed"] == len(t) - len(keep), (seed, d)
