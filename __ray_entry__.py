@@ -9,6 +9,15 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# The driver owns this process's Ray session, and importing this module is
+# its declared way of entering the engine -- apply the engine's measured
+# DataContext tuning here (NOT in the library package __init__, which must
+# stay side-effect-free for embedding applications; see context.py).
+from ontology_time_machine_ray.context import tune_data_context as _tune
+
+_tune()
+del _tune
+
 
 def entry() -> Any:
     """Flagship pipeline: full KG construction (mention detection ->

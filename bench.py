@@ -132,6 +132,9 @@ def run_bench() -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from ontology_time_machine_ray.context import tune_data_context
+
+    tune_data_context()
 
     from ontology_time_machine_ray.pipelines import relational
     from ontology_time_machine_ray.pipelines.kg import KgPipeline

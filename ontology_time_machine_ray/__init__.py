@@ -20,7 +20,11 @@ cascade) restated as deterministic batch transforms over Arrow batches.
 
 __version__ = "0.1.0"
 
-from ontology_time_machine_ray.context import tune_data_context as _tune
-
-_tune()  # see context.py: measured 1.45-2.7x executor packing win
-del _tune
+# NOTE: importing this package does NOT mutate the process-global Ray
+# DataContext.  The engine's executor tuning (see ``context.py``: disabling
+# per-operator resource reservation, measured 1.45-2.7x on the headline
+# build) is applied by the engine's OWN entry surfaces -- the driver
+# contract (``__ray_entry__``), the CLI (``__main__``), ``bench.py`` and
+# the test fixture -- via ``context.tune_data_context()``.  An embedding
+# application that imports this package as a library keeps Ray's default
+# backpressure behavior unless it opts in by calling that function.

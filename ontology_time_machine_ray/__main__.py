@@ -62,6 +62,9 @@ def _run_query(argv) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from ontology_time_machine_ray.context import tune_data_context
+
+    tune_data_context()
 
     import pandas as pd
     import ray.data as rd
@@ -106,6 +109,9 @@ def _run_read(argv) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from ontology_time_machine_ray.context import tune_data_context
+
+    tune_data_context()
     from ontology_time_machine_ray.sources.writers import read_store_asof
 
     ds = read_store_asof(args.store, version=args.version)
@@ -205,6 +211,9 @@ def main(argv=None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from ontology_time_machine_ray.context import tune_data_context
+
+    tune_data_context()
 
     from ontology_time_machine_ray.config import (
         HttpsInterception,

@@ -39,10 +39,13 @@ _APPLIED = False
 def tune_data_context() -> None:
     """Apply the engine's DataContext defaults (idempotent, cheap).
 
-    Called from the package ``__init__`` so every entry surface (driver
-    contract, CLI, bench, tests) runs under the same executor tuning.
-    ``DataContext.get_current()`` is process-local configuration and
-    works before ``ray.init``, so import time is safe."""
+    Called by each entry surface that OWNS the process (driver contract
+    ``__ray_entry__``, CLI ``__main__``, ``bench.py``, tools, the test
+    fixture) -- deliberately NOT from the package ``__init__``, so merely
+    importing the library never changes an embedding application's Ray
+    Data executor behavior.  ``DataContext.get_current()`` is
+    process-local configuration and may be set before or after
+    ``ray.init``; datasets capture it at execution."""
     global _APPLIED
     if _APPLIED:
         return

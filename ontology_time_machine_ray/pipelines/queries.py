@@ -2300,6 +2300,54 @@ QUERIES = {
     "ann_pq": ann_pq,                    # unrolled subspace k-means + ADC: full SQL oracle
 }
 
+
+def _interleave_families(qs: dict) -> dict:
+    """Round-robin the registry across operator families so any prefix
+    window (the driver samples the first ~50 entries for its oracle-parity
+    check) certifies the WHOLE surface -- kg, media, relational, events,
+    text, dedup, sampling/packing, embedding, ann -- not just the family
+    the dict literal happens to lead with.  Names and callables are
+    untouched; only iteration order changes, and deterministically (family
+    buckets keep the literal's internal order)."""
+    fams: dict[str, list[str]] = {}
+    prefixes = (
+        "kg_", "media_", "rel_", "events_", "text_", "lang_", "pii_",
+        "dedup_", "corpus_", "dup_", "winnow_", "inverted_", "tfidf_",
+        "quality_", "source_", "sample_", "pack_", "chunk_", "shuffle_",
+        "embed_", "ann_",
+    )
+    # coarser grouping: one bucket per top-level family so the round-robin
+    # cycle length stays small and every 50-window sees each family
+    fam_of = {
+        "kg_": "kg", "media_": "media",
+        "rel_": "rel", "events_": "events",
+        "text_": "text", "lang_": "text", "pii_": "text",
+        "inverted_": "text", "tfidf_": "text", "quality_": "text",
+        "source_": "text", "winnow_": "text",
+        "dedup_": "dedup", "corpus_": "dedup", "dup_": "dedup",
+        "sample_": "pack", "pack_": "pack", "chunk_": "pack",
+        "shuffle_": "pack",
+        "embed_": "embed", "ann_": "ann",
+    }
+    for name in qs:
+        fam = next((fam_of[p] for p in prefixes if name.startswith(p)), "misc")
+        fams.setdefault(fam, []).append(name)
+    order: list[str] = []
+    iters = [iter(v) for v in fams.values()]
+    while iters:
+        alive = []
+        for it in iters:
+            nxt = next(it, None)
+            if nxt is not None:
+                order.append(nxt)
+                alive.append(it)
+        iters = alive
+    assert sorted(order) == sorted(qs)
+    return {k: qs[k] for k in order}
+
+
+QUERIES = _interleave_families(QUERIES)
+
 #: KG queries whose oracle reads the fixture parquet.
 _KG_ORACLE_NAMES = (
     "kg_mentions",

@@ -424,6 +424,17 @@ def update_partitioned(
     new_version = len(lin0.get("updates", [])) + 1
 
     def _merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        # The small-delta fast path feeds this one per-partition frame per
+        # batch (from_pandas keeps one block per frame on Ray 2.49.2 and
+        # batch_size=None batches never span blocks).  That layout is a Ray
+        # internals property, not a contract -- fail loudly if a future
+        # version coalesces blocks, instead of merging rows into the wrong
+        # partition file.
+        assert g["partition"].nunique() == 1, (
+            "merge batch spans partitions "
+            f"{sorted(g['partition'].unique().tolist())} -- Ray block "
+            "layout changed; route the delta through the grouped path"
+        )
         part = int(g["partition"].iloc[0])
         g = g.drop(columns=["partition"])
         digest = _group_digest(g)

@@ -19,6 +19,9 @@ def ray_session():
         )
     from ray.data import DataContext
 
+    from ontology_time_machine_ray.context import tune_data_context
+
+    tune_data_context()
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     yield

@@ -77,6 +77,9 @@ def run_one(ncpu: int) -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from ontology_time_machine_ray.context import tune_data_context
+
+    tune_data_context()
     import ray.data as rd
 
     from ontology_time_machine_ray.pipelines import relational

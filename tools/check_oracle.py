@@ -75,6 +75,9 @@ def main():
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from ontology_time_machine_ray.context import tune_data_context
+
+    tune_data_context()
 
     from ontology_time_machine_ray.pipelines.queries import QUERIES, oracle_sql_for
 
