@@ -2438,7 +2438,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         WINNOW_MIN_SHARED, WINNOW_MAX_FP_DF
     )
     out["dup_ngrams"] = sql_oracles.dup_ngrams_sql(DUP_NGRAM_N)
-    out["dedup_substrings"] = sql_oracles.dedup_substrings_sql(textops.SUB_N)
+    out["dedup_substrings"] = sql_oracles.dedup_substrings_sql(
+        textops.SUB_N, textops.SUB_MIN_LEN
+    )
     out["dedup_segments"] = sql_oracles.dedup_segments_sql(textops.SEG_W)
     out["quality_top_pct"] = sql_oracles.quality_top_pct_sql(QUALITY_TOP_PCT)
     from ontology_time_machine_ray.stages.fuzzy import MAX_DIST

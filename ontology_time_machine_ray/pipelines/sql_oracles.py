@@ -2167,12 +2167,28 @@ FROM g JOIN d USING (gram)
 GROUP BY g.doc_id"""
 
 
-def dedup_substrings_sql(n: int) -> str:
+def dedup_substrings_sql(n: int, min_len: int | None = None) -> str:
     """``dedup_substrings`` restatement: same raw ``\\S+`` tokens and
     52-bit md5-prefix gram hashes as ``dup_ngrams``; every gram
     occurrence beyond the corpus-wide first (ROW_NUMBER over
-    ``(doc_id, pos)``) covers positions ``[pos, pos+n)``; surviving
-    tokens re-join position-ordered."""
+    ``(doc_id, pos)``) covers positions ``[pos, pos+n)``; covered
+    positions merge into maximal runs via gaps-and-islands
+    (``cpos - ROW_NUMBER``) and only runs of >= ``min_len`` tokens are
+    removed; surviving tokens re-join position-ordered."""
+    run_filter = ""
+    if min_len is not None and min_len > n:
+        run_filter = f""",
+isl AS (
+  SELECT doc_id, cpos,
+    cpos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cpos) AS grp
+  FROM cov),
+cov2 AS (
+  SELECT doc_id, cpos FROM (
+    SELECT doc_id, cpos,
+      COUNT(*) OVER (PARTITION BY doc_id, grp) AS rl
+    FROM isl)
+  WHERE rl >= {min_len})"""
+    cov_final = "cov2" if run_filter else "cov"
     return f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
@@ -2188,14 +2204,14 @@ r AS (
   FROM occ),
 cov AS (
   SELECT DISTINCT r.doc_id, r.pos + u.o AS cpos
-  FROM r, (SELECT unnest(range(0, {n})) AS o) u WHERE r.rn > 1),
+  FROM r, (SELECT unnest(range(0, {n})) AS o) u WHERE r.rn > 1){run_filter},
 tk AS (
   SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok
   FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)),
 kept AS (
   SELECT tk.doc_id, tk.pos, tk.tok FROM tk
-  LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.cpos
-  WHERE cov.doc_id IS NULL)
+  LEFT JOIN {cov_final} cv ON tk.doc_id = cv.doc_id AND tk.pos = cv.cpos
+  WHERE cv.doc_id IS NULL)
 SELECT d.doc_id,
   COALESCE(s.clean_text, '') AS clean_text,
   CAST(COALESCE(nt.n_tokens, 0) AS BIGINT) AS n_tokens,

@@ -562,19 +562,45 @@ def dup_ngrams(sf_dir: str, n: int = 5, docs_ds: rd.Dataset | None = None) -> rd
     )
 
 
-#: duplicated-substring cut length (word n-grams) for dedup_substrings.
+#: duplicated-substring seed length (word n-grams) for dedup_substrings.
 SUB_N = 8
+
+#: minimum MAXIMAL-RUN length (tokens) a duplicated region must reach to
+#: be removed (Lee et al. 2022 use 50 BPE tokens on web-scale corpora;
+#: 16 fits this corpus's 10-99-token documents while still exercising
+#: the run filter -- at sf0.001 it keeps 2 of 24 duplicated runs).
+SUB_MIN_LEN = 16
 
 
 def dedup_substrings(
-    sf_dir: str, n: int = SUB_N, docs_ds: rd.Dataset | None = None
+    sf_dir: str,
+    n: int = SUB_N,
+    min_len: int | None = SUB_MIN_LEN,
+    docs_ds: rd.Dataset | None = None,
 ) -> rd.Dataset:
-    """ExactSubstr deduplication, the REMOVAL half (Lee et al. 2022):
-    every occurrence of a duplicated word ``n``-gram EXCEPT the
-    corpus-wide first (min ``(doc_id, pos)``) is cut from its document;
-    the output is each document's surviving tokens re-joined, plus
-    counts.  ``dup_ngrams`` is the detection half (per-doc dup-gram
-    counts); this one rewrites the corpus.
+    """ExactSubstr deduplication, the REMOVAL half (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" §4.1),
+    with MAXIMAL-RUN semantics: every occurrence of a duplicated word
+    ``n``-gram EXCEPT the corpus-wide first (min ``(doc_id, pos)``)
+    covers its ``n`` token positions; per document, covered positions
+    merge into maximal runs, and only runs of at least ``min_len``
+    tokens are removed (shorter incidental duplicates survive, as in
+    the paper's length-threshold rule).  ``min_len=None`` (or
+    ``min_len <= n``) removes every covered run -- the fixed-cut
+    semantics this operator had before the run filter.  The output is
+    each document's surviving tokens re-joined, plus counts.
+    ``dup_ngrams`` is the detection half (per-doc dup-gram counts);
+    this one rewrites the corpus.
+
+    With ``n == min_len`` the n-gram restatement is EXACT: a token
+    position is covered by a cut ``min_len``-gram occurrence iff it
+    lies inside a duplicated substring of length >= ``min_len`` whose
+    occurrence is not the corpus-wide first -- the suffix-array
+    formulation of the paper (see the suffix-array equivalence test in
+    tests/test_textops_media.py).  With ``n < min_len`` (the cheap
+    configuration: one seed-gram exchange instead of ``min_len``-gram
+    keys) adjacent shorter duplicates can merge into a removable run,
+    matching the range-union behavior of the paper's released tool.
 
     Scale shape: the occurrence stream is token-proportional -- inherent
     to substring dedup (the reference formulation is a corpus-wide
@@ -695,6 +721,20 @@ def dedup_substrings(
                     "pos": (starts[:, None] + np.arange(n)).ravel(),
                 }
             ).drop_duplicates()
+            if min_len is not None and min_len > n:
+                # maximal-run merge: covered positions of one doc are
+                # consecutive within a run; keep only runs >= min_len.
+                # All of a doc's cuts land in its doc_id bucket, so the
+                # per-group view sees every covered position of the doc.
+                cov = cov.sort_values(["doc_id", "pos"], kind="stable")
+                dv = cov["doc_id"].to_numpy()
+                pv = cov["pos"].to_numpy()
+                brk = np.r_[
+                    True, (dv[1:] != dv[:-1]) | (pv[1:] != pv[:-1] + 1)
+                ]
+                rid = np.cumsum(brk) - 1
+                rlen = np.bincount(rid)
+                cov = cov[rlen[rid] >= min_len]
             merged = tok_df.merge(
                 cov, on=["doc_id", "pos"], how="left", indicator=True
             )

@@ -512,8 +512,10 @@ def test_bgp_select_aggregates_random_vs_pandas(ray_session):
 
 def test_dedup_substrings_random_corpora_vs_naive(ray_session):
     """Random small-vocabulary corpora (dense accidental duplication)
-    against the row-at-a-time keep-first replay: clean text, token and
-    removal counts must match exactly, for both int and string ids."""
+    against the row-at-a-time keep-first replay, at BOTH semantics:
+    min_len=None (every covered run removed) and min_len>n (maximal-run
+    merge, only runs >= min_len removed).  Clean text, token and removal
+    counts must match exactly, for both int and string ids."""
     import numpy as np
     import ray.data as rd
 
@@ -521,36 +523,56 @@ def test_dedup_substrings_random_corpora_vs_naive(ray_session):
 
     n = 3
     for seed in (1, 2, 3):
-        rng = np.random.RandomState(seed)
-        words = [f"w{j}" for j in range(5)]  # tiny vocab => many dup grams
-        n_docs = 12
-        texts = [
-            " ".join(rng.choice(words, size=rng.randint(0, 12)))
-            for _ in range(n_docs)
-        ]
-        ids = (
-            [f"d{i:02d}" for i in range(n_docs)]
-            if seed % 2
-            else list(range(n_docs))
-        )
-        docs = pd.DataFrame({"doc_id": ids, "text": texts})
-        got = (
-            dedup_substrings("unused", n=n, docs_ds=rd.from_pandas(docs))
-            .to_pandas()
-            .set_index("doc_id")
-        )
-        occ: dict[str, list] = {}
-        toks = {d: t.split() for d, t in zip(ids, texts)}
-        for d in sorted(toks):
-            t = toks[d]
-            for i in range(len(t) - n + 1):
-                occ.setdefault(" ".join(t[i : i + n]), []).append((d, i))
-        cover = {d: set() for d in toks}
-        for places in occ.values():
-            for d, i in sorted(places)[1:]:
-                cover[d].update(range(i, i + n))
-        for d, t in toks.items():
-            keep = [w for i, w in enumerate(t) if i not in cover[d]]
-            assert got.loc[d, "clean_text"] == " ".join(keep), (seed, d)
-            assert got.loc[d, "n_tokens"] == len(t), (seed, d)
-            assert got.loc[d, "n_removed"] == len(t) - len(keep), (seed, d)
+        for min_len in (None, 5):
+            rng = np.random.RandomState(seed)
+            words = [f"w{j}" for j in range(5)]  # tiny vocab => many dup grams
+            n_docs = 12
+            texts = [
+                " ".join(rng.choice(words, size=rng.randint(0, 12)))
+                for _ in range(n_docs)
+            ]
+            ids = (
+                [f"d{i:02d}" for i in range(n_docs)]
+                if seed % 2
+                else list(range(n_docs))
+            )
+            docs = pd.DataFrame({"doc_id": ids, "text": texts})
+            got = (
+                dedup_substrings(
+                    "unused", n=n, min_len=min_len, docs_ds=rd.from_pandas(docs)
+                )
+                .to_pandas()
+                .set_index("doc_id")
+            )
+            occ: dict[str, list] = {}
+            toks = {d: t.split() for d, t in zip(ids, texts)}
+            for d in sorted(toks):
+                t = toks[d]
+                for i in range(len(t) - n + 1):
+                    occ.setdefault(" ".join(t[i : i + n]), []).append((d, i))
+            cover = {d: set() for d in toks}
+            for places in occ.values():
+                for d, i in sorted(places)[1:]:
+                    cover[d].update(range(i, i + n))
+            if min_len is not None:
+                # run-length merge of the covered position sets
+                for d, s in cover.items():
+                    keep_pos: set = set()
+                    run: list = []
+                    for p in sorted(s) + [None]:
+                        if run and (p is None or p != run[-1] + 1):
+                            if len(run) >= min_len:
+                                keep_pos.update(run)
+                            run = []
+                        if p is not None:
+                            run.append(p)
+                    cover[d] = keep_pos
+            for d, t in toks.items():
+                keep = [w for i, w in enumerate(t) if i not in cover[d]]
+                assert got.loc[d, "clean_text"] == " ".join(keep), (
+                    seed, min_len, d,
+                )
+                assert got.loc[d, "n_tokens"] == len(t), (seed, min_len, d)
+                assert got.loc[d, "n_removed"] == len(t) - len(keep), (
+                    seed, min_len, d,
+                )

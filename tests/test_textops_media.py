@@ -796,7 +796,7 @@ def test_dedup_substrings_vs_naive(ray_session, tmp_path, ids):
     pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
     n = 4
     got = (
-        dedup_substrings(str(tmp_path), n=n)
+        dedup_substrings(str(tmp_path), n=n, min_len=None)
         .to_pandas()
         .set_index("doc_id")
         .sort_index()
@@ -821,3 +821,112 @@ def test_dedup_substrings_vs_naive(ray_session, tmp_path, ids):
     # the planted run was actually cut somewhere
     assert got["n_removed"].sum() > 0
     assert got.loc[ids[0], "n_removed"] == 0  # first occurrence survives
+
+
+def test_dedup_substrings_maximal_runs(ray_session):
+    """Maximal-run (min_len) semantics, Lee et al. 2022 §4.1: a
+    duplicated region only comes out when the merged run of covered
+    positions reaches ``min_len`` tokens; shorter incidental duplicates
+    survive.  One doc carries a LONG (12-token) copy of another doc's
+    text plus a SHORT (4-token) copy from a third -- with n=4 and
+    min_len=10, the long run is removed, the short one kept, and with
+    min_len=None both are removed."""
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.textops import dedup_substrings
+
+    long_run = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 r11 r12"  # 12 tokens
+    short_dup = "s1 s2 s3 s4"  # 4 tokens
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                f"{long_run} filler_a filler_b",
+                f"{short_dup} other tokens here now",
+                f"head {long_run} mid {short_dup} tail",
+            ],
+        }
+    )
+
+    got = (
+        dedup_substrings("unused", n=4, min_len=10, docs_ds=rd.from_pandas(docs))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # doc 3: the 12-token run is removed (>= min_len), the 4-token
+    # duplicate survives (its run is < 10)
+    assert got.loc[3, "clean_text"] == f"head mid {short_dup} tail"
+    assert got.loc[3, "n_removed"] == 12
+    assert got.loc[1, "n_removed"] == 0  # first occurrences untouched
+    assert got.loc[2, "n_removed"] == 0
+
+    got_all = (
+        dedup_substrings("unused", n=4, min_len=None, docs_ds=rd.from_pandas(docs))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert got_all.loc[3, "clean_text"] == "head mid tail"
+    assert got_all.loc[3, "n_removed"] == 16
+
+
+def test_dedup_substrings_suffix_array_equivalence(ray_session):
+    """With ``n == min_len`` the n-gram restatement is EXACT Lee et al.
+    semantics: positions removed = positions inside a duplicated
+    substring of length >= min_len whose occurrence is not the
+    corpus-wide first.  The reference here is an independent
+    suffix-array implementation -- sort all suffixes of each doc's
+    token sequence, group window-equal suffixes via the sorted order
+    (adjacent suffixes sharing a >= m-token prefix), keep each group's
+    global first, cover the rest.  Random small-vocab corpora so
+    duplication is dense and runs overlap."""
+    import numpy as np
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.textops import dedup_substrings
+
+    m = 4  # n == min_len: exact semantics
+    for seed in (7, 8, 9):
+        rng = np.random.RandomState(seed)
+        words = [f"w{j}" for j in range(4)]
+        n_docs = 10
+        texts = [
+            " ".join(rng.choice(words, size=rng.randint(0, 14)))
+            for _ in range(n_docs)
+        ]
+        ids = list(range(n_docs))
+        docs = pd.DataFrame({"doc_id": ids, "text": texts})
+        got = (
+            dedup_substrings(
+                "unused", n=m, min_len=m, docs_ds=rd.from_pandas(docs)
+            )
+            .to_pandas()
+            .set_index("doc_id")
+        )
+
+        # suffix-array reference: every m-token window is a "suffix
+        # truncated to m"; sorting them groups equal windows.  Each
+        # group's min (doc, pos) is exempt; other members cover
+        # [pos, pos+m).  (Runs are automatically >= m, so the run
+        # filter is the identity here -- as in the engine.)
+        toks = {d: t.split() for d, t in zip(ids, texts)}
+        suffixes = []  # (window_tuple, doc, pos)
+        for d in ids:
+            t = toks[d]
+            for i in range(len(t) - m + 1):
+                suffixes.append((tuple(t[i : i + m]), d, i))
+        suffixes.sort()
+        cover: dict[int, set] = {d: set() for d in ids}
+        j = 0
+        while j < len(suffixes):
+            k = j
+            while k < len(suffixes) and suffixes[k][0] == suffixes[j][0]:
+                k += 1
+            group = sorted((d, i) for _, d, i in suffixes[j:k])
+            for d, i in group[1:]:
+                cover[d].update(range(i, i + m))
+            j = k
+        for d in ids:
+            t = toks[d]
+            keep = [w for i, w in enumerate(t) if i not in cover[d]]
+            assert got.loc[d, "clean_text"] == " ".join(keep), (seed, d)
+            assert got.loc[d, "n_removed"] == len(t) - len(keep), (seed, d)
