@@ -51,7 +51,7 @@ GENERATOR_VERSION = "otm-fixtures-v2"
 #: embeddings_aug/client_auth).  Bumping this rewrites only those tables
 #: (<1 s) and leaves the expensive documents corpus untouched -- bench
 #: corpora at x800/x1600 stay valid across small-table semantic changes.
-SMALL_TABLES_VERSION = "small-v9"
+SMALL_TABLES_VERSION = "small-v10"
 FIXTURE_ROOT = "/tmp/otm_fixtures"
 
 N_INDEX = 48  # in-index ontologies O000..O047
@@ -259,6 +259,103 @@ class FixturePaths:
     @property
     def documents_pii(self) -> str:
         return os.path.join(self.root, "documents_pii.parquet")
+
+    @property
+    def bpe_vocab(self) -> str:
+        return os.path.join(self.root, "bpe_vocab.parquet")
+
+
+def build_bpe_vocab(sf_dir: str) -> "pa.Table":
+    """Scalar-reference BPE lookup: (word, n_tokens, sum_ids) for every
+    distinct pretoken of ``sf_dir``'s documents table, computed by a
+    fully independent ROW-AT-A-TIME implementation of the same BPE
+    contract as ``stages/bpe.py`` (same GPT-2 pretokenizer regex, same
+    merge count / word cap / tie-break constants, imported so the two
+    sides can never silently diverge on parameters -- but training pair
+    counting, merge application and encoding are re-written here as
+    plain Python loops).  The DuckDB oracle joins this table; matching
+    it certifies the engine's distributed frequency aggregation,
+    vectorized trainer and batched rank-order encoder."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from ontology_time_machine_ray.stages.bpe import (
+        BPE_TOKEN_RE,
+        MAX_TRAIN_WORDS,
+        N_MERGES,
+    )
+
+    docs = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    pat = re.compile(BPE_TOKEN_RE)
+    cnt: Counter = Counter()
+    for t in docs["text"].fillna(""):
+        cnt.update(pat.findall(str(t)))
+    wf = dict(
+        sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:MAX_TRAIN_WORDS]
+    )
+
+    # --- scalar training (Sennrich et al. 2016 alg. 1, literal) ---
+    words = {w: list(w) for w in wf if w}
+    alphabet: set = set()
+    for syms in words.values():
+        alphabet.update(syms)
+    merges: list = []
+    for _ in range(N_MERGES):
+        counts: Counter = Counter()
+        for w, syms in words.items():
+            f = wf[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        maxc = max(counts.values())
+        best = min(p for p, c in counts.items() if c == maxc)
+        merges.append(best)
+        a, b = best
+        for w, syms in words.items():
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    ids: dict = {}
+    for ch in sorted(alphabet):
+        ids[ch] = len(ids)
+    for a, b in merges:
+        ids.setdefault(a + b, len(ids))
+
+    # --- scalar encoding of EVERY distinct corpus pretoken ---
+    out_w, out_n, out_s = [], [], []
+    for w in sorted(cnt):
+        syms = list(w)
+        for a, b in merges:
+            i, merged = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = merged
+        out_w.append(w)
+        out_n.append(len(syms))
+        out_s.append(sum(ids.get(s, -1) for s in syms))
+    return pa.table(
+        {
+            "word": pa.array(out_w, type=pa.string()),
+            "n_tokens": pa.array(out_n, type=pa.int64()),
+            "sum_ids": pa.array(out_s, type=pa.int64()),
+        }
+    )
 
 
 def build_ontology_index() -> pa.Table:
@@ -768,6 +865,7 @@ def _write_small_tables(paths: FixturePaths, sf_dir: str) -> None:
     pq.write_table(build_embeddings_aug(sf_dir), paths.embeddings_aug)
     pq.write_table(build_client_auth(), paths.client_auth)
     pq.write_table(build_documents_pii(sf_dir), paths.documents_pii)
+    pq.write_table(build_bpe_vocab(sf_dir), paths.bpe_vocab)
 
 
 def _marker_value() -> str:

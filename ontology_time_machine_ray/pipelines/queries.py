@@ -2065,6 +2065,24 @@ def _pack_sequences(sf_dir: str):
     return pack_sequences(sf_dir)
 
 
+def _text_bpe_encode(sf_dir: str):
+    """Real merge-table BPE (train + vectorized encode, stages/bpe.py);
+    oracle joins the scalar-reference vocab fixture."""
+    from ontology_time_machine_ray.stages.bpe import text_bpe_encode
+
+    return text_bpe_encode(sf_dir)
+
+
+def _pack_sequences_bpe(sf_dir: str):
+    """Sequence packing under REAL BPE token counts: the same prefix-sum
+    plan as pack_sequences with the counts side swapped to the trained
+    tokenizer's post-merge counts."""
+    from ontology_time_machine_ray.stages.bpe import bpe_token_counts
+    from ontology_time_machine_ray.stages.packing import pack_sequences
+
+    return pack_sequences(sf_dir, counts_ds=bpe_token_counts(sf_dir))
+
+
 def _chunk_documents(sf_dir: str):
     """Overlapping token-window chunking (RAG / context-window prep); one
     map_batches pass, no shuffle (see stages/packing.py)."""
@@ -2238,6 +2256,8 @@ QUERIES = {
     "text_repetition": textops.text_repetition,
     "text_decontaminate": textops.decontaminate,
     "pack_sequences": _pack_sequences,
+    "pack_sequences_bpe": _pack_sequences_bpe,
+    "text_bpe_encode": _text_bpe_encode,
     "shuffle_index": _shuffle_index,
     "chunk_documents": _chunk_documents,
     "chunk_pack": _chunk_pack,
@@ -2440,6 +2460,10 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["dup_ngrams"] = sql_oracles.dup_ngrams_sql(DUP_NGRAM_N)
     out["dedup_substrings"] = sql_oracles.dedup_substrings_sql(
         textops.SUB_N, textops.SUB_MIN_LEN
+    )
+    out["text_bpe_encode"] = sql_oracles.bpe_encode_sql(paths.root)
+    out["pack_sequences_bpe"] = sql_oracles.pack_sequences_bpe_sql(
+        paths.root, 2048
     )
     out["dedup_segments"] = sql_oracles.dedup_segments_sql(textops.SEG_W)
     out["quality_top_pct"] = sql_oracles.quality_top_pct_sql(QUALITY_TOP_PCT)

@@ -2224,6 +2224,60 @@ LEFT JOIN (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks) nt
   ON d.doc_id = nt.doc_id"""
 
 
+#: the BPE pretokenizer regex as a DuckDB literal (single quote doubled).
+_BPE_RE_SQL = (
+    "''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+)
+
+
+def bpe_encode_sql(fixture_root: str) -> str:
+    """``text_bpe_encode`` restatement: DuckDB re-extracts the GPT-2
+    pretokens and joins the SCALAR-REFERENCE encode of every distinct
+    corpus pretoken (``fixtures.build_bpe_vocab`` -- an independent
+    row-at-a-time trainer + encoder).  An inner join makes a pretoken
+    the two tokenizers disagree on surface as a row/value mismatch
+    instead of silently zeroing."""
+    return f"""
+WITH pt AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS word
+  FROM documents),
+v AS (SELECT * FROM read_parquet('{fixture_root}/bpe_vocab.parquet')),
+j AS (SELECT pt.doc_id, v.n_tokens, v.sum_ids FROM pt JOIN v USING (word))
+SELECT d.doc_id,
+  CAST(COALESCE(p.n_pre, 0) AS BIGINT) AS n_pretokens,
+  CAST(COALESCE(a.nt, 0) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(a.si, 0) AS BIGINT) AS sum_ids
+FROM documents d
+LEFT JOIN (SELECT doc_id, COUNT(*) AS n_pre FROM pt GROUP BY 1) p
+  ON d.doc_id = p.doc_id
+LEFT JOIN (SELECT doc_id, SUM(n_tokens) AS nt, SUM(sum_ids) AS si
+           FROM j GROUP BY 1) a
+  ON d.doc_id = a.doc_id"""
+
+
+def pack_sequences_bpe_sql(fixture_root: str, budget: int) -> str:
+    """``pack_sequences_bpe`` restatement: per-doc REAL BPE token counts
+    (the scalar-reference vocab join above) fed through the same
+    doc_id-ordered window cumsum as ``pack_sequences``."""
+    return f"""
+WITH pt AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS word
+  FROM documents),
+v AS (SELECT * FROM read_parquet('{fixture_root}/bpe_vocab.parquet')),
+c AS (
+  SELECT d.doc_id,
+    CAST(COALESCE(SUM(v.n_tokens), 0) AS BIGINT) AS n_tokens
+  FROM documents d
+  LEFT JOIN pt ON d.doc_id = pt.doc_id
+  LEFT JOIN v ON pt.word = v.word
+  GROUP BY d.doc_id)
+SELECT doc_id, n_tokens,
+  (SUM(n_tokens) OVER (ORDER BY doc_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+    // {budget} AS shard
+FROM c"""
+
+
 def dedup_segments_sql(seg_w: int) -> str:
     """``dedup_segments`` restatement: same lowercase ``\\S+`` tokens, the
     same non-overlapping ``seg_w``-token segments keyed by the 52-bit md5

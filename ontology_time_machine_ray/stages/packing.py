@@ -54,10 +54,13 @@ def pack_sequences(
     budget: int = 2048,
     num_buckets: int = 64,
     docs_ds: rd.Dataset | None = None,
+    counts_ds: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """(doc_id, n_tokens, shard) for every document; ``shard`` is the
     index of the ``budget``-token training shard the document STARTS in
-    under doc_id-ordered concatenation."""
+    under doc_id-ordered concatenation.  ``counts_ds`` swaps in an
+    alternative (doc_id, n_tokens) source -- e.g. REAL BPE token counts
+    from ``stages/bpe.py`` -- without touching the prefix-sum plan."""
     import ray
 
     from ontology_time_machine_ray.functions.broadcast import cached_get
@@ -68,7 +71,7 @@ def pack_sequences(
     if num_buckets < 1:
         raise ValueError("num_buckets must be >= 1")
 
-    counts = (docs_ds or _read_docs(sf_dir)).map_batches(
+    counts = counts_ds or (docs_ds or _read_docs(sf_dir)).map_batches(
         _token_counts, batch_format="pandas"
     )
     # checkpoint the narrow (doc_id, n_tokens) projection: three passes
