@@ -2008,6 +2008,14 @@ def ann_pq(sf_dir: str) -> pd.DataFrame:
     return similarity.ann_pq(sf_dir)
 
 
+def ann_ivfpq(sf_dir: str) -> pd.DataFrame:
+    """Composed IVF-PQ (FAISS IVFPQ shape): coarse lists prune the read,
+    residual product-quantization codes + ADC score the probed lists.
+    Oracle unrolls both k-means stages, the residuals, the probe filter
+    and the lookup scoring in SQL."""
+    return similarity.ann_ivfpq(sf_dir)
+
+
 def _range_layout(sf_dir: str):
     """Range-clustered layout + pruned range read (see stages/layout.py):
     lineitem clustered into per-price-range directories by exact
@@ -2318,6 +2326,7 @@ QUERIES = {
     "ann_recall": ann_recall,
     "ann_ivf": ann_ivf,                  # unrolled k-means lists: full SQL oracle
     "ann_pq": ann_pq,                    # unrolled subspace k-means + ADC: full SQL oracle
+    "ann_ivfpq": ann_ivfpq,              # composed IVF lists + residual PQ: full SQL oracle
 }
 
 
@@ -2504,6 +2513,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     )
     out["ann_ivf"] = sql_oracles.ann_ivf_sql()
     out["ann_pq"] = sql_oracles.ann_pq_sql(
+        dim=similarity._emb_dim(os.path.join(sf_dir, "embeddings.parquet"))
+    )
+    out["ann_ivfpq"] = sql_oracles.ann_ivfpq_sql(
         dim=similarity._emb_dim(os.path.join(sf_dir, "embeddings.parquet"))
     )
     from ontology_time_machine_ray.stages.packing import DEFAULT_MIX_E6

@@ -494,6 +494,132 @@ SELECT query_id, vec_id FROM (
     )
 
 
+def ann_ivfpq_sql(
+    k: int = 10,
+    n_queries: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 8,
+    m: int = 4,
+    ks: int = 16,
+    iters_ivf: int = 3,
+    iters_pq: int = 2,
+    dim: int = 64,
+) -> str:
+    """stages/similarity.ann_ivfpq: the composed IVF-PQ plan unrolled end
+    to end -- coarse Lloyd rounds (the shared kmeans CTEs), residual
+    ``x_norm - c_assigned``, per-subspace residual Lloyd rounds, final
+    codes, probe filter, and the ADC score ``q.c_list + sum_s
+    LUT[s][q, code_s]``.  Same discrete-output tolerance argument as the
+    other unrolled k-means oracles."""
+    sub_d = dim // m
+    parts = [
+        "WITH " + _kmeans_ctes(n_lists, iters_ivf) + ",\n" + _final_assign_cte(iters_ivf)
+    ]
+    parts.append(
+        f"""res AS MATERIALIZED (
+  SELECT v.vec_id, v.j, v.x - c.x AS x
+  FROM vn v
+  JOIN af a USING (vec_id)
+  JOIN c{iters_ivf} c ON c.cluster = a.cluster AND c.j = v.j),
+rsv AS MATERIALIZED (
+  SELECT vec_id, CAST(j // {sub_d} AS BIGINT) AS s, j % {sub_d} AS jj, x
+  FROM res),
+pq_ids AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT DISTINCT vec_id FROM emb ORDER BY vec_id LIMIT {ks})),
+pb0 AS (SELECT i.code, v.s, v.jj, v.x FROM pq_ids i JOIN rsv v USING (vec_id))"""
+    )
+    for t in range(1, iters_pq + 1):
+        p = t - 1
+        parts.append(
+            f"""pa{t} AS MATERIALIZED (
+  SELECT vec_id, s, code FROM (
+    SELECT v.vec_id, v.s, c.code,
+           row_number() OVER (
+             PARTITION BY v.vec_id, v.s
+             ORDER BY sum((v.x - c.x) * (v.x - c.x)) ASC, c.code ASC) AS rn
+    FROM rsv v JOIN pb{p} c ON c.s = v.s AND c.jj = v.jj
+    GROUP BY v.vec_id, v.s, c.code
+  ) WHERE rn = 1
+),
+pm{t} AS (
+  SELECT a.s, a.code, v.jj, sum(v.x) / count(*) AS mu
+  FROM pa{t} a JOIN rsv v ON v.vec_id = a.vec_id AND v.s = a.s
+  GROUP BY a.s, a.code, v.jj
+),
+pb{t} AS MATERIALIZED (
+  SELECT c.s, c.code, c.jj, coalesce(m.mu, c.x) AS x
+  FROM pb{p} c
+  LEFT JOIN pm{t} m ON m.s = c.s AND m.code = c.code AND m.jj = c.jj
+)"""
+        )
+    parts.append(
+        f"""paf AS MATERIALIZED (
+  SELECT vec_id, s, code FROM (
+    SELECT v.vec_id, v.s, c.code,
+           row_number() OVER (
+             PARTITION BY v.vec_id, v.s
+             ORDER BY sum((v.x - c.x) * (v.x - c.x)) ASC, c.code ASC) AS rn
+    FROM rsv v JOIN pb{iters_pq} c ON c.s = v.s AND c.jj = v.jj
+    GROUP BY v.vec_id, v.s, c.code
+  ) WHERE rn = 1
+),
+qids AS (SELECT DISTINCT vec_id FROM emb ORDER BY vec_id LIMIT {n_queries}),
+probes AS (
+  SELECT query_id, cluster FROM (
+    SELECT q.vec_id AS query_id, c.cluster,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY sum(v.x * c.x) DESC, c.cluster ASC) AS rn
+    FROM qids q
+    JOIN vn v ON v.vec_id = q.vec_id
+    JOIN c{iters_ivf} c ON c.j = v.j
+    GROUP BY q.vec_id, c.cluster
+  ) WHERE rn <= {n_probe}
+),
+qsv AS (
+  SELECT v.vec_id, CAST(v.j // {sub_d} AS BIGINT) AS s, v.j % {sub_d} AS jj, v.x
+  FROM vn v JOIN qids q ON q.vec_id = v.vec_id),
+lut AS (
+  SELECT qv.vec_id AS query_id, c.s, c.code, sum(qv.x * c.x) AS dot
+  FROM qsv qv JOIN pb{iters_pq} c ON c.s = qv.s AND c.jj = qv.jj
+  GROUP BY qv.vec_id, c.s, c.code
+),
+qc AS (
+  SELECT q.vec_id AS query_id, c.cluster, sum(v.x * c.x) AS dot
+  FROM qids q
+  JOIN vn v ON v.vec_id = q.vec_id
+  JOIN c{iters_ivf} c ON c.j = v.j
+  GROUP BY q.vec_id, c.cluster
+),
+cand AS (
+  SELECT p.query_id, a.vec_id, a.cluster
+  FROM af a JOIN probes p ON p.cluster = a.cluster
+),
+adc AS (
+  SELECT l.query_id, a.vec_id, sum(l.dot) AS dot
+  FROM paf a JOIN lut l ON l.s = a.s AND l.code = a.code
+  GROUP BY l.query_id, a.vec_id
+),
+sims AS (
+  SELECT c.query_id, c.vec_id, qc.dot + adc.dot AS sim
+  FROM cand c
+  JOIN qc ON qc.query_id = c.query_id AND qc.cluster = c.cluster
+  JOIN adc ON adc.query_id = c.query_id AND adc.vec_id = c.vec_id
+)"""
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT query_id, vec_id FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM sims
+) WHERE rn <= {k}"""
+    )
+
+
 def corpus_mix_sql(rates_e6: dict[str, int], seed: str) -> str:
     """stages/packing.corpus_mix: per-source epoch expansion + the
     hash-uniform fractional subset, as one VALUES join + range unnest.

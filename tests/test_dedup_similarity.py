@@ -339,6 +339,57 @@ def test_ann_pq_recall_and_determinism(ray_session, sf_dir):
     assert len(got & want) / len(want) >= 0.2
 
 
+def test_ann_ivfpq_recall_and_determinism(ray_session, sf_dir):
+    """Composed IVF-PQ: deterministic, k rows per query, recall above a
+    floor, and -- the point of residual encoding -- recall at least as
+    good as plain PQ at the same (m, ks) budget (Jegou et al. 2011:
+    residuals concentrate the quantizer on within-list variation)."""
+    from ontology_time_machine_ray.stages.similarity import (
+        ann_bruteforce,
+        ann_ivfpq,
+        ann_pq,
+    )
+
+    a = ann_ivfpq(sf_dir)
+    b = ann_ivfpq(sf_dir)
+    pd.testing.assert_frame_equal(a, b)
+    assert list(a.columns) == ["query_id", "vec_id"]
+    assert a.groupby("query_id").size().eq(10).all()
+    bf = ann_bruteforce(sf_dir)
+    want = set(map(tuple, bf.values))
+    got = set(map(tuple, a.values))
+    recall_ivfpq = len(got & want) / len(want)
+    assert recall_ivfpq >= 0.3, recall_ivfpq
+    pq = set(map(tuple, ann_pq(sf_dir).values))
+    recall_pq = len(pq & want) / len(want)
+    assert recall_ivfpq >= recall_pq, (recall_ivfpq, recall_pq)
+
+
+def test_ivfpq_residual_codebooks_shape(ray_session, sf_dir):
+    """Residual codebook trainer: (m, ks, sub_d) shape, finite (empty
+    codes keep the previous centroid), and NOT equal to the raw-vector
+    codebooks -- it really trains on residuals."""
+    import os
+
+    import numpy as np
+
+    from ontology_time_machine_ray.stages.similarity import (
+        _emb_dim,
+        _pq_codebooks,
+        _pq_residual_codebooks,
+        build_ivf_index,
+    )
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    dim = _emb_dim(path)
+    _, centroids = build_ivf_index(sf_dir, 16)
+    books = _pq_residual_codebooks(path, centroids, m=4, ks=16, iters=2)
+    assert books.shape == (4, 16, dim // 4)
+    assert np.isfinite(books).all()
+    raw = _pq_codebooks(path, m=4, ks=16, iters=2)
+    assert not np.allclose(books, raw)
+
+
 def test_pq_codebooks_shape_and_empty_code_hold(ray_session, sf_dir):
     """Codebook trainer: (m, ks, sub_d) shape; a code left empty by the
     assignment keeps its previous centroid (never NaN)."""
