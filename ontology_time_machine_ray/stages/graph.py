@@ -572,8 +572,12 @@ def label_propagation(edges_ds, rounds: int = 2) -> rd.Dataset:
     each round it adopts the label most frequent among its NEIGHBOURS'
     current labels, ties broken by lexicographically smallest label
     (nodes here always have >= 1 neighbour -- they exist only as edge
-    endpoints).  Fixed ``rounds`` keeps the operator oracle-replayable
-    (the SQL unrolls one level per round).
+    endpoints).  ``rounds`` is a CAP with changed-count convergence
+    detection (the ``kcore`` fixpoint pattern): the synchronous update
+    is a deterministic function of the current labelling, so a round
+    that changes nothing is idempotent -- early exit equals running all
+    ``rounds`` and the unrolled SQL oracle stays exact, it only saves
+    shuffles.
 
     Scale shape: per round ONE bucketed join co-locates each neighbour's
     current label with the edge endpoint, then ONE node-bucketed pass
@@ -606,7 +610,11 @@ def label_propagation(edges_ds, rounds: int = 2) -> rd.Dataset:
             c = c.sort_values(
                 ["a", "size", "label"], ascending=[True, False, True], kind="stable"
             ).drop_duplicates("a")
-            lab = pd.Series(c["label"].to_numpy(), index=c["a"].to_numpy())
+            new = pd.Series(c["label"].to_numpy(), index=c["a"].to_numpy())
+            converged = new.reindex(lab.index).equals(lab)
+            lab = new
+            if converged:
+                break
         return rd.from_pandas(
             pd.DataFrame({"node": lab.index, "label": lab.to_numpy()})
         )
@@ -639,11 +647,37 @@ def label_propagation(edges_ds, rounds: int = 2) -> rd.Dataset:
             left_schema={"a": "object", "b": "object"},
             right_schema={"b": "object", "label": "object"},
         )
-        labels = grouped_apply(
+        new_labels = grouped_apply(
             nb.map_batches(lambda df: df[["a", "label"]], batch_format="pandas"),
             ["a"],
             vote,
         ).materialize()
+        # changed-count convergence probe: one node-bucketed join of the
+        # two VOCABULARY-scale labellings, one tiny count per block to
+        # the driver -- never the corpus
+        diff = bucketed_join(
+            new_labels,
+            labels.map_batches(
+                lambda df: df.rename(columns={"label": "prev"}),
+                batch_format="pandas",
+            ),
+            on=["node"],
+            left_schema={"node": "object", "label": "object"},
+            right_schema={"node": "object", "prev": "object"},
+        )
+        changed = int(
+            diff.map_batches(
+                lambda df: pd.DataFrame(
+                    {"n": [int((df["label"] != df["prev"]).sum())]}
+                ),
+                batch_format="pandas",
+            )
+            .to_pandas()["n"]
+            .sum()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
     return labels
 
 

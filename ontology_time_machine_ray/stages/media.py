@@ -6,13 +6,17 @@ This module is the media-side pipeline:
 
 * ``media_catalog``  -- explode media spans into one row per asset with
   deterministic metadata (SQL-checkable plumbing).
-* ``MediaDecoder``   -- the actor-pool decode/feature stage.  The actual
-  codec is STUBBED (image/audio libraries are not in this container): with
-  ``fake=True`` it produces a deterministic byte-length-derived feature
-  payload; with ``fake=False`` it raises ``NotImplementedError`` where the
-  real decoder (PIL/libav) would run.  The Ray-side plumbing -- schema,
-  actor signature, small-batch sizing for large binary payloads -- is real
-  and tested.
+* ``MediaDecoder``   -- the actor-pool decode stage.  With ``fake=True``
+  it produces deterministic ref-derived metadata (catalog plumbing);
+  with ``fake=False`` it decodes REAL bytes in-container for the
+  published formats (P6 PPM, RIFF/PCM WAV) -- the seam where PIL/libav
+  would plug in for other containers.  ``MediaFeatureExtractor``,
+  ``MediaResizer`` and ``MediaAHasher`` likewise transform actual pixel
+  / PCM buffers (thumbnail sums, nearest-neighbor resample to re-emitted
+  P6 bytes, average-hash).  No stub branch remains: malformed payloads
+  set ``parse_ok=False`` instead of raising -- errors are data.  The
+  Ray-side plumbing -- schema, actor signature, small-batch sizing for
+  large binary payloads -- is real and tested.
 """
 
 from __future__ import annotations
@@ -275,25 +279,78 @@ def media_features(assets_path: str, concurrency: int | None = None) -> rd.Datas
 
 
 class MediaResizer:
-    """Actor-pool resize stage (stub): clamps decoded dimensions into a
-    target box preserving aspect ratio with integer arithmetic (the real
-    implementation would transform pixel buffers; the metadata math and
-    pipeline plumbing are identical)."""
+    """Actor-pool resize stage.
+
+    Two modes, same aspect-preserving integer box clamp
+    (``new = dim * max_side // max(w, h)`` when the longest side exceeds
+    the box):
+
+    * ``fake=True`` (metadata-only plumbing): batches carry decoded
+      ``width``/``height`` columns; only the target dimensions are
+      computed -- the shape used when payloads live in a remote blob
+      store and only the catalog is being planned.
+    * ``fake=False`` (REAL pixel transform, codec-free): batches carry
+      ``media_ref``/``payload``; each P6 PPM payload is decoded
+      (``decode_ppm``), resampled to the target box with the same
+      nearest-neighbor index gather the aHash thumbnailer uses
+      (``px[np.ix_(ys, xs)]``), and re-emitted as a valid P6 PPM byte
+      string plus dimensions.  Non-PPM / malformed payloads pass
+      through with ``parse_ok=False`` (errors are data, M13)."""
 
     def __init__(self, max_side: int = 96, fake: bool = True):
         self.max_side = max_side
         self.fake = fake
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        if not self.fake:
-            raise NotImplementedError("real resize requires an image codec library")
-        w = df["width"].to_numpy()
-        h = df["height"].to_numpy()
+    def _target(self, w, h):
         side = np.maximum(w, h)
-        # scale numerator/denominator kept integer: new = dim*max_side//side
         nw = np.where(side > self.max_side, w * self.max_side // side, w)
         nh = np.where(side > self.max_side, h * self.max_side // side, h)
-        return df.assign(resized_w=nw.astype("int64"), resized_h=nh.astype("int64"))
+        return nw, nh
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if self.fake:
+            w = df["width"].to_numpy()
+            h = df["height"].to_numpy()
+            nw, nh = self._target(w, h)
+            return df.assign(
+                resized_w=nw.astype("int64"), resized_h=nh.astype("int64")
+            )
+        refs: list[str] = []
+        oks: list[bool] = []
+        ws: list[int] = []
+        hs: list[int] = []
+        payloads: list[bytes] = []
+        for ref, payload in zip(df["media_ref"], df["payload"]):
+            b = bytes(payload) if payload is not None else b""
+            dims = decode_ppm(b)
+            refs.append(ref)
+            if dims is None:
+                oks.append(False)
+                ws.append(0)
+                hs.append(0)
+                payloads.append(b"")
+                continue
+            w, h = dims
+            nw, nh = self._target(np.int64(w), np.int64(h))
+            nw, nh = int(nw), int(nh)
+            m = _PPM_HDR.match(b)
+            px = np.frombuffer(b, dtype=np.uint8, offset=m.end()).reshape(h, w, 3)
+            ys = (np.arange(nh) * h) // nh
+            xs = (np.arange(nw) * w) // nw
+            resized = np.ascontiguousarray(px[np.ix_(ys, xs)])
+            oks.append(True)
+            ws.append(nw)
+            hs.append(nh)
+            payloads.append(b"P6\n%d %d\n255\n" % (nw, nh) + resized.tobytes())
+        return pd.DataFrame(
+            {
+                "media_ref": pd.Series(refs, dtype="object"),
+                "parse_ok": pd.Series(oks, dtype="bool"),
+                "resized_w": pd.Series(ws, dtype="int64"),
+                "resized_h": pd.Series(hs, dtype="int64"),
+                "payload": pd.Series(payloads, dtype="object"),
+            }
+        )
 
 
 class FrameSampler:

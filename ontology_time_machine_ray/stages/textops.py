@@ -1366,8 +1366,20 @@ def bm25_topk(
         score = np.zeros(len(df), dtype="int64")
         n_hits = np.zeros(len(df), dtype="int64")
         den_doc = 3 * tot + 9 * dl * n_corpus  # dl-dependent denominator part
+        # one explode per batch; per term the tf column is a vectorized
+        # string compare + level-0 groupby sum (no per-row Python)
+        flat = toks.explode().dropna()
         for t in q:
-            tf = toks.map(lambda ts, t=t: ts.count(t)).to_numpy(dtype="int64")
+            if len(flat):
+                tf = (
+                    (flat == t)
+                    .groupby(level=0)
+                    .sum()
+                    .reindex(df.index, fill_value=0)
+                    .to_numpy(dtype="int64")
+                )
+            else:
+                tf = np.zeros(len(df), dtype="int64")
             dfq = df_by_term[t]
             # overflow bound computed in PYTHON ints BEFORE the numpy
             # multiply: int64 wraps silently, so a post-hoc check on the

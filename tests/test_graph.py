@@ -278,6 +278,60 @@ def test_label_propagation_majority_and_ties(ray_session, monkeypatch):
     assert dist == out2
 
 
+def test_label_propagation_convergence_detected(ray_session, monkeypatch):
+    """``rounds`` is a cap with changed-count convergence: on a graph
+    where 2 rounds is NOT enough (a long path -- labels move one hop per
+    round), a large cap must land on the true fixpoint, equal to a
+    Python replay run to convergence, and the early-exit must make a
+    huge cap exactly as correct as the minimal sufficient one.  Both the
+    driver fast path and the forced distributed path."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages import graph
+    from ontology_time_machine_ray.stages.graph import label_propagation
+
+    # path n0-n1-...-n7: the min label creeps rightward one hop per round
+    nodes = [f"n{i}" for i in range(8)]
+    edges = pd.DataFrame({"a": nodes[:-1], "b": nodes[1:]})
+
+    def replay(rounds_cap: int) -> dict:
+        und = pd.concat(
+            [edges, edges.rename(columns={"a": "b", "b": "a"})],
+            ignore_index=True,
+        )
+        lab = {n: n for n in nodes}
+        for _ in range(rounds_cap):
+            new = {}
+            for node, sub in und.groupby("a"):
+                votes = sub["b"].map(lab).value_counts()
+                new[node] = votes[votes == votes.max()].index.min()
+            if new == lab:
+                break
+            lab = new
+        return lab
+
+    fix = replay(100)
+    assert fix != replay(2)  # 2 rounds genuinely insufficient here
+
+    got = (
+        label_propagation(rd.from_pandas(edges), rounds=50)
+        .to_pandas()
+        .set_index("node")["label"]
+        .to_dict()
+    )
+    assert got == fix
+
+    monkeypatch.setattr(graph, "SMALL_EDGES_LIMIT", 0)
+    dist = (
+        label_propagation(rd.from_pandas(edges), rounds=50)
+        .to_pandas()
+        .set_index("node")["label"]
+        .to_dict()
+    )
+    assert dist == fix
+
+
 def test_bgp_match_hand_graph(ray_session):
     """BGP matcher over a hand graph: constants filter, shared variables
     join, repeated variables force in-pattern equality, and disconnected

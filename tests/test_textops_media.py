@@ -163,6 +163,49 @@ def test_media_resizer_bounds():
     assert out["resized_h"].tolist() == [48, 80]
 
 
+def test_media_resizer_real_pixels():
+    """fake=False transforms actual PPM pixel buffers: the output is a
+    valid P6 payload at the clamped dimensions whose pixels are the
+    nearest-neighbor gather of the source; small images pass through at
+    original size byte-identically; malformed payloads emit
+    parse_ok=False instead of raising."""
+    import numpy as np
+    import pandas as pd
+
+    from ontology_time_machine_ray.stages.media import MediaResizer, decode_ppm
+
+    # 8x4 image with a distinct value per pixel
+    w, h = 8, 4
+    px = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    big = b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+    small_px = np.full((2, 2, 3), 7, dtype=np.uint8)
+    small = b"P6\n2 2\n255\n" + small_px.tobytes()
+    df = pd.DataFrame(
+        {
+            "media_ref": ["a.ppm", "b.ppm", "c.ppm"],
+            "payload": [big, small, b"NOT A PPM"],
+        }
+    )
+    out = MediaResizer(max_side=4, fake=False)(df).set_index("media_ref")
+
+    assert out.loc["a.ppm", "parse_ok"]
+    assert (out.loc["a.ppm", "resized_w"], out.loc["a.ppm", "resized_h"]) == (4, 2)
+    rp = out.loc["a.ppm", "payload"]
+    assert decode_ppm(rp) == (4, 2)  # output is itself a valid P6 PPM
+    hdr_end = rp.index(b"255\n") + 4
+    got_px = np.frombuffer(rp, dtype=np.uint8, offset=hdr_end).reshape(2, 4, 3)
+    ys = (np.arange(2) * h) // 2
+    xs = (np.arange(4) * w) // 4
+    assert (got_px == px[np.ix_(ys, xs)]).all()
+
+    # under the box: identity, payload byte-identical
+    assert out.loc["b.ppm", "parse_ok"]
+    assert out.loc["b.ppm", "payload"] == small
+
+    assert not out.loc["c.ppm", "parse_ok"]
+    assert out.loc["c.ppm", "payload"] == b""
+
+
 def test_winnow_shared_run_guarantee(ray_session, tmp_path):
     """Winnowing property: two docs sharing a run of >= w + k - 1 tokens
     must share at least one fingerprint; disjoint docs share none."""
