@@ -267,7 +267,11 @@ def run_bench() -> dict:
         from ontology_time_machine_ray.stages.textops import dedup_substrings
 
         timed("dedup_substrings", lambda: dedup_substrings(SF_DIR))
+        from ontology_time_machine_ray.stages.bpe import text_bpe_encode
+
+        timed("text_bpe_encode", lambda: text_bpe_encode(SF_DIR))
         timed("ann_pq", lambda: similarity.ann_pq(SF_DIR))
+        timed("ann_ivfpq", lambda: similarity.ann_ivfpq(SF_DIR))
         timed("rel_q3_shipping", lambda: relational.q3_shipping(SF_DIR))
         from ontology_time_machine_ray.pipelines.queries import quality_top_pct
 
