@@ -51,7 +51,7 @@ GENERATOR_VERSION = "otm-fixtures-v2"
 #: embeddings_aug/client_auth).  Bumping this rewrites only those tables
 #: (<1 s) and leaves the expensive documents corpus untouched -- bench
 #: corpora at x800/x1600 stay valid across small-table semantic changes.
-SMALL_TABLES_VERSION = "small-v10"
+SMALL_TABLES_VERSION = "small-v11"
 FIXTURE_ROOT = "/tmp/otm_fixtures"
 
 N_INDEX = 48  # in-index ontologies O000..O047
@@ -264,8 +264,12 @@ class FixturePaths:
     def bpe_vocab(self) -> str:
         return os.path.join(self.root, "bpe_vocab.parquet")
 
+    @property
+    def bpe_merges(self) -> str:
+        return os.path.join(self.root, "bpe_merges.parquet")
 
-def build_bpe_vocab(sf_dir: str) -> "pa.Table":
+
+def build_bpe_vocab(sf_dir: str) -> "tuple[pa.Table, pa.Table]":
     """Scalar-reference BPE lookup: (word, n_tokens, sum_ids) for every
     distinct pretoken of ``sf_dir``'s documents table, computed by a
     fully independent ROW-AT-A-TIME implementation of the same BPE
@@ -275,7 +279,10 @@ def build_bpe_vocab(sf_dir: str) -> "pa.Table":
     counting, merge application and encoding are re-written here as
     plain Python loops).  The DuckDB oracle joins this table; matching
     it certifies the engine's distributed frequency aggregation,
-    vectorized trainer and batched rank-order encoder."""
+    vectorized trainer and batched rank-order encoder.  Returns the
+    (vocab, merges) pair -- the merge table is its own fixture so the
+    ``text_bpe_merges`` oracle compares the two TRAINERS rule by rule,
+    not just their downstream encodes."""
     import re
     from collections import Counter
 
@@ -349,13 +356,21 @@ def build_bpe_vocab(sf_dir: str) -> "pa.Table":
         out_w.append(w)
         out_n.append(len(syms))
         out_s.append(sum(ids.get(s, -1) for s in syms))
-    return pa.table(
+    vocab = pa.table(
         {
             "word": pa.array(out_w, type=pa.string()),
             "n_tokens": pa.array(out_n, type=pa.int64()),
             "sum_ids": pa.array(out_s, type=pa.int64()),
         }
     )
+    merge_tbl = pa.table(
+        {
+            "rank": pa.array(range(len(merges)), type=pa.int64()),
+            "lhs": pa.array([a for a, _ in merges], type=pa.string()),
+            "rhs": pa.array([b for _, b in merges], type=pa.string()),
+        }
+    )
+    return vocab, merge_tbl
 
 
 def build_ontology_index() -> pa.Table:
@@ -865,7 +880,9 @@ def _write_small_tables(paths: FixturePaths, sf_dir: str) -> None:
     pq.write_table(build_embeddings_aug(sf_dir), paths.embeddings_aug)
     pq.write_table(build_client_auth(), paths.client_auth)
     pq.write_table(build_documents_pii(sf_dir), paths.documents_pii)
-    pq.write_table(build_bpe_vocab(sf_dir), paths.bpe_vocab)
+    bpe_vocab, bpe_merges = build_bpe_vocab(sf_dir)
+    pq.write_table(bpe_vocab, paths.bpe_vocab)
+    pq.write_table(bpe_merges, paths.bpe_merges)
 
 
 def _marker_value() -> str:

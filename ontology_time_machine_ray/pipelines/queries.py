@@ -2081,6 +2081,14 @@ def _text_bpe_encode(sf_dir: str):
     return text_bpe_encode(sf_dir)
 
 
+def _text_bpe_merges(sf_dir: str):
+    """The trained merge table (trainer-level oracle: the scalar-reference
+    trainer's fixture rows)."""
+    from ontology_time_machine_ray.stages.bpe import text_bpe_merges
+
+    return text_bpe_merges(sf_dir)
+
+
 def _pack_sequences_bpe(sf_dir: str):
     """Sequence packing under REAL BPE token counts: the same prefix-sum
     plan as pack_sequences with the counts side swapped to the trained
@@ -2266,6 +2274,7 @@ QUERIES = {
     "pack_sequences": _pack_sequences,
     "pack_sequences_bpe": _pack_sequences_bpe,
     "text_bpe_encode": _text_bpe_encode,
+    "text_bpe_merges": _text_bpe_merges,
     "shuffle_index": _shuffle_index,
     "chunk_documents": _chunk_documents,
     "chunk_pack": _chunk_pack,
@@ -2471,6 +2480,10 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         textops.SUB_N, textops.SUB_MIN_LEN
     )
     out["text_bpe_encode"] = sql_oracles.bpe_encode_sql(paths.root)
+    out["text_bpe_merges"] = (
+        "SELECT rank, lhs, rhs "
+        f"FROM read_parquet('{paths.root}/bpe_merges.parquet') ORDER BY rank"
+    )
     out["pack_sequences_bpe"] = sql_oracles.pack_sequences_bpe_sql(
         paths.root, 2048
     )

@@ -322,6 +322,23 @@ def text_bpe_encode(sf_dir: str) -> rd.Dataset:
     return bpe_encode(sf_dir)
 
 
+def text_bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """The learned merge table itself, (rank, lhs, rhs): the trainer's
+    DIRECT observable.  Its oracle reads the scalar-reference trainer's
+    fixture output, so the distributed frequency aggregation + vectorized
+    pair-merge loop are checked rule by rule against the row-at-a-time
+    Sennrich implementation -- not just through their downstream
+    encodes."""
+    merges, _ = bpe_model(sf_dir)
+    return pd.DataFrame(
+        {
+            "rank": pd.Series(range(len(merges)), dtype="int64"),
+            "lhs": pd.Series([a for a, _ in merges], dtype="object"),
+            "rhs": pd.Series([b for _, b in merges], dtype="object"),
+        }
+    )
+
+
 def bpe_token_counts(
     sf_dir: str, docs_ds: rd.Dataset | None = None
 ) -> rd.Dataset:
