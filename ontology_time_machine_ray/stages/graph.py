@@ -637,7 +637,7 @@ def label_propagation(edges_ds, rounds: int = 2) -> rd.Dataset:
         ).drop_duplicates("a")
         return pd.DataFrame({"node": c["a"], "label": c["label"]})
 
-    for _ in range(rounds):
+    for r in range(rounds):
         nb = bucketed_join(
             und,
             labels.map_batches(
@@ -652,6 +652,9 @@ def label_propagation(edges_ds, rounds: int = 2) -> rd.Dataset:
             ["a"],
             vote,
         ).materialize()
+        if r == rounds - 1:  # last round: a probe could not save anything
+            labels = new_labels
+            break
         # changed-count convergence probe: one node-bucketed join of the
         # two VOCABULARY-scale labellings, one tiny count per block to
         # the driver -- never the corpus
