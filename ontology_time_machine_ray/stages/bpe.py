@@ -185,11 +185,21 @@ def word_frequencies(
         docs.map_batches(counts, batch_format="pandas"),
         ["word"],
         {"freq": ("freq", "sum")},
+    )
+    # partial top-K per block BEFORE the driver sees anything: the global
+    # top-K is a subset of the union of per-block top-Ks, so the driver
+    # merge is bounded by blocks x max_words even when the corpus
+    # vocabulary is arbitrarily large
+    topk = agg.map_batches(
+        lambda df: df.sort_values(
+            ["freq", "word"], ascending=[False, True], kind="stable"
+        ).head(max_words),
+        batch_format="pandas",
     ).to_pandas()
-    agg = agg.sort_values(
+    topk = topk.sort_values(
         ["freq", "word"], ascending=[False, True], kind="stable"
     ).head(max_words)
-    return agg.reset_index(drop=True)
+    return topk.reset_index(drop=True)
 
 
 def bpe_model(
