@@ -652,9 +652,14 @@ def label_propagation(edges_ds, rounds: int = 2) -> rd.Dataset:
             ["a"],
             vote,
         ).materialize()
-        if r == rounds - 1:  # last round: a probe could not save anything
+        if r == rounds - 1 or r == 0:
+            # last round: a probe could not save anything.  First round:
+            # convergence is impossible (labels start as self-ids and a
+            # node's vote comes only from its neighbours, so every new
+            # label is some neighbour's id != the node's own) -- for the
+            # common rounds=2 the probe therefore never runs at all.
             labels = new_labels
-            break
+            continue
         # changed-count convergence probe: one node-bucketed join of the
         # two VOCABULARY-scale labellings, one tiny count per block to
         # the driver -- never the corpus
