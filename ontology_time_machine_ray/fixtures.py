@@ -51,7 +51,7 @@ GENERATOR_VERSION = "otm-fixtures-v2"
 #: embeddings_aug/client_auth).  Bumping this rewrites only those tables
 #: (<1 s) and leaves the expensive documents corpus untouched -- bench
 #: corpora at x800/x1600 stay valid across small-table semantic changes.
-SMALL_TABLES_VERSION = "small-v11"
+SMALL_TABLES_VERSION = "small-v12"
 FIXTURE_ROOT = "/tmp/otm_fixtures"
 
 N_INDEX = 48  # in-index ontologies O000..O047
@@ -268,6 +268,14 @@ class FixturePaths:
     def bpe_merges(self) -> str:
         return os.path.join(self.root, "bpe_merges.parquet")
 
+    @property
+    def documents_jsonl(self) -> str:
+        return os.path.join(self.root, "documents.jsonl")
+
+    @property
+    def documents_csv(self) -> str:
+        return os.path.join(self.root, "documents.csv")
+
 
 def build_bpe_vocab(sf_dir: str) -> "tuple[pa.Table, pa.Table]":
     """Scalar-reference BPE lookup: (word, n_tokens, sum_ids) for every
@@ -371,6 +379,25 @@ def build_bpe_vocab(sf_dir: str) -> "tuple[pa.Table, pa.Table]":
         }
     )
     return vocab, merge_tbl
+
+
+def write_documents_alt_formats(sf_dir: str, paths: "FixturePaths") -> None:
+    """The documents table re-serialized as JSON-Lines and RFC-4180 CSV:
+    the alternate SOURCE FORMATS the ``docs_jsonl_stats`` /
+    ``docs_csv_stats`` registry queries ingest through
+    ``ray.data.read_json`` / ``read_csv``, with DuckDB's
+    ``read_json_auto`` / ``read_csv_auto`` as the oracle-side readers --
+    the comparison certifies the whole ingest path, not just the
+    transform."""
+    import pandas as pd
+
+    docs = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    docs = docs.assign(text=docs["text"].fillna(""))
+    docs.to_json(paths.documents_jsonl, orient="records", lines=True,
+                 force_ascii=False)
+    docs.to_csv(paths.documents_csv, index=False)
 
 
 def build_ontology_index() -> pa.Table:
@@ -883,6 +910,7 @@ def _write_small_tables(paths: FixturePaths, sf_dir: str) -> None:
     bpe_vocab, bpe_merges = build_bpe_vocab(sf_dir)
     pq.write_table(bpe_vocab, paths.bpe_vocab)
     pq.write_table(bpe_merges, paths.bpe_merges)
+    write_documents_alt_formats(sf_dir, paths)
 
 
 def _marker_value() -> str:

@@ -1867,6 +1867,42 @@ def media_phash(sf_dir: str):
 
 
 # --------------------------- training-data ops ------------------------ #
+def _alt_format_stats(ds):
+    """(doc_id, n_chars, n_tokens) from an alternate-format read -- the
+    shared transform behind docs_jsonl_stats / docs_csv_stats."""
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].astype("string").fillna("")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_chars": texts.str.len().to_numpy("int64"),
+                "n_tokens": texts.str.count(r"\S+").to_numpy("int64"),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+def docs_jsonl_stats(sf_dir: str):
+    """Documents ingested from JSON-Lines (``ray.data.read_json``) -- the
+    source-format coverage query.  Oracle reads the same bytes with
+    DuckDB's ``read_json_auto``, so the whole ingest path is compared,
+    not just the transform."""
+    import ray.data as rd
+
+    paths = ensure_fixtures(sf_dir)
+    return _alt_format_stats(rd.read_json(paths.documents_jsonl))
+
+
+def docs_csv_stats(sf_dir: str):
+    """Documents ingested from RFC-4180 CSV (``ray.data.read_csv`` --
+    Arrow CSV, quoted fields) vs DuckDB ``read_csv_auto``."""
+    import ray.data as rd
+
+    paths = ensure_fixtures(sf_dir)
+    return _alt_format_stats(rd.read_csv(paths.documents_csv))
+
+
 def pii_scrub(sf_dir: str):
     """PII redaction over the planted-PII documents fixture (the raw
     synthetic corpus contains no emails/phones/IPs, so the fixture keeps
@@ -2285,6 +2321,8 @@ QUERIES = {
     "text_lm_coverage": textops.lm_coverage,
     "text_top_terms_sketch": _top_terms_sketch,
     "pii_scrub": pii_scrub,
+    "docs_jsonl_stats": docs_jsonl_stats,
+    "docs_csv_stats": docs_csv_stats,
     "inverted_index": inverted_index,
     "tfidf_topk": tfidf_topk,
     "text_bm25": text_bm25,
@@ -2465,6 +2503,12 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "GROUP BY b.query_id"
     )
     out["pii_scrub"] = sql_oracles.pii_scrub_sql(paths.root)
+    out["docs_jsonl_stats"] = sql_oracles.alt_format_stats_sql(
+        f"read_json_auto('{paths.root}/documents.jsonl')"
+    )
+    out["docs_csv_stats"] = sql_oracles.alt_format_stats_sql(
+        f"read_csv_auto('{paths.root}/documents.csv')"
+    )
     out["inverted_index"] = sql_oracles.inverted_index_sql(
         INVINDEX_MIN_DF, INVINDEX_MAX_DF
     )

@@ -2404,6 +2404,17 @@ SELECT doc_id, n_tokens,
 FROM c"""
 
 
+def alt_format_stats_sql(reader_expr: str) -> str:
+    """``docs_jsonl_stats`` / ``docs_csv_stats``: per-doc character and
+    whitespace-token counts over DuckDB's own reader for the alternate
+    serialization -- a reader-vs-reader comparison with Ray Data."""
+    return f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, COALESCE(text, '') AS text FROM {reader_expr})"""
+
+
 def dedup_segments_sql(seg_w: int) -> str:
     """``dedup_segments`` restatement: same lowercase ``\\S+`` tokens, the
     same non-overlapping ``seg_w``-token segments keyed by the 52-bit md5
