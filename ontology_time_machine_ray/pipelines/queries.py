@@ -2189,6 +2189,16 @@ def _corpus_mix(sf_dir: str):
     return corpus_mix(sf_dir)
 
 
+def _distinct_hll(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog distinct estimate (stages/sketch.py): register merge
+    is a commutative monoid like KMV, so each block ships 1 KB; the
+    oracle replays registers, the dyadic harmonic sum (HUGEINT) and the
+    frozen fixed-point alpha -- estimator-vs-estimator, bit exact."""
+    from ontology_time_machine_ray.stages.sketch import distinct_customers_hll
+
+    return distinct_customers_hll(sf_dir)
+
+
 def _distinct_sketch(sf_dir: str) -> pd.DataFrame:
     """KMV cardinality sketch (see stages/sketch.py): exact below
     saturation -> checkable against count(DISTINCT) at test scale; the
@@ -2292,6 +2302,7 @@ QUERIES = {
     "events_window_funcs": relational.events_window_funcs,
     "rel_distinct_customers": relational.distinct_customers,
     "rel_distinct_sketch": _distinct_sketch,
+    "rel_distinct_hll": _distinct_hll,
     "sample_docs_hash": relational.sample_docs_hash,
     "sample_stratified": textops.sample_stratified,
     "sample_weighted": textops.sample_weighted,
@@ -2503,6 +2514,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "GROUP BY b.query_id"
     )
     out["pii_scrub"] = sql_oracles.pii_scrub_sql(paths.root)
+    from ontology_time_machine_ray.stages.sketch import HLL_ALPHA_E6, HLL_P
+
+    out["rel_distinct_hll"] = sql_oracles.distinct_hll_sql(HLL_P, HLL_ALPHA_E6)
     out["docs_jsonl_stats"] = sql_oracles.alt_format_stats_sql(
         f"read_json_auto('{paths.root}/documents.jsonl')"
     )

@@ -2404,6 +2404,46 @@ SELECT doc_id, n_tokens,
 FROM c"""
 
 
+def distinct_hll_sql(p: int, alpha_e6: int) -> str:
+    """``rel_distinct_hll``: the HLL registers and raw estimator replayed
+    exactly -- engine-standard 64-bit md5 hash, top-``p``-bit register,
+    rho via ``bin()`` length (string bit-length: exact, unlike a float
+    log2), the dyadic harmonic sum as HUGEINT, the frozen e6 alpha, two
+    floor divisions."""
+    m = 1 << p
+    width = 64 - p
+    scale = width + 1
+    return f"""
+WITH h AS (
+  SELECT DISTINCT
+    CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 16))
+         AS UBIGINT) AS h
+  FROM orders),
+r AS (
+  SELECT CAST(h >> {width} AS BIGINT) AS reg,
+    CASE WHEN (h & CAST((1::BIGINT << {width}) - 1 AS UBIGINT)) = 0
+         THEN {scale}
+         ELSE {width}
+              - length(bin(CAST(h & CAST((1::BIGINT << {width}) - 1 AS UBIGINT)
+                                AS BIGINT))) + 1
+    END AS rho
+  FROM h),
+rm AS (SELECT reg, MAX(rho) AS rho FROM r GROUP BY reg),
+agg AS (
+  SELECT COUNT(*) AS n_regs, MAX(rho) AS max_rho,
+         SUM(CAST(1::BIGINT << ({scale} - rho) AS HUGEINT)) AS s_present
+  FROM rm)
+SELECT CAST({m} AS BIGINT) AS m,
+  CAST({m} - n_regs AS BIGINT) AS zeros,
+  CAST(max_rho AS BIGINT) AS max_rho,
+  CAST(CAST({alpha_e6} AS HUGEINT) * {m} * {m}
+         * CAST(1::BIGINT << {scale} AS HUGEINT)
+       // (s_present + CAST({m} - n_regs AS HUGEINT)
+                        * CAST(1::BIGINT << {scale} AS HUGEINT))
+       // 1000000 AS BIGINT) AS estimate
+FROM agg"""
+
+
 def alt_format_stats_sql(reader_expr: str) -> str:
     """``docs_jsonl_stats`` / ``docs_csv_stats``: per-doc character and
     whitespace-token counts over DuckDB's own reader for the alternate

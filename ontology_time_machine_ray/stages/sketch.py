@@ -25,7 +25,10 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from ontology_time_machine_ray.functions.hashing import stable_hash64_series
+from ontology_time_machine_ray.functions.hashing import (
+    md5_hash64_series,
+    stable_hash64_series,
+)
 from ontology_time_machine_ray.sources.readers import sized_read_parquet
 
 
@@ -161,6 +164,117 @@ def top_terms_sketch(sf_dir: str, k_counters: int = 4096, top: int = 20) -> pd.D
     terms = docs.map_batches(explode_terms, batch_format="pandas")
     out = heavy_hitters_sketch(terms, "term", k_counters, top)
     return out.rename(columns={"v": "term", "n": "n_occurrences"})
+
+
+# --------------------------------------------------------------------- #
+# HyperLogLog (mergeable register sketch; Flajolet et al. 2007)          #
+# --------------------------------------------------------------------- #
+#: register-index bits: m = 2^HLL_P = 1024 registers (4 KB partial;
+#: ~1.04/sqrt(m) ~ 3.3% relative standard error).
+HLL_P = 10
+
+#: alpha_m for m=1024 (0.7213 / (1 + 1.079/m)) in e6 fixed point -- a
+#: FROZEN integer constant so both engines compute the identical
+#: estimator with no float in sight.
+HLL_ALPHA_E6 = 720541
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length of uint64 values (64 shift passes --
+    no float conversion, so values above 2^53 can never round to a
+    neighbouring power of two the way a log2-based version silently
+    would)."""
+    bl = np.zeros(len(x), dtype=np.int64)
+    s = x.copy()
+    while s.any():
+        bl[s > 0] += 1
+        s = s >> np.uint64(1)
+    return bl
+
+
+def hll_partial(values: pd.Series, p: int = HLL_P) -> np.ndarray:
+    """Per-block register array (uint8[2^p]): max over the block of
+    rho(h) per register, with h the engine-standard 64-bit md5 hash
+    (top ``p`` bits = register, rho = leading-zero count of the
+    remaining ``64-p`` bits + 1).  Partials merge by elementwise max --
+    the same commutative-monoid shape as KMV/Bloom, so every block
+    ships exactly 2^p bytes to the driver."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    vals = values.dropna().astype(str).drop_duplicates()
+    if not len(vals):
+        return regs
+    h = md5_hash64_series(vals)
+    reg = (h >> np.uint64(64 - p)).astype(np.int64)
+    width = 64 - p
+    suffix = h & np.uint64((1 << width) - 1)
+    rho = (width - _bit_length_u64(suffix) + 1).astype(np.uint8)
+    np.maximum.at(regs, reg, rho)
+    return regs
+
+
+def hll_merge(partials: list[np.ndarray]) -> np.ndarray:
+    return np.maximum.reduce(partials) if partials else np.zeros(1 << HLL_P, np.uint8)
+
+
+def hll_estimate(regs: np.ndarray, p: int = HLL_P) -> dict:
+    """The raw HLL estimator in EXACT integer arithmetic: the harmonic
+    sum of 2^-rho_j is a dyadic rational, so it is carried as the
+    integer Σ 2^(S - rho_j) with S = 64-p+1 (arbitrary-precision Python
+    int; the SQL replay uses HUGEINT), and the alpha_m multiplier is
+    the frozen e6 constant -- both engines floor-divide to the same
+    BIGINT.  No small-range/large-range corrections: the exact-below-
+    saturation counter in this engine is the KMV sketch; this operator
+    is the bounded-memory register-merge shape, and its oracle replays
+    the estimator, not a true count."""
+    m = 1 << p
+    scale = 64 - p + 1
+    rho = regs.astype(np.int64).tolist()  # PYTHON ints: the harmonic sum
+    # reaches m * 2^scale = 2^65, past int64 -- a numpy accumulator here
+    # wraps silently
+    s = sum(1 << (scale - r) for r in rho)
+    est = (HLL_ALPHA_E6 * m * m * (1 << scale)) // s // 1_000_000
+    return {
+        "m": m,
+        "zeros": int((regs == 0).sum()),
+        "max_rho": max(rho) if rho else 0,
+        "estimate": int(est),
+    }
+
+
+def distinct_hll(ds: "rd.Dataset", column: str, p: int = HLL_P) -> dict:
+    """Streaming distinct-count estimate of ``ds[column]`` via HLL."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"regs": [hll_partial(df[column], p)]})
+
+    parts = (
+        ds.select_columns([column])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()["regs"]
+        .tolist()
+    )
+    return hll_estimate(hll_merge([np.asarray(r, dtype=np.uint8) for r in parts]), p)
+
+
+def distinct_customers_hll(sf_dir: str) -> pd.DataFrame:
+    """Query entry: the HLL estimate over order customers, one row
+    (m, zeros, max_rho, estimate).  The oracle replays registers,
+    dyadic harmonic sum and fixed-point alpha in SQL bit-for-bit."""
+    import os
+
+    ds = sized_read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    )
+    r = distinct_hll(ds, "o_custkey")
+    return pd.DataFrame(
+        {
+            "m": pd.Series([r["m"]], dtype="int64"),
+            "zeros": pd.Series([r["zeros"]], dtype="int64"),
+            "max_rho": pd.Series([r["max_rho"]], dtype="int64"),
+            "estimate": pd.Series([r["estimate"]], dtype="int64"),
+        }
+    )
 
 
 # --------------------------------------------------------------------- #

@@ -139,3 +139,56 @@ def test_quantile_sketch_bounds_and_exactness(ray_session):
         rd.from_pandas(pd.DataFrame({"x": data})), "x", [0.5], k=65_536
     )  # k >= any single Ray block -> unsaturated -> exact
     assert got[0.5] == svals[max(1, int(np.ceil(0.5 * len(svals)))) - 1]
+
+
+def test_hll_accuracy_merge_and_exact_bitlength():
+    """HLL: (a) the raw estimator lands within ~4 sigma (13%) of truth on
+    10k distinct keys at m=1024; (b) merging block partials equals one
+    global partial (commutative monoid); (c) the vectorized bit-length
+    helper is exact at the 2^53 float boundary where a log2-based
+    version rounds to the neighbouring power of two."""
+    import numpy as np
+    import pandas as pd
+
+    from ontology_time_machine_ray.stages.sketch import (
+        _bit_length_u64,
+        hll_estimate,
+        hll_merge,
+        hll_partial,
+    )
+
+    vals = pd.Series([f"key-{i}" for i in range(10_000)])
+    est = hll_estimate(hll_partial(vals))
+    assert abs(est["estimate"] - 10_000) / 10_000 < 0.13, est
+    assert est["m"] == 1024
+
+    parts = [hll_partial(vals[i::4]) for i in range(4)]
+    assert (hll_merge(parts) == hll_partial(vals)).all()
+
+    x = np.array(
+        [0, 1, 2**53 - 1, 2**53, 2**53 + 1, 2**54 - 1, 2**63], dtype=np.uint64
+    )
+    want = [0, 1, 53, 54, 54, 54, 64]
+    assert _bit_length_u64(x).tolist() == want
+
+
+def test_hll_registers_match_scalar_replay():
+    """Register contents vs a per-value Python replay of the same md5
+    hash split (top-p register, leading-zero rho)."""
+    import numpy as np
+    import pandas as pd
+
+    from ontology_time_machine_ray.functions.hashing import md5_hash64_series
+    from ontology_time_machine_ray.stages.sketch import HLL_P, hll_partial
+
+    vals = pd.Series([f"v{i}" for i in range(500)])
+    got = hll_partial(vals)
+    m = 1 << HLL_P
+    width = 64 - HLL_P
+    want = np.zeros(m, dtype=np.uint8)
+    for h in md5_hash64_series(vals).tolist():
+        reg = h >> width
+        suffix = h & ((1 << width) - 1)
+        rho = width - suffix.bit_length() + 1
+        want[reg] = max(want[reg], rho)
+    assert (got == want).all()
