@@ -2189,6 +2189,15 @@ def _corpus_mix(sf_dir: str):
     return corpus_mix(sf_dir)
 
 
+def _events_users_kmv(sf_dir: str):
+    """Grouped KMV: distinct users per hour, sketch composed inside the
+    groupby (exact below per-group saturation -> COUNT(DISTINCT)
+    oracle)."""
+    from ontology_time_machine_ray.stages.sketch import events_users_kmv
+
+    return events_users_kmv(sf_dir)
+
+
 def _distinct_hll(sf_dir: str) -> pd.DataFrame:
     """HyperLogLog distinct estimate (stages/sketch.py): register merge
     is a commutative monoid like KMV, so each block ships 1 KB; the
@@ -2303,6 +2312,7 @@ QUERIES = {
     "rel_distinct_customers": relational.distinct_customers,
     "rel_distinct_sketch": _distinct_sketch,
     "rel_distinct_hll": _distinct_hll,
+    "events_users_kmv": _events_users_kmv,
     "sample_docs_hash": relational.sample_docs_hash,
     "sample_stratified": textops.sample_stratified,
     "sample_weighted": textops.sample_weighted,
@@ -2517,6 +2527,11 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     from ontology_time_machine_ray.stages.sketch import HLL_ALPHA_E6, HLL_P
 
     out["rel_distinct_hll"] = sql_oracles.distinct_hll_sql(HLL_P, HLL_ALPHA_E6)
+    out["events_users_kmv"] = (
+        "SELECT date_trunc('hour', ts) AS hour,\n"
+        "  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct\n"
+        "FROM events GROUP BY 1"
+    )
     out["docs_jsonl_stats"] = sql_oracles.alt_format_stats_sql(
         f"read_json_auto('{paths.root}/documents.jsonl')"
     )

@@ -166,6 +166,55 @@ def top_terms_sketch(sf_dir: str, k_counters: int = 4096, top: int = 20) -> pd.D
     return out.rename(columns={"v": "term", "n": "n_occurrences"})
 
 
+def events_users_kmv(sf_dir: str, k: int = 1024) -> rd.Dataset:
+    """Distinct users PER HOUR via grouped KMV -- the sketch composed
+    INSIDE a groupby: each batch emits its per-hour bottom-k distinct
+    user hashes (<= groups-in-batch x k rows, never the events), one
+    hour-bucketed exchange co-locates each hour's partials, and the
+    per-hour union-of-bottom-k yields the exact count below saturation
+    (the oracle is plain ``COUNT(DISTINCT)`` per hour) or the KMV
+    estimate above it.  The grain that moves is (hour, hash) -- at
+    100 TB the exchange is bounded by hours x blocks x k, not events."""
+    import os
+
+    ds = sized_read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "hour": df["ts"].dt.floor("h"),
+                "h": md5_hash64_series(df["user_id"].astype(str)),
+            }
+        ).drop_duplicates()
+        # bottom-k per group: the per-batch combiner
+        return out.sort_values(["hour", "h"]).groupby("hour", sort=False).head(k)
+
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply
+
+    sparse = ds.map_batches(partial, batch_format="pandas")
+
+    def estimate(g: pd.DataFrame) -> pd.DataFrame:
+        rows = {"hour": [], "n_distinct": []}
+        for hour, sub in g.groupby("hour", sort=False):
+            hs = np.unique(sub["h"].to_numpy().astype(np.uint64))
+            if len(hs) < k:
+                n = len(hs)  # saturation-free: exact
+            else:
+                n = kmv_estimate(hs[:k], k)
+            rows["hour"].append(hour)
+            rows["n_distinct"].append(n)
+        return pd.DataFrame(
+            {
+                "hour": pd.Series(rows["hour"]),
+                "n_distinct": pd.Series(rows["n_distinct"], dtype="int64"),
+            }
+        )
+
+    return grouped_apply(sparse, ["hour"], estimate)
+
+
 # --------------------------------------------------------------------- #
 # HyperLogLog (mergeable register sketch; Flajolet et al. 2007)          #
 # --------------------------------------------------------------------- #

@@ -192,3 +192,42 @@ def test_hll_registers_match_scalar_replay():
         rho = width - suffix.bit_length() + 1
         want[reg] = max(want[reg], rho)
     assert (got == want).all()
+
+
+def test_events_users_kmv_saturation_paths(ray_session, sf_dir):
+    """Grouped KMV per hour: below saturation the result is the exact
+    per-hour COUNT(DISTINCT); with a tiny k the estimate path engages
+    and stays within the KMV error envelope."""
+    import pandas as pd
+
+    from ontology_time_machine_ray.stages.sketch import events_users_kmv
+
+    got = (
+        events_users_kmv(sf_dir)
+        .to_pandas()
+        .set_index("hour")["n_distinct"]
+        .sort_index()
+    )
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    want = (
+        ev.assign(hour=ev["ts"].dt.floor("h"))
+        .groupby("hour")["user_id"]
+        .nunique()
+        .sort_index()
+    )
+    # unit-normalize the index (Ray round-trips as ns, parquet is us)
+    got.index = got.index.astype("datetime64[us]")
+    want.index = want.index.astype("datetime64[us]")
+    assert got.index.equals(want.index)
+    assert (got == want).all()  # k=1024 >> per-hour users: exact
+
+    est = (
+        events_users_kmv(sf_dir, k=4)
+        .to_pandas()
+        .set_index("hour")["n_distinct"]
+        .sort_index()
+    )
+    est.index = est.index.astype("datetime64[us]")
+    # saturated hours: bounded-error estimate, positive, not insane
+    assert (est > 0).all()
+    assert (est <= want * 6 + 8).all()
