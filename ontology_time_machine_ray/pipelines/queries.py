@@ -2180,6 +2180,15 @@ def _shuffle_index(sf_dir: str):
     return global_shuffle_index(sf_dir)
 
 
+def _corpus_mix_temperature(sf_dir: str):
+    """Temperature (sqrt-rule) corpus mixing with corpus-derived rates
+    (stages/packing.corpus_mix_temperature); the oracle re-derives the
+    same integer rates in SQL."""
+    from ontology_time_machine_ray.stages.packing import corpus_mix_temperature
+
+    return corpus_mix_temperature(sf_dir)
+
+
 def _corpus_mix(sf_dir: str):
     """Weighted corpus mixing to target per-source rates (drop /
     downsample / fractional and integer upsample) -- deterministic
@@ -2336,6 +2345,7 @@ QUERIES = {
     "chunk_documents": _chunk_documents,
     "chunk_pack": _chunk_pack,
     "corpus_mix": _corpus_mix,
+    "corpus_mix_temperature": _corpus_mix_temperature,
     "text_top_terms": textops.top_terms,
     "text_tokens_bpe": textops.tokens_bpe,
     "text_winnow": textops.winnow_fingerprints,
@@ -2607,6 +2617,11 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     from ontology_time_machine_ray.stages.packing import DEFAULT_MIX_E6
 
     out["corpus_mix"] = sql_oracles.corpus_mix_sql(DEFAULT_MIX_E6, "mix1")
+    from ontology_time_machine_ray.stages.packing import MIX_T_CAP_E6
+
+    out["corpus_mix_temperature"] = sql_oracles.corpus_mix_temperature_sql(
+        "mixT", MIX_T_CAP_E6
+    )
     out["kg_store_asof"] = (
         out["kg_triples"] + f"\nWHERE doc_id < '{incremental_split_mid(sf_dir)}'"
     )

@@ -642,6 +642,36 @@ WHERE epoch < rate_e6 // 1000000
       < printf('%06x', CAST(rate_e6 % 1000000 AS BIGINT) * 16777216 // 1000000)"""
 
 
+def corpus_mix_temperature_sql(seed: str, cap_e6: int) -> str:
+    """stages/packing.corpus_mix_temperature: the sqrt-rule rates
+    re-derived in SQL (IEEE sqrt is correctly rounded, so DuckDB's
+    floor(sqrt(n)) equals numpy's bit-for-bit; everything else is
+    integer), then the same epoch expansion + hash-uniform subset as
+    corpus_mix_sql."""
+    return f"""
+WITH nsrc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1),
+wsrc AS (SELECT source, n,
+                CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+         FROM nsrc),
+tot AS (SELECT SUM(n) AS nn, SUM(w) AS ww FROM wsrc),
+rates AS (
+  SELECT source,
+    CAST(LEAST({cap_e6}, 1000000 * t.nn * w.w // (t.ww * w.n)) AS BIGINT)
+      AS rate_e6
+  FROM wsrc w, tot t),
+d AS (
+  SELECT doc_id, documents.source, r.rate_e6,
+         range((r.rate_e6 + 999999) // 1000000) AS eps
+  FROM documents JOIN rates r USING (source)),
+e AS (SELECT doc_id, source, rate_e6, unnest(eps) AS epoch FROM d)
+SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+FROM e
+WHERE epoch < rate_e6 // 1000000
+   OR substr(md5(concat('{seed}:', epoch, ':', doc_id)), 1, 6)
+      < printf('%06x', CAST(rate_e6 % 1000000 AS BIGINT) * 16777216 // 1000000)"""
+
+
 def _walk_step_parts(length: int, walks_per_node: int, seed: str) -> tuple[str, str]:
     """The kg_walks oracle split into (step CTEs, walk-relation UNION
     select) so callers compose the walk relation STRUCTURALLY --

@@ -360,3 +360,67 @@ def corpus_mix(
     else:
         docs_ds = docs_ds.select_columns(["doc_id", "source"])
     return docs_ds.map_batches(mix_batch, batch_format="pandas")
+
+
+#: upsampling cap for temperature mixing (epochs, e6): standard practice
+#: bounds how often a tiny source repeats (UnifiedQA/PaLM-style caps).
+MIX_T_CAP_E6 = 4_000_000
+
+
+def corpus_mix_temperature(
+    sf_dir: str, seed: str = "mixT", docs_ds: rd.Dataset | None = None
+) -> rd.Dataset:
+    """Temperature-weighted corpus mixing, T = 1/2 (the sqrt rule of
+    multilingual/multi-source LM training: sampling probability
+    p_s ∝ n_s^T flattens the source distribution): per-source rates are
+    DERIVED from the corpus instead of hand-specified, then fed through
+    the same deterministic hash-uniform resampler as ``corpus_mix``.
+
+    rate_e6(s) = min(cap, 1e6 * N * w_s // (W * n_s)) with
+    w_s = floor(sqrt(n_s)), N = total docs, W = Σ w_s -- all integer
+    arithmetic except the IEEE-correctly-rounded double sqrt, which
+    numpy and DuckDB compute bit-identically, so the SQL oracle
+    re-derives the identical rates from the same table.
+
+    Scale shape: the rate derivation is one combiner-style counting
+    pass whose output is source-cardinality (tiny); the mix itself is
+    the usual single shuffle-free expansion pass."""
+    import os
+
+    import numpy as np
+
+    from ontology_time_machine_ray.stages.groupagg import grouped_aggregate
+
+    if docs_ds is None:
+        docs_ds = sized_read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+        )
+    else:
+        docs_ds = docs_ds.select_columns(["doc_id", "source"])
+
+    def src_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["source"].value_counts()
+        return pd.DataFrame(
+            {"source": vc.index.astype("object"), "n": vc.to_numpy("int64")}
+        )
+
+    counts = (
+        grouped_aggregate(
+            docs_ds.map_batches(src_counts, batch_format="pandas"),
+            ["source"],
+            {"n": ("n", "sum")},
+        )
+        .to_pandas()
+        .sort_values("source")
+    )
+    n = counts["n"].to_numpy(np.int64)
+    w = np.floor(np.sqrt(n.astype(np.float64))).astype(np.int64)
+    big_n = int(n.sum())
+    big_w = int(w.sum())
+    rates = {
+        str(src): min(
+            MIX_T_CAP_E6, 1_000_000 * big_n * int(wi) // (big_w * int(ni))
+        )
+        for src, wi, ni in zip(counts["source"], w, n)
+    }
+    return corpus_mix(sf_dir, rates_e6=rates, seed=seed, docs_ds=docs_ds)

@@ -265,3 +265,62 @@ def test_corpus_mix_vs_naive(ray_session, tmp_path):
 
     with pytest.raises(ValueError):
         corpus_mix(sf, rates_e6={"s0": -1})
+
+
+def test_corpus_mix_temperature_flattens_skew(ray_session):
+    """sqrt-rule rates on a skewed corpus: the small source is upsampled
+    and the big one downsampled (p_s ∝ sqrt(n_s)), the cap bounds the
+    upsampling, and the realized mix matches a Python replay of the
+    integer rate formula + hash subset."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.packing import (
+        MIX_T_CAP_E6,
+        corpus_mix_temperature,
+    )
+
+    sizes = {"big": 900, "mid": 90, "tiny": 10}
+    rows = []
+    i = 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append({"doc_id": i, "source": src})
+            i += 1
+    docs = pd.DataFrame(rows)
+    out = (
+        corpus_mix_temperature("unused", docs_ds=rd.from_pandas(docs))
+        .to_pandas()
+        .groupby("source")
+        .size()
+    )
+
+    # replay the integer rate rule
+    n = np.array(list(sizes.values()), dtype=np.int64)
+    w = np.floor(np.sqrt(n.astype(np.float64))).astype(np.int64)
+    N, W = int(n.sum()), int(w.sum())
+    rates = {
+        s: min(MIX_T_CAP_E6, 1_000_000 * N * int(wi) // (W * int(ni)))
+        for s, wi, ni in zip(sizes, w, n)
+    }
+    # direction of the flattening
+    assert rates["big"] < 1_000_000 < rates["tiny"]
+    # realized per-source volume ~= n * rate (exact for the full-epoch
+    # part; the fractional subset is hash-uniform, so just bound it)
+    for s in sizes:
+        full, frac = divmod(rates[s], 1_000_000)
+        lo = sizes[s] * full
+        hi = sizes[s] * (full + (1 if frac else 0))
+        assert lo <= out.get(s, 0) <= hi, (s, rates[s], out.get(s, 0))
+    # cap engages on a pathologically tiny source
+    one = pd.DataFrame(
+        {"doc_id": range(101), "source": ["lone"] + ["rest"] * 100}
+    )
+    mixed = (
+        corpus_mix_temperature("unused", docs_ds=rd.from_pandas(one))
+        .to_pandas()
+        .groupby("source")
+        .size()
+    )
+    assert mixed["lone"] <= MIX_T_CAP_E6 // 1_000_000
