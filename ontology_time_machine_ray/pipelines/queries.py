@@ -2180,6 +2180,53 @@ def _shuffle_index(sf_dir: str):
     return global_shuffle_index(sf_dir)
 
 
+def _corpus_to_shards(sf_dir: str, budget: int = 2048):
+    """The end-to-end training-data assembly funnel as ONE composition:
+    FineWeb-style curation (classifier + quality floor + MinHash
+    quality-keeper), then real-BPE token counts of the survivors
+    (tokenizer trained on the FULL corpus so the scalar-reference vocab
+    fixture replays it), then token-budget shard assignment via the
+    distributed prefix sum.  Adds one doc_id-bucketed semi join and one
+    shuffle-free encode pass on top of the parts; nothing broadcasts,
+    nothing materializes the corpus."""
+    import ray
+
+    from ontology_time_machine_ray.stages.bpe import BpeEncoder, bpe_model
+    from ontology_time_machine_ray.stages.dedup_docs import corpus_curate
+    from ontology_time_machine_ray.stages.groupagg import bucketed_join
+    from ontology_time_machine_ray.stages.packing import pack_sequences
+    from ontology_time_machine_ray.stages.textops import _read_docs
+
+    survivors = corpus_curate(sf_dir).map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"].astype("int64")}),
+        batch_format="pandas",
+    )
+    subset = bucketed_join(
+        _read_docs(sf_dir),
+        survivors,
+        on=["doc_id"],
+        how="semi",
+        left_schema={"doc_id": "int64", "text": "object"},
+        right_schema={"doc_id": "int64"},
+    )
+    model_ref = ray.put(bpe_model(sf_dir))  # trained on the FULL corpus
+    counts = subset.map_batches(
+        BpeEncoder,
+        fn_constructor_args=(model_ref, False),
+        batch_format="pandas",
+        concurrency=4,
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": df["n_tokens"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return pack_sequences(sf_dir, budget=budget, counts_ds=counts)
+
+
 def _corpus_mix_temperature(sf_dir: str):
     """Temperature (sqrt-rule) corpus mixing with corpus-derived rates
     (stages/packing.corpus_mix_temperature); the oracle re-derives the
@@ -2346,6 +2393,7 @@ QUERIES = {
     "chunk_pack": _chunk_pack,
     "corpus_mix": _corpus_mix,
     "corpus_mix_temperature": _corpus_mix_temperature,
+    "corpus_to_shards": _corpus_to_shards,
     "text_top_terms": textops.top_terms,
     "text_tokens_bpe": textops.tokens_bpe,
     "text_winnow": textops.winnow_fingerprints,
@@ -2622,6 +2670,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["corpus_mix_temperature"] = sql_oracles.corpus_mix_temperature_sql(
         "mixT", MIX_T_CAP_E6
     )
+    out["corpus_to_shards"] = sql_oracles.corpus_to_shards_sql(paths.root, 2048)
     out["kg_store_asof"] = (
         out["kg_triples"] + f"\nWHERE doc_id < '{incremental_split_mid(sf_dir)}'"
     )

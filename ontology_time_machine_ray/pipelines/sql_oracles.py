@@ -642,6 +642,31 @@ WHERE epoch < rate_e6 // 1000000
       < printf('%06x', CAST(rate_e6 % 1000000 AS BIGINT) * 16777216 // 1000000)"""
 
 
+def corpus_to_shards_sql(fixture_root: str, budget: int) -> str:
+    """``corpus_to_shards``: the curation funnel (corpus_curate_sql as a
+    nested CTE), the scalar-reference BPE vocab join for survivor token
+    counts, and the doc_id-ordered window cumsum shard rule."""
+    return f"""
+WITH curated AS ({corpus_curate_sql()}),
+surv AS (SELECT doc_id FROM curated),
+pt AS (
+  SELECT d.doc_id, unnest(regexp_extract_all(d.text, '{_BPE_RE_SQL}')) AS word
+  FROM documents d JOIN surv USING (doc_id)),
+v AS (SELECT * FROM read_parquet('{fixture_root}/bpe_vocab.parquet')),
+c AS (
+  SELECT s.doc_id,
+    CAST(COALESCE(SUM(v.n_tokens), 0) AS BIGINT) AS n_tokens
+  FROM surv s
+  LEFT JOIN pt ON s.doc_id = pt.doc_id
+  LEFT JOIN v ON pt.word = v.word
+  GROUP BY s.doc_id)
+SELECT doc_id, n_tokens,
+  (SUM(n_tokens) OVER (ORDER BY doc_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+    // {budget} AS shard
+FROM c"""
+
+
 def corpus_mix_temperature_sql(seed: str, cap_e6: int) -> str:
     """stages/packing.corpus_mix_temperature: the sqrt-rule rates
     re-derived in SQL (IEEE sqrt is correctly rounded, so DuckDB's
