@@ -861,6 +861,56 @@ def quality_top_pct(sf_dir: str):
     )
 
 
+def quality_top_pct_by_source(sf_dir: str, pct: int | None = None):
+    """Per-SOURCE percentile quality gate: each source keeps its own best
+    ``pct``% by (quality DESC, doc_id ASC) -- the per-domain curation
+    rule (a uniform global cutoff would let a high-quality source crowd
+    out the rest of the mix).
+
+    Scale shape: quality scoring is the usual streaming pass; the only
+    exchange moves the (doc_id, source, quality) PROJECTION through one
+    source-bucketed shuffle, and the per-source rank cutoff is a
+    vectorized in-bucket sort.  A pathologically dominant source
+    concentrates its projection in one bucket; the remedy at that scale
+    is the histogram-refinement selection of ``exact_top_n`` run
+    per-source -- the global variant above demonstrates it."""
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply
+    from ontology_time_machine_ray.stages.textops import (
+        _read_docs_cols,
+        quality_score_batch,
+    )
+
+    pct = QUALITY_TOP_PCT if pct is None else pct
+    docs = _read_docs_cols(sf_dir, ["doc_id", "text", "source"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        out = quality_score_batch(df)
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy(),
+                "source": df["source"].to_numpy(),
+                "quality": out["quality"].to_numpy(),
+            }
+        )
+
+    scored = docs.map_batches(score, batch_format="pandas")
+
+    def cutoff(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for src, sub in g.groupby("source", sort=False):
+            sub = sub.sort_values(
+                ["quality", "doc_id"], ascending=[False, True], kind="stable"
+            )
+            out.append(sub.head((len(sub) * pct + 99) // 100))
+        return (
+            pd.concat(out, ignore_index=True)
+            if out
+            else g.iloc[0:0]
+        )
+
+    return grouped_apply(scored, ["source"], cutoff)
+
+
 def kg_two_hop(sf_dir: str):
     """2-hop property-path traversal over the deduped triple store: all
     distinct paths a -pred1-> mid -pred2-> b (a != b).  The graph-query
@@ -2413,6 +2463,7 @@ QUERIES = {
     "source_filter": textops.source_filter,
     "text_classify": textops.classifier_filter,
     "quality_top_pct": quality_top_pct,
+    "quality_top_pct_by_source": quality_top_pct_by_source,
     "rel_fuzzy_join": _fuzzy_join,
     "rel_range_layout": _range_layout,
     "rel_q3_shipping": relational.q3_shipping,
@@ -2620,6 +2671,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     )
     out["dedup_segments"] = sql_oracles.dedup_segments_sql(textops.SEG_W)
     out["quality_top_pct"] = sql_oracles.quality_top_pct_sql(QUALITY_TOP_PCT)
+    out["quality_top_pct_by_source"] = sql_oracles.quality_top_pct_by_source_sql(
+        QUALITY_TOP_PCT
+    )
     from ontology_time_machine_ray.stages.fuzzy import MAX_DIST
 
     out["rel_fuzzy_join"] = sql_oracles.fuzzy_join_sql(MAX_DIST)

@@ -2708,6 +2708,20 @@ r AS (SELECT doc_id, quality,
 SELECT doc_id, quality FROM r WHERE rk <= (total * {pct} + 99) // 100"""
 
 
+def quality_top_pct_by_source_sql(pct: int) -> str:
+    """``quality_top_pct_by_source``: the same ceil-rank cutoff applied
+    PER source partition."""
+    return f"""
+WITH q AS ({TESTDATA_SQL['text_quality']}),
+r AS (SELECT q.doc_id, d.source, q.quality,
+        ROW_NUMBER() OVER (PARTITION BY d.source
+                           ORDER BY q.quality DESC, q.doc_id ASC) AS rk,
+        COUNT(*) OVER (PARTITION BY d.source) AS total
+      FROM q JOIN documents d ON d.doc_id = q.doc_id)
+SELECT doc_id, source, quality FROM r
+WHERE rk <= (total * {pct} + 99) // 100"""
+
+
 def winnow_dup_pairs_sql(min_shared: int, max_fp_df: int) -> str:
     """``winnow_dup_pairs`` restatement on top of the text_winnow CTE
     chain: fp groups bounded by the same df cap, pair counts via
