@@ -237,9 +237,18 @@ def _encode_distinct(
     return out
 
 
+#: per-actor encode-cache bound: ~1M distinct pretokens x (~50 B key +
+#: ~100 B array) ~ 150 MB ceiling per actor.  On overflow the cache is
+#: dropped wholesale -- under a Zipf vocabulary the frequent pretokens
+#: repopulate within a batch, so the hit rate recovers immediately while
+#: worker memory stays bounded on corpora with unbounded tail vocabulary.
+MAX_ENCODE_CACHE = 1_000_000
+
+
 class BpeEncoder:
     """Actor-pool stage: merge table loaded ONCE per actor from the
-    broadcast ref, per-pretoken encodings cached across batches."""
+    broadcast ref, per-pretoken encodings cached across batches (bounded
+    by ``MAX_ENCODE_CACHE``)."""
 
     def __init__(self, model_ref, with_ids: bool = False):
         from ontology_time_machine_ray.functions.broadcast import cached_get
@@ -270,6 +279,9 @@ class BpeEncoder:
         # work is factorize + gather + bincount, all C
         codes, uniq = pd.factorize(flat.to_numpy("object"))
         new = [w for w in uniq if w not in self.cache]
+        if len(self.cache) + len(new) > MAX_ENCODE_CACHE:
+            self.cache.clear()
+            new = list(uniq)
         self.cache.update(_encode_distinct(new, self.merges, self.ids))
         encs = np.empty(len(uniq), dtype=object)
         pre_len = np.empty(len(uniq), dtype=np.int64)
