@@ -196,6 +196,13 @@ def word_frequencies(
         ).head(max_words),
         batch_format="pandas",
     ).to_pandas()
+    if len(topk) == 0:  # token-less corpus: empty model
+        return pd.DataFrame(
+            {
+                "word": pd.Series([], dtype="object"),
+                "freq": pd.Series([], dtype="int64"),
+            }
+        )
     topk = topk.sort_values(
         ["freq", "word"], ascending=[False, True], kind="stable"
     ).head(max_words)

@@ -404,19 +404,18 @@ def corpus_mix_temperature(
             {"source": vc.index.astype("object"), "n": vc.to_numpy("int64")}
         )
 
-    counts = (
-        grouped_aggregate(
-            docs_ds.map_batches(src_counts, batch_format="pandas"),
-            ["source"],
-            {"n": ("n", "sum")},
-        )
-        .to_pandas()
-        .sort_values("source")
-    )
+    counts = grouped_aggregate(
+        docs_ds.map_batches(src_counts, batch_format="pandas"),
+        ["source"],
+        {"n": ("n", "sum")},
+    ).to_pandas()
+    if len(counts) == 0:  # empty corpus: no sources, nothing to mix
+        return corpus_mix(sf_dir, rates_e6={}, seed=seed, docs_ds=docs_ds)
+    counts = counts.sort_values("source")
     n = counts["n"].to_numpy(np.int64)
     w = np.floor(np.sqrt(n.astype(np.float64))).astype(np.int64)
     big_n = int(n.sum())
-    big_w = int(w.sum())
+    big_w = int(w.sum())  # >= 1: every present source has n >= 1
     rates = {
         str(src): min(
             MIX_T_CAP_E6, 1_000_000 * big_n * int(wi) // (big_w * int(ni))

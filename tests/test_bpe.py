@@ -214,3 +214,47 @@ def test_pack_sequences_bpe_uses_real_counts(ray_session):
     # replay: shard = floor(exclusive-prefix-sum / budget)
     csum = cdf["n_tokens"].cumsum() - cdf["n_tokens"]
     assert packed["shard"].tolist() == (csum // 16).astype(int).tolist()
+
+
+def test_bpe_empty_and_tokenless_corpora(ray_session):
+    """Token-less training corpus -> empty model; encoding under an empty
+    model degrades to per-character UNK tokens instead of raising."""
+    import ray
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.bpe import BpeEncoder, bpe_model
+
+    m, ids = bpe_model(
+        "unused",
+        docs_ds=rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": [""]})),
+    )
+    assert m == [] and ids == {}
+    enc = BpeEncoder(ray.put((m, ids)), with_ids=True)
+    out = enc(pd.DataFrame({"doc_id": [0], "text": ["abc"]}))
+    assert out.loc[0, "n_tokens"] == 3
+    assert list(out.loc[0, "token_ids"]) == [-1, -1, -1]
+
+
+def test_bpe_encoder_cache_bound(ray_session):
+    """Cache overflow drops and repopulates rather than growing without
+    bound; results are unchanged across the flush."""
+    import ray
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages import bpe as bpe_mod
+    from ontology_time_machine_ray.stages.bpe import BpeEncoder, bpe_model
+
+    docs = pd.DataFrame({"doc_id": [0], "text": ["aa bb aa bb cc"]})
+    m_i = bpe_model("unused", docs_ds=rd.from_pandas(docs))
+    enc = BpeEncoder(ray.put(m_i), with_ids=True)
+    first = enc(docs)
+    old_cap = bpe_mod.MAX_ENCODE_CACHE
+    bpe_mod.MAX_ENCODE_CACHE = 2  # force the flush path
+    try:
+        second = enc(pd.DataFrame({"doc_id": [1], "text": ["dd ee ff gg"]}))
+        assert len(enc.cache) <= 8  # repopulated with just this batch
+        again = enc(docs)
+        assert list(again.loc[0, "token_ids"]) == list(first.loc[0, "token_ids"])
+        assert second.loc[0, "n_tokens"] > 0
+    finally:
+        bpe_mod.MAX_ENCODE_CACHE = old_cap
