@@ -2094,6 +2094,12 @@ def ann_pq(sf_dir: str) -> pd.DataFrame:
     return similarity.ann_pq(sf_dir)
 
 
+def _ann_ivfpq_recall(sf_dir: str) -> pd.DataFrame:
+    """recall@k of the composed IVF-PQ index vs brute force; oracle
+    composes the two unrolled statements like ann_recall does."""
+    return similarity.ann_ivfpq_recall(sf_dir)
+
+
 def ann_ivfpq(sf_dir: str) -> pd.DataFrame:
     """Composed IVF-PQ (FAISS IVFPQ shape): coarse lists prune the read,
     residual product-quantization codes + ADC score the probed lists.
@@ -2504,6 +2510,7 @@ QUERIES = {
     "ann_ivf": ann_ivf,                  # unrolled k-means lists: full SQL oracle
     "ann_pq": ann_pq,                    # unrolled subspace k-means + ADC: full SQL oracle
     "ann_ivfpq": ann_ivfpq,              # composed IVF lists + residual PQ: full SQL oracle
+    "ann_ivfpq_recall": _ann_ivfpq_recall,  # recall@k of the composed index
 }
 
 
@@ -2715,6 +2722,14 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     )
     out["ann_ivfpq"] = sql_oracles.ann_ivfpq_sql(
         dim=similarity._emb_dim(os.path.join(sf_dir, "embeddings.parquet"))
+    )
+    out["ann_ivfpq_recall"] = (
+        "SELECT b.query_id, COUNT(l.vec_id) AS n_hits,\n"
+        f"       CAST(COUNT(l.vec_id) * 1000000 / {similarity.ANN_RECALL_K} AS BIGINT) AS recall_ppm\n"
+        f"FROM ({sql_oracles.TESTDATA_SQL['ann_bruteforce']}) b\n"
+        f"LEFT JOIN ({out['ann_ivfpq']}) l\n"
+        "  ON l.query_id = b.query_id AND l.vec_id = b.vec_id\n"
+        "GROUP BY b.query_id"
     )
     from ontology_time_machine_ray.stages.packing import DEFAULT_MIX_E6
 

@@ -979,3 +979,28 @@ def ann_recall(sf_dir: str, k: int = ANN_RECALL_K, n_queries: int = 3) -> pd.Dat
     out["n_hits"] = out["n_hits"].astype("int64")
     out["recall_ppm"] = out["n_hits"] * 1_000_000 // k
     return out[["query_id", "n_hits", "recall_ppm"]]
+
+
+def ann_ivfpq_recall(
+    sf_dir: str, k: int = ANN_RECALL_K, n_queries: int = 3
+) -> pd.DataFrame:
+    """recall@k of the composed IVF-PQ index against brute force -- the
+    rollout gate for the compressed serving path (same driver-small
+    metric-join shape as ``ann_recall``)."""
+    bf = ann_bruteforce(sf_dir, k=k, n_queries=n_queries)
+    approx = ann_ivfpq(sf_dir, k=k, n_queries=n_queries)
+    hit = bf.merge(approx, on=["query_id", "vec_id"], how="inner")
+    n = (
+        hit.groupby("query_id", as_index=False)
+        .size()
+        .rename(columns={"size": "n_hits"})
+    )
+    out = (
+        bf[["query_id"]]
+        .drop_duplicates()
+        .merge(n, on="query_id", how="left")
+        .fillna({"n_hits": 0})
+    )
+    out["n_hits"] = out["n_hits"].astype("int64")
+    out["recall_ppm"] = out["n_hits"] * 1_000_000 // k
+    return out[["query_id", "n_hits", "recall_ppm"]]
