@@ -1977,6 +1977,12 @@ def inverted_index(sf_dir: str):
 DUP_NGRAM_N = 5
 
 
+def _dup_run_stats(sf_dir: str):
+    """Per-doc maximal duplicated-run statistics (detection-side
+    companion of the run-merged ExactSubstr removal)."""
+    return textops.dup_run_stats(sf_dir, n=DUP_NGRAM_N)
+
+
 def dup_ngrams(sf_dir: str):
     return textops.dup_ngrams(sf_dir, n=DUP_NGRAM_N)
 
@@ -2463,6 +2469,7 @@ QUERIES = {
     "text_bm25": text_bm25,
     "winnow_dup_pairs": winnow_dup_pairs,
     "dup_ngrams": dup_ngrams,
+    "dup_run_stats": _dup_run_stats,
     "dedup_substrings": textops.dedup_substrings,
     "text_quality": textops.quality_score,
     "source_reputation": textops.source_reputation,
@@ -2665,6 +2672,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         WINNOW_MIN_SHARED, WINNOW_MAX_FP_DF
     )
     out["dup_ngrams"] = sql_oracles.dup_ngrams_sql(DUP_NGRAM_N)
+    out["dup_run_stats"] = sql_oracles.dup_run_stats_sql(DUP_NGRAM_N)
     out["dedup_substrings"] = sql_oracles.dedup_substrings_sql(
         textops.SUB_N, textops.SUB_MIN_LEN
     )

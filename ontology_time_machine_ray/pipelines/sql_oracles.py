@@ -2348,6 +2348,44 @@ FROM g JOIN d USING (gram)
 GROUP BY g.doc_id"""
 
 
+def dup_run_stats_sql(n: int) -> str:
+    """``dup_run_stats`` restatement: cross-document (>= 2 distinct
+    docs) gram occurrences cover [pos, pos+n); gaps-and-islands run
+    merge; per-doc run count / longest / covered totals."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+occ AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+    CAST(concat('0x', substr(md5(array_to_string(list_slice(t, i, i + {n - 1}), ' ')), 1, 13))
+         AS BIGINT) AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - {n - 2})) AS i
+        FROM toks WHERE len(t) >= {n})),
+gd AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM occ GROUP BY gram),
+cov AS (
+  SELECT DISTINCT o.doc_id, o.pos + u.o AS cpos
+  FROM occ o JOIN gd USING (gram),
+       (SELECT unnest(range(0, {n})) AS o) u
+  WHERE gd.nd >= 2),
+isl AS (
+  SELECT doc_id, cpos,
+    cpos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cpos) AS grp
+  FROM cov),
+runs AS (SELECT doc_id, grp, COUNT(*) AS rl FROM isl GROUP BY doc_id, grp),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_runs, MAX(rl) AS longest_run,
+         SUM(rl) AS covered_tokens
+  FROM runs GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(len(tk.t), 0) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(a.n_runs, 0) AS BIGINT) AS n_runs,
+  CAST(COALESCE(a.longest_run, 0) AS BIGINT) AS longest_run,
+  CAST(COALESCE(a.covered_tokens, 0) AS BIGINT) AS covered_tokens
+FROM documents d
+LEFT JOIN toks tk ON tk.doc_id = d.doc_id
+LEFT JOIN agg a ON a.doc_id = d.doc_id"""
+
+
 def dedup_substrings_sql(n: int, min_len: int | None = None) -> str:
     """``dedup_substrings`` restatement: same raw ``\\S+`` tokens and
     52-bit md5-prefix gram hashes as ``dup_ngrams``; every gram

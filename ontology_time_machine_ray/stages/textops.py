@@ -562,6 +562,139 @@ def dup_ngrams(sf_dir: str, n: int = 5, docs_ds: rd.Dataset | None = None) -> rd
     )
 
 
+def dup_run_stats(
+    sf_dir: str, n: int = 5, docs_ds: rd.Dataset | None = None
+) -> rd.Dataset:
+    """Maximal duplicated-RUN statistics per document -- the
+    detection-side companion of ``dedup_substrings``'s run-merged
+    removal: a token position is covered iff some ``n``-gram occurrence
+    containing it appears in >= 2 DISTINCT documents (the ``dup_ngrams``
+    cross-document df rule, all occurrences -- no keep-first here:
+    detection reports symmetric contamination), covered positions merge
+    into maximal runs, and each document reports ``n_runs``,
+    ``longest_run``, ``covered_tokens`` and ``n_tokens`` -- the numbers
+    a curation dashboard thresholds on before committing to removal.
+
+    Scale shape: identical to ``dedup_substrings`` minus the rebuild --
+    one gram-bucketed pass (distinct-doc frequency is bucket-exact, a
+    gram lives in one bucket), one doc-bucketed pass (vectorized
+    run-length merge), token-proportional occurrence stream, no
+    broadcast, no driver state."""
+    import numpy as np
+
+    from ontology_time_machine_ray.stages.groupagg import grouped_apply
+
+    docs = docs_ds or _read_docs(sf_dir)
+
+    def occ_rows(df: pd.DataFrame) -> pd.DataFrame:
+        doc_i, grams = ngram_rows(df, n)
+        if not len(grams):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=df["doc_id"].dtype),
+                    "pos": pd.Series([], dtype="int64"),
+                    "gram": pd.Series([], dtype="int64"),
+                }
+            )
+        m = len(doc_i)
+        run_start = np.r_[0, np.flatnonzero(np.diff(doc_i)) + 1]
+        run_len = np.diff(np.r_[run_start, m])
+        pos = np.arange(m) - np.repeat(run_start, run_len)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy()[doc_i],
+                "pos": pos.astype("int64"),
+                "gram": md5_prefix_int_series(grams, 13),
+            }
+        )
+
+    occ = docs.map_batches(occ_rows, batch_format="pandas")
+
+    def mark_dup(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return g[["doc_id", "pos"]]
+        nd = g.groupby("gram")["doc_id"].transform("nunique")
+        return g.loc[nd >= 2, ["doc_id", "pos"]].reset_index(drop=True)
+
+    seeds = grouped_apply(occ, ["gram"], mark_dup)
+
+    def tok_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "pos": np.full(len(df), -1, dtype="int64"),
+                "n_tok": df["text"]
+                .astype("string")
+                .fillna("")
+                .str.findall(TOKEN_RE)
+                .str.len()
+                .to_numpy("int64"),
+            }
+        )
+
+    def seed_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "pos": df["pos"].to_numpy().astype("int64"),
+                "n_tok": np.zeros(len(df), dtype="int64"),
+            }
+        )
+
+    both = docs.map_batches(tok_side, batch_format="pandas").union(
+        seeds.map_batches(seed_side, batch_format="pandas")
+    )
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        t = g[g["pos"] < 0]
+        c = g[g["pos"] >= 0]
+        out = pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(),
+                "n_tokens": t["n_tok"].to_numpy("int64"),
+            }
+        )
+        out["n_runs"] = np.int64(0)
+        out["longest_run"] = np.int64(0)
+        out["covered_tokens"] = np.int64(0)
+        if len(c):
+            starts = c["pos"].to_numpy()
+            cov = pd.DataFrame(
+                {
+                    "doc_id": np.repeat(c["doc_id"].to_numpy(), n),
+                    "pos": (starts[:, None] + np.arange(n)).ravel(),
+                }
+            ).drop_duplicates().sort_values(["doc_id", "pos"], kind="stable")
+            dv = cov["doc_id"].to_numpy()
+            pv = cov["pos"].to_numpy()
+            brk = np.r_[True, (dv[1:] != dv[:-1]) | (pv[1:] != pv[:-1] + 1)]
+            rid = np.cumsum(brk) - 1
+            rlen = np.bincount(rid)
+            run_doc = dv[brk]  # one entry per run
+            per = pd.DataFrame({"doc_id": run_doc, "rl": rlen}).groupby(
+                "doc_id"
+            )["rl"]
+            agg = pd.DataFrame(
+                {
+                    "n_runs": per.size(),
+                    "longest_run": per.max(),
+                    "covered_tokens": per.sum(),
+                }
+            )
+            out = out.set_index("doc_id")
+            out.update(agg)
+            out = out.reset_index()
+        return out.astype(
+            {
+                "n_runs": "int64",
+                "longest_run": "int64",
+                "covered_tokens": "int64",
+            }
+        )
+
+    return grouped_apply(both, ["doc_id"], stats)
+
+
 #: duplicated-substring seed length (word n-grams) for dedup_substrings.
 SUB_N = 8
 

@@ -973,3 +973,38 @@ def test_dedup_substrings_suffix_array_equivalence(ray_session):
             keep = [w for i, w in enumerate(t) if i not in cover[d]]
             assert got.loc[d, "clean_text"] == " ".join(keep), (seed, d)
             assert got.loc[d, "n_removed"] == len(t) - len(keep), (seed, d)
+
+
+def test_dup_run_stats_hand_corpus(ray_session):
+    """Run statistics vs hand computation: a long shared region forms
+    one merged run in BOTH docs (detection is symmetric -- no
+    keep-first), an isolated short duplicate its own n-length run, a
+    unique doc reports zeros."""
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.textops import dup_run_stats
+
+    long_run = "r1 r2 r3 r4 r5 r6 r7 r8"  # 8 tokens, n=4 -> one run of 8
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                f"{long_run} only_here_a only_here_b",
+                f"pref {long_run} suff",
+                "entirely unique tokens in this one",
+            ],
+        }
+    )
+    got = (
+        dup_run_stats("unused", n=4, docs_ds=rd.from_pandas(docs))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for d in (1, 2):
+        assert got.loc[d, "n_runs"] == 1, d
+        assert got.loc[d, "longest_run"] == 8, d
+        assert got.loc[d, "covered_tokens"] == 8, d
+    assert got.loc[3, "n_runs"] == 0
+    assert got.loc[3, "covered_tokens"] == 0
+    assert got.loc[1, "n_tokens"] == 10
