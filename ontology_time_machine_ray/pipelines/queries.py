@@ -1419,6 +1419,17 @@ def kg_skipgrams(sf_dir: str):
     return walk_skipgrams(kg_walks(sf_dir), window=2)
 
 
+def kg_skipgram_negatives(sf_dir: str):
+    """Negative samples for the skip-gram pairs (word2vec training
+    input, Mikolov et al. 2013): k=3 deterministic md5-mod-|V| draws
+    from the walk-corpus vocabulary per (center, context) pair
+    (``graph.walk_negative_samples``); the oracle re-derives vocabulary
+    indexes and the same md5 draws in SQL."""
+    from ontology_time_machine_ray.stages.graph import walk_negative_samples
+
+    return walk_negative_samples(kg_walks(sf_dir), window=2)
+
+
 def kg_bfs(sf_dir: str):
     """Seeded multi-source BFS over the triple graph: minimum hop count
     from any of the VALUES seed entities along directed (subj -> obj)
@@ -2390,6 +2401,7 @@ QUERIES = {
     "kg_bfs": kg_bfs,
     "kg_walks": kg_walks,
     "kg_skipgrams": kg_skipgrams,
+    "kg_skipgram_negatives": kg_skipgram_negatives,
     "kg_ask": kg_ask,
     "kg_describe": kg_describe,
     "kg_path_query": kg_path_query,
@@ -2673,6 +2685,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     )
     out["dup_ngrams"] = sql_oracles.dup_ngrams_sql(DUP_NGRAM_N)
     out["dup_run_stats"] = sql_oracles.dup_run_stats_sql(DUP_NGRAM_N)
+    out["kg_skipgram_negatives"] = sql_oracles.kg_skipgram_negatives_sql(
+        paths.root, DEFAULT_CONFIG.timestamp
+    )
     out["dedup_substrings"] = sql_oracles.dedup_substrings_sql(
         textops.SUB_N, textops.SUB_MIN_LEN
     )

@@ -642,6 +642,36 @@ WHERE epoch < rate_e6 // 1000000
       < printf('%06x', CAST(rate_e6 % 1000000 AS BIGINT) * 16777216 // 1000000)"""
 
 
+def kg_skipgram_negatives_sql(
+    fixture_root: str, timestamp: str, k: int = 3, seed: str = "neg1"
+) -> str:
+    """``kg_skipgram_negatives``: the kg_skipgrams walk/pair CTEs plus a
+    row_number vocabulary index and the identical md5-mod-|V| draw."""
+    body = (
+        f"WITH {_MENTIONS_CTES},{_ROUTING_CTES},{_TRIPLES_CTES},\n"
+        + f"""t AS (SELECT DISTINCT subj, pred, obj FROM dedup),
+e AS MATERIALIZED (SELECT DISTINCT subj AS a, obj AS b FROM t WHERE subj <> obj),
+{_walk_step_ctes_named(4, 2, 'w')},
+sg AS (
+  SELECT DISTINCT x.node AS center, y.node AS context
+  FROM walks x JOIN walks y ON y.walk_id = x.walk_id
+   AND abs(y.step - x.step) BETWEEN 1 AND 2),
+vocab AS (
+  SELECT node, row_number() OVER (ORDER BY node) - 1 AS idx
+  FROM (SELECT DISTINCT node FROM walks)),
+vc AS (SELECT COUNT(*) AS v FROM vocab),
+negdraw AS (
+  SELECT sg.center, sg.context, CAST(u.j AS BIGINT) AS sample_idx,
+    CAST(CAST(concat('0x', substr(md5(concat('{seed}:', sg.center, ':',
+                                             sg.context, ':', u.j)), 1, 16))
+              AS UBIGINT) % CAST(t2.v AS UBIGINT) AS BIGINT) AS idx
+  FROM sg, (SELECT unnest(range(0, {k})) AS j) u, vc t2)
+SELECT n.center, n.context, n.sample_idx, v.node AS negative
+FROM negdraw n JOIN vocab v USING (idx)"""
+    )
+    return body.replace("__ROOT__", fixture_root).replace("__T__", timestamp)
+
+
 def corpus_to_shards_sql(fixture_root: str, budget: int) -> str:
     """``corpus_to_shards``: the curation funnel (corpus_curate_sql as a
     nested CTE), the scalar-reference BPE vocab join for survivor token

@@ -1088,3 +1088,63 @@ def walk_skipgrams(walks_ds, window: int = 2) -> rd.Dataset:
         ["center", "context"],
         {"n_pairs": ("n", "sum")},
     )
+
+
+def walk_negative_samples(
+    walks_ds, window: int = 2, k: int = 3, seed: str = "neg1"
+) -> rd.Dataset:
+    """Deterministic negative sampling over the skip-gram pairs -- the
+    other half of a word2vec-style node-embedding training input
+    (Mikolov et al. 2013): for every distinct (center, context) pair,
+    ``k`` negatives drawn uniformly from the walk-corpus vocabulary by
+    md5 of ``'{seed}:{center}:{context}:{j}'`` mod |V|.  A negative can
+    coincidentally equal the true context (trainers mask that case);
+    NOT re-drawing keeps the draw a pure function both engines replay.
+
+    Shape: the vocabulary is graph-node scale and broadcasts once
+    (``ray.put``); sampling is one shuffle-free pass over the pair
+    table (k-fold repeat + one batched md5 + one vectorized gather)."""
+    import numpy as np
+    import ray
+
+    from ontology_time_machine_ray.functions.broadcast import cached_get
+    from ontology_time_machine_ray.functions.hashing import md5_hash64_series
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pairs = walk_skipgrams(walks_ds, window=window)
+    # vocabulary: sorted distinct nodes of the walk corpus (node scale,
+    # the engine-wide broadcast bound -- same discipline as centroids)
+    vocab = np.array(
+        sorted(
+            pd.unique(walks_ds.select_columns(["node"]).to_pandas()["node"])
+        ),
+        dtype=object,
+    )
+    v_ref = ray.put(vocab)
+
+    def negs(df: pd.DataFrame) -> pd.DataFrame:
+        v = cached_get(v_ref)
+        big_v = np.uint64(len(v))
+        out = pd.DataFrame(
+            {
+                "center": np.repeat(df["center"].to_numpy(), k),
+                "context": np.repeat(df["context"].to_numpy(), k),
+                "sample_idx": np.tile(
+                    np.arange(k, dtype=np.int64), len(df)
+                ),
+            }
+        )
+        key = (
+            f"{seed}:"
+            + out["center"].astype(str)
+            + ":"
+            + out["context"].astype(str)
+            + ":"
+            + out["sample_idx"].astype(str)
+        )
+        h = md5_hash64_series(key)
+        out["negative"] = v[(h % big_v).astype(np.int64)]
+        return out
+
+    return pairs.map_batches(negs, batch_format="pandas")
