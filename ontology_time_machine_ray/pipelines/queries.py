@@ -2190,6 +2190,14 @@ def _text_bpe_encode(sf_dir: str):
     return text_bpe_encode(sf_dir)
 
 
+def _chunk_bpe_counts(sf_dir: str):
+    """Per-chunk whitespace vs real-BPE token counts (context-window
+    sizing under the actual tokenizer)."""
+    from ontology_time_machine_ray.stages.bpe import chunk_bpe_counts
+
+    return chunk_bpe_counts(sf_dir)
+
+
 def _text_bpe_merges(sf_dir: str):
     """The trained merge table (trainer-level oracle: the scalar-reference
     trainer's fixture rows)."""
@@ -2462,6 +2470,7 @@ QUERIES = {
     "pack_sequences_bpe": _pack_sequences_bpe,
     "text_bpe_encode": _text_bpe_encode,
     "text_bpe_merges": _text_bpe_merges,
+    "chunk_bpe_counts": _chunk_bpe_counts,
     "shuffle_index": _shuffle_index,
     "chunk_documents": _chunk_documents,
     "chunk_pack": _chunk_pack,
@@ -2698,6 +2707,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     )
     out["pack_sequences_bpe"] = sql_oracles.pack_sequences_bpe_sql(
         paths.root, 2048
+    )
+    out["chunk_bpe_counts"] = sql_oracles.chunk_bpe_counts_sql(
+        paths.root, 64, 48
     )
     out["dedup_segments"] = sql_oracles.dedup_segments_sql(textops.SEG_W)
     out["quality_top_pct"] = sql_oracles.quality_top_pct_sql(QUALITY_TOP_PCT)

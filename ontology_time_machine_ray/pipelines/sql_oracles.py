@@ -2504,6 +2504,37 @@ LEFT JOIN (SELECT doc_id, SUM(n_tokens) AS nt, SUM(sum_ids) AS si
   ON d.doc_id = a.doc_id"""
 
 
+def chunk_bpe_counts_sql(fixture_root: str, window: int, stride: int) -> str:
+    """``chunk_bpe_counts``: the chunk_documents window reconstruction,
+    GPT-2 pretokens of each chunk text, scalar-reference vocab join."""
+    return f"""
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+c AS (SELECT doc_id, w, len(w) AS n,
+             CASE WHEN len(w) = 0 THEN 0
+                  WHEN len(w) <= {window} THEN 1
+                  ELSE 1 + (len(w) - {window} + {stride - 1}) // {stride} END AS n_chunks
+      FROM w),
+e AS (SELECT doc_id, w, n, unnest(range(0, n_chunks)) AS chunk_idx FROM c),
+ch AS (
+  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         CAST(least(n - chunk_idx * {stride}, {window}) AS BIGINT) AS n_tokens_ws,
+         array_to_string(w[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {window}], ' ') AS chunk_text
+  FROM e),
+pt AS (
+  SELECT doc_id, chunk_idx,
+         unnest(regexp_extract_all(chunk_text, '{_BPE_RE_SQL}')) AS word
+  FROM ch),
+v AS (SELECT * FROM read_parquet('{fixture_root}/bpe_vocab.parquet')),
+a AS (
+  SELECT pt.doc_id, pt.chunk_idx,
+         SUM(v.n_tokens) AS nt, SUM(v.sum_ids) AS si
+  FROM pt JOIN v USING (word) GROUP BY 1, 2)
+SELECT ch.doc_id, ch.chunk_idx, ch.n_tokens_ws,
+  CAST(COALESCE(a.nt, 0) AS BIGINT) AS n_bpe_tokens,
+  CAST(COALESCE(a.si, 0) AS BIGINT) AS sum_ids
+FROM ch LEFT JOIN a ON a.doc_id = ch.doc_id AND a.chunk_idx = ch.chunk_idx"""
+
+
 def pack_sequences_bpe_sql(fixture_root: str, budget: int) -> str:
     """``pack_sequences_bpe`` restatement: per-doc REAL BPE token counts
     (the scalar-reference vocab join above) fed through the same

@@ -380,3 +380,49 @@ def bpe_token_counts(
         ),
         batch_format="pandas",
     )
+
+
+class ChunkBpeCounter(BpeEncoder):
+    """BpeEncoder over CHUNK text, carrying the chunk key through: rows
+    align 1:1 with the input batch, so the passthrough is positional."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:  # noqa: D102
+        enc = super().__call__(
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy(),
+                    "text": df["chunk_text"].to_numpy(),
+                }
+            )
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "chunk_idx": df["chunk_idx"].to_numpy(),
+                "n_tokens_ws": df["n_tokens"].to_numpy(),
+                "n_bpe_tokens": enc["n_tokens"].to_numpy(),
+                "sum_ids": enc["sum_ids"].to_numpy(),
+            }
+        )
+
+
+def chunk_bpe_counts(
+    sf_dir: str, window: int = 64, stride: int = 48, concurrency: int = 4
+) -> rd.Dataset:
+    """Real-tokenizer sizing of the RAG/context chunks: per chunk, the
+    whitespace token count next to the POST-MERGE BPE count (and the
+    token-id checksum) under the corpus-trained tokenizer -- the number
+    a context-window budget actually has to respect.  One chunking pass
+    + one shuffle-free encode pass; the merge table broadcasts once."""
+    import ray
+
+    from ontology_time_machine_ray.stages.packing import chunk_documents
+
+    chunks = chunk_documents(sf_dir, window=window, stride=stride)
+    model_ref = ray.put(bpe_model(sf_dir))
+    return chunks.map_batches(
+        ChunkBpeCounter,
+        fn_constructor_args=(model_ref, False),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
