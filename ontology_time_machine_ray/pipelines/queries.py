@@ -861,6 +861,57 @@ def quality_top_pct(sf_dir: str):
     )
 
 
+def corpus_report(sf_dir: str):
+    """Corpus-composition dashboard: per (source, predicted language) --
+    document count, integer quality mass, classifier accepts, token
+    volume.  ONE streaming pass computes all three per-doc signals
+    (lang markers, heuristic quality, hashed-classifier score) plus the
+    token count per batch, a per-batch combiner pre-aggregates, and one
+    tiny (source x lang)-bucketed sum finishes -- the group grain is
+    sources x languages, never documents."""
+    from ontology_time_machine_ray.stages.groupagg import grouped_aggregate
+    from ontology_time_machine_ray.stages.textops import (
+        TOKEN_RE,
+        _read_docs_cols,
+        classifier_score_batch,
+        lang_id_batch,
+        quality_score_batch,
+    )
+
+    docs = _read_docs_cols(sf_dir, ["doc_id", "text", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = pd.DataFrame(
+            {
+                "source": df["source"].to_numpy(),
+                "lang_pred": lang_id_batch(df)["lang_pred"].to_numpy(),
+                "quality": quality_score_batch(df)["quality"].to_numpy(),
+                "keep": classifier_score_batch(df)["keep"].to_numpy("int64"),
+                "n_tokens": df["text"]
+                .fillna("")
+                .str.count(TOKEN_RE)
+                .to_numpy("int64"),
+            }
+        )
+        return rows.groupby(["source", "lang_pred"], as_index=False).agg(
+            n_docs=("quality", "size"),
+            sum_quality=("quality", "sum"),
+            n_keep=("keep", "sum"),
+            sum_tokens=("n_tokens", "sum"),
+        )
+
+    return grouped_aggregate(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["source", "lang_pred"],
+        {
+            "n_docs": ("n_docs", "sum"),
+            "sum_quality": ("sum_quality", "sum"),
+            "n_keep": ("n_keep", "sum"),
+            "sum_tokens": ("sum_tokens", "sum"),
+        },
+    )
+
+
 def quality_top_pct_by_source(sf_dir: str, pct: int | None = None):
     """Per-SOURCE percentile quality gate: each source keeps its own best
     ``pct``% by (quality DESC, doc_id ASC) -- the per-domain curation
@@ -2498,6 +2549,7 @@ QUERIES = {
     "text_classify": textops.classifier_filter,
     "quality_top_pct": quality_top_pct,
     "quality_top_pct_by_source": quality_top_pct_by_source,
+    "corpus_report": corpus_report,
     "rel_fuzzy_join": _fuzzy_join,
     "rel_range_layout": _range_layout,
     "rel_q3_shipping": relational.q3_shipping,
@@ -2716,6 +2768,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["quality_top_pct_by_source"] = sql_oracles.quality_top_pct_by_source_sql(
         QUALITY_TOP_PCT
     )
+    out["corpus_report"] = sql_oracles.corpus_report_sql()
     from ontology_time_machine_ray.stages.fuzzy import MAX_DIST
 
     out["rel_fuzzy_join"] = sql_oracles.fuzzy_join_sql(MAX_DIST)

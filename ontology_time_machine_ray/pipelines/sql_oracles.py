@@ -2807,6 +2807,28 @@ r AS (SELECT doc_id, quality,
 SELECT doc_id, quality FROM r WHERE rk <= (total * {pct} + 99) // 100"""
 
 
+def corpus_report_sql() -> str:
+    """``corpus_report``: the three per-doc signal statements composed as
+    CTEs, grouped on (source, predicted language)."""
+    return f"""
+WITH q AS ({TESTDATA_SQL['text_quality']}),
+l AS ({TESTDATA_SQL['lang_id']}),
+k AS ({TESTDATA_SQL['text_classify']}),
+st AS (SELECT doc_id, source,
+              CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+       FROM documents)
+SELECT st.source, l.lang_pred,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(q.quality) AS BIGINT) AS sum_quality,
+  CAST(SUM(k.keep) AS BIGINT) AS n_keep,
+  CAST(SUM(st.n_tokens) AS BIGINT) AS sum_tokens
+FROM st
+JOIN q ON q.doc_id = st.doc_id
+JOIN l ON l.doc_id = st.doc_id
+JOIN k ON k.doc_id = st.doc_id
+GROUP BY 1, 2"""
+
+
 def quality_top_pct_by_source_sql(pct: int) -> str:
     """``quality_top_pct_by_source``: the same ceil-rank cutoff applied
     PER source partition."""
