@@ -2554,6 +2554,7 @@ QUERIES = {
     "rel_range_layout": _range_layout,
     "rel_q3_shipping": relational.q3_shipping,
     "rel_q5_local_volume": relational.q5_local_volume,
+    "rel_q7_nation_volume": relational.q7_nation_volume,
     "rel_q18_large_orders": relational.q18_large_orders,
     "rel_cheapest_part": relational.cheapest_part,
     "events_funnel": relational.events_funnel,
@@ -2783,6 +2784,12 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     )
     out["rel_q5_local_volume"] = sql_oracles.q5_local_volume_sql(
         relational.Q5_REGION, relational.Q5_START, relational.Q5_END
+    )
+    out["rel_q7_nation_volume"] = sql_oracles.q7_nation_volume_sql(
+        relational.Q7_NATION_A,
+        relational.Q7_NATION_B,
+        relational.Q7_START,
+        relational.Q7_END,
     )
     out["events_funnel"] = sql_oracles.FUNNEL_SQL
     out["sample_weighted"] = sql_oracles.sample_weighted_sql(textops.SAMPLE_W_K)

@@ -1738,3 +1738,142 @@ def events_comovement(
         return out.astype({"user_a": "int64", "user_b": "int64", "n_shared": "int64"})
 
     return counts.map_batches(finish, batch_format="pandas")
+
+
+Q7_NATION_A = "NATION_11"
+Q7_NATION_B = "NATION_20"
+Q7_START = "1995-01-01"
+Q7_END = "1997-01-01"
+
+
+def q7_nation_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 shape: shipped revenue BETWEEN two nations per direction
+    and year -- the bi-directional trade-volume join.
+
+    Distributed plan (the q5 discipline): nation (25 rows) broadcasts as
+    a name map; supplier and customer are pre-filtered streaming to the
+    two nations of interest and then key-bucketed -- three bucketed
+    shuffles total (suppkey, custkey, orderkey), with lineitem reduced
+    to (orderkey, suppkey, year, rev) batch partials BEFORE its
+    exchange and every join schema-hinted.  The final aggregate is
+    (direction x year) grain on the driver.  Revenue is the exact
+    cent x basis-point integer of q3/q5."""
+    from ontology_time_machine_ray.functions.broadcast import cached_get
+    from ontology_time_machine_ray.stages.groupagg import bucketed_join
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    pick = nation[nation["n_name"].isin((Q7_NATION_A, Q7_NATION_B))]
+    name_ref = ray.put(dict(zip(pick["n_nationkey"], pick["n_name"])))
+
+    def items(df: pd.DataFrame) -> pd.DataFrame:
+        start, end = pd.Timestamp(Q7_START), pd.Timestamp(Q7_END)
+        df = df[(df["l_shipdate"] >= start) & (df["l_shipdate"] < end)]
+        rev = (df["l_extendedprice"] * 100).round().astype("int64") * (
+            100 - (df["l_discount"] * 100).round().astype("int64")
+        )
+        out = pd.DataFrame(
+            {
+                "o_orderkey": df["l_orderkey"],
+                "s_suppkey": df["l_suppkey"],
+                "l_year": df["l_shipdate"].dt.year.astype("int64"),
+                "rev_e4": rev,
+            }
+        )
+        return out.groupby(
+            ["o_orderkey", "s_suppkey", "l_year"], as_index=False
+        ).agg(rev_e4=("rev_e4", "sum"))
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(items, batch_format="pandas")
+
+    def picked_suppliers(df: pd.DataFrame) -> pd.DataFrame:
+        keys = cached_get(name_ref)
+        df = df[df["s_nationkey"].isin(keys)]
+        return pd.DataFrame(
+            {"s_suppkey": df["s_suppkey"], "s_nationkey": df["s_nationkey"]}
+        )
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        picked_suppliers, batch_format="pandas"
+    )
+    li2 = bucketed_join(
+        li,
+        supp,
+        on=["s_suppkey"],
+        left_schema={
+            "o_orderkey": "int64",
+            "s_suppkey": "int64",
+            "l_year": "int64",
+            "rev_e4": "int64",
+        },
+        right_schema={"s_suppkey": "int64", "s_nationkey": "int32"},
+    ).map_batches(
+        lambda df: df[["o_orderkey", "l_year", "rev_e4", "s_nationkey"]],
+        batch_format="pandas",
+    )
+
+    def picked_customers(df: pd.DataFrame) -> pd.DataFrame:
+        keys = cached_get(name_ref)
+        df = df[df["c_nationkey"].isin(keys)]
+        return pd.DataFrame(
+            {"o_custkey": df["c_custkey"], "c_nationkey": df["c_nationkey"]}
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        picked_customers, batch_format="pandas"
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    o2 = bucketed_join(
+        orders,
+        cust,
+        on=["o_custkey"],
+        left_schema={"o_orderkey": "int64", "o_custkey": "int64"},
+        right_schema={"o_custkey": "int64", "c_nationkey": "int32"},
+    ).map_batches(
+        lambda df: df[["o_orderkey", "c_nationkey"]], batch_format="pandas"
+    )
+    j = bucketed_join(
+        li2,
+        o2,
+        on=["o_orderkey"],
+        left_schema={
+            "o_orderkey": "int64",
+            "l_year": "int64",
+            "rev_e4": "int64",
+            "s_nationkey": "int32",
+        },
+        right_schema={"o_orderkey": "int64", "c_nationkey": "int32"},
+    )
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        # the two cross directions only (same-nation trade is not Q7)
+        df = df[df["s_nationkey"] != df["c_nationkey"]]
+        return df.groupby(
+            ["s_nationkey", "c_nationkey", "l_year"], as_index=False
+        ).agg(rev_e4=("rev_e4", "sum"))
+
+    parts = j.map_batches(partials, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "supp_nation": pd.Series(dtype="object"),
+                "cust_nation": pd.Series(dtype="object"),
+                "l_year": pd.Series(dtype="int64"),
+                "revenue": pd.Series(dtype="float64"),
+            }
+        )
+    agg = parts.groupby(
+        ["s_nationkey", "c_nationkey", "l_year"], as_index=False
+    ).agg(rev_e4=("rev_e4", "sum"))
+    names = dict(zip(pick["n_nationkey"], pick["n_name"]))
+    agg["supp_nation"] = agg["s_nationkey"].map(names)
+    agg["cust_nation"] = agg["c_nationkey"].map(names)
+    agg["revenue"] = agg["rev_e4"] / 10000.0
+    return (
+        agg[["supp_nation", "cust_nation", "l_year", "revenue"]]
+        .sort_values(["supp_nation", "cust_nation", "l_year"], kind="stable")
+        .reset_index(drop=True)
+    )

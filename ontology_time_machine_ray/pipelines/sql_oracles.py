@@ -2664,6 +2664,29 @@ SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
 FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
 
 
+def q7_nation_volume_sql(na: str, nb: str, start: str, end: str) -> str:
+    """``rel_q7_nation_volume`` restatement (TPC-H Q7 shape): the 5-way
+    join with the two cross directions, exact cent x basis-point
+    revenue, grouped by direction and ship year."""
+    return f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+         / 10000.0 AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '{start}' AND l.l_shipdate < TIMESTAMP '{end}'
+  AND ((n1.n_name = '{na}' AND n2.n_name = '{nb}')
+    OR (n1.n_name = '{nb}' AND n2.n_name = '{na}'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3"""
+
+
 def q3_shipping_sql(segment: str, cutoff: str) -> str:
     """``rel_q3_shipping`` restatement (TPC-H Q3 shape): plain 3-way join
     + group + ORDER BY LIMIT 10, exact cent x basis-point revenue."""
