@@ -2555,6 +2555,7 @@ QUERIES = {
     "rel_q3_shipping": relational.q3_shipping,
     "rel_q5_local_volume": relational.q5_local_volume,
     "rel_q7_nation_volume": relational.q7_nation_volume,
+    "rel_q14_promo": relational.q14_promo_revenue,
     "rel_q18_large_orders": relational.q18_large_orders,
     "rel_cheapest_part": relational.cheapest_part,
     "events_funnel": relational.events_funnel,
@@ -2784,6 +2785,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     )
     out["rel_q5_local_volume"] = sql_oracles.q5_local_volume_sql(
         relational.Q5_REGION, relational.Q5_START, relational.Q5_END
+    )
+    out["rel_q14_promo"] = sql_oracles.q14_promo_sql(
+        relational.Q14_START, relational.Q14_END
     )
     out["rel_q7_nation_volume"] = sql_oracles.q7_nation_volume_sql(
         relational.Q7_NATION_A,

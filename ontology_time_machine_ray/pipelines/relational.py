@@ -1877,3 +1877,72 @@ def q7_nation_volume(sf_dir: str) -> pd.DataFrame:
         .sort_values(["supp_nation", "cust_nation", "l_year"], kind="stable")
         .reset_index(drop=True)
     )
+
+
+Q14_START = "1995-06-01"
+Q14_END = "1995-07-01"
+
+
+def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape: the promo-type share of one ship-month's revenue.
+
+    part GROWS with SF, so the type flag joins by ONE partkey-bucketed
+    shuffle (never broadcast), with lineitem cut to the month and
+    pre-combined to (partkey, rev) partials first; the result is a
+    single row of exact integers -- cent x basis-point revenue for the
+    promo side and the total, plus the share in integer ppm
+    (promo * 1e6 // total), so the oracle compares BIGINTs only."""
+    from ontology_time_machine_ray.stages.groupagg import bucketed_join
+
+    start, end = pd.Timestamp(Q14_START), pd.Timestamp(Q14_END)
+
+    def items(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["l_shipdate"] >= start) & (df["l_shipdate"] < end)]
+        rev = (df["l_extendedprice"] * 100).round().astype("int64") * (
+            100 - (df["l_discount"] * 100).round().astype("int64")
+        )
+        return (
+            pd.DataFrame({"p_partkey": df["l_partkey"], "rev_e4": rev})
+            .groupby("p_partkey", as_index=False)
+            .agg(rev_e4=("rev_e4", "sum"))
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).map_batches(items, batch_format="pandas")
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "p_partkey": df["p_partkey"],
+                "is_promo": (df["p_type"] == "PROMO").astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    j = bucketed_join(
+        li,
+        part,
+        on=["p_partkey"],
+        left_schema={"p_partkey": "int64", "rev_e4": "int64"},
+        right_schema={"p_partkey": "int64", "is_promo": "int64"},
+    )
+    parts = j.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "promo_rev_e4": [int((df["rev_e4"] * df["is_promo"]).sum())],
+                "total_rev_e4": [int(df["rev_e4"].sum())],
+            }
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    promo = int(parts["promo_rev_e4"].sum())
+    total = int(parts["total_rev_e4"].sum())
+    return pd.DataFrame(
+        {
+            "promo_rev_e4": pd.Series([promo], dtype="int64"),
+            "total_rev_e4": pd.Series([total], dtype="int64"),
+            "promo_ppm": pd.Series(
+                [promo * 1_000_000 // total if total else 0], dtype="int64"
+            ),
+        }
+    )

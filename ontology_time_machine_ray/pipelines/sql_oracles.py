@@ -2664,6 +2664,25 @@ SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
 FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
 
 
+def q14_promo_sql(start: str, end: str) -> str:
+    """``rel_q14_promo`` restatement (TPC-H Q14 shape): exact integer
+    promo/total revenue for the ship-month and the integer-ppm share."""
+    return f"""
+WITH j AS (
+  SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_e4,
+         CAST(p.p_type = 'PROMO' AS BIGINT) AS is_promo
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '{start}'
+    AND l.l_shipdate <  TIMESTAMP '{end}')
+SELECT CAST(COALESCE(SUM(rev_e4 * is_promo), 0) AS BIGINT) AS promo_rev_e4,
+       CAST(COALESCE(SUM(rev_e4), 0) AS BIGINT) AS total_rev_e4,
+       CAST(CASE WHEN COALESCE(SUM(rev_e4), 0) = 0 THEN 0
+                 ELSE SUM(rev_e4 * is_promo) * 1000000 // SUM(rev_e4)
+            END AS BIGINT) AS promo_ppm
+FROM j"""
+
+
 def q7_nation_volume_sql(na: str, nb: str, start: str, end: str) -> str:
     """``rel_q7_nation_volume`` restatement (TPC-H Q7 shape): the 5-way
     join with the two cross directions, exact cent x basis-point
