@@ -2556,6 +2556,7 @@ QUERIES = {
     "rel_q5_local_volume": relational.q5_local_volume,
     "rel_q7_nation_volume": relational.q7_nation_volume,
     "rel_q14_promo": relational.q14_promo_revenue,
+    "rel_q13_custdist": relational.q13_custdist,
     "rel_q18_large_orders": relational.q18_large_orders,
     "rel_cheapest_part": relational.cheapest_part,
     "events_funnel": relational.events_funnel,
@@ -2786,6 +2787,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["rel_q5_local_volume"] = sql_oracles.q5_local_volume_sql(
         relational.Q5_REGION, relational.Q5_START, relational.Q5_END
     )
+    out["rel_q13_custdist"] = sql_oracles.Q13_CUSTDIST_SQL
     out["rel_q14_promo"] = sql_oracles.q14_promo_sql(
         relational.Q14_START, relational.Q14_END
     )

@@ -1946,3 +1946,56 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
             ),
         }
     )
+
+
+def q13_custdist(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer,
+    INCLUDING zero-order customers -- the double aggregation behind
+    "how engaged is the customer base".
+
+    Distributed plan: per-batch order counts by custkey (combiner), one
+    custkey-bucketed LEFT join from the customer side (so customers
+    with no orders survive with count 0), then the second aggregation
+    runs at order-count grain -- a histogram, bounded by the max orders
+    per customer, reduced via per-batch partials + a driver-side sum of
+    a few dozen rows."""
+    from ontology_time_machine_ray.stages.groupagg import bucketed_join
+
+    counts = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda df: df.groupby("o_custkey", as_index=False).agg(
+            c_count=("o_custkey", "size")
+        ),
+        batch_format="pandas",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda df: pd.DataFrame({"o_custkey": df["c_custkey"]}),
+        batch_format="pandas",
+    )
+    j = bucketed_join(
+        cust,
+        counts,
+        on=["o_custkey"],
+        how="left",
+        left_schema={"o_custkey": "int64"},
+        right_schema={"o_custkey": "int64", "c_count": "int64"},
+        # per-key combine INSIDE the join's exchange: batch partials of
+        # the same custkey sum here, so the bucket emits one row per
+        # customer
+        post=lambda df: df.fillna({"c_count": 0})
+        .groupby("o_custkey", as_index=False)
+        .agg(c_count=("c_count", "sum")),
+    )
+    hist = j.map_batches(
+        lambda df: df.groupby("c_count", as_index=False).agg(
+            custdist=("c_count", "size")
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    out = (
+        hist.groupby("c_count", as_index=False)
+        .agg(custdist=("custdist", "sum"))
+        .astype({"c_count": "int64", "custdist": "int64"})
+        .sort_values(["custdist", "c_count"], ascending=[False, False], kind="stable")
+        .reset_index(drop=True)
+    )
+    return out

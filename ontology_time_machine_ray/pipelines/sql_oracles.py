@@ -2664,6 +2664,18 @@ SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
 FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
 
 
+#: ``rel_q13_custdist`` (TPC-H Q13 shape): orders-per-customer histogram
+#: including zero-order customers, plain LEFT JOIN double aggregation.
+Q13_CUSTDIST_SQL = """
+WITH c AS (
+  SELECT cu.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer cu LEFT JOIN orders o ON o.o_custkey = cu.c_custkey
+  GROUP BY cu.c_custkey)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM c GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC"""
+
+
 def q14_promo_sql(start: str, end: str) -> str:
     """``rel_q14_promo`` restatement (TPC-H Q14 shape): exact integer
     promo/total revenue for the ship-month and the integer-ppm share."""
