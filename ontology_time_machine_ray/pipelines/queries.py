@@ -2557,6 +2557,7 @@ QUERIES = {
     "rel_q7_nation_volume": relational.q7_nation_volume,
     "rel_q14_promo": relational.q14_promo_revenue,
     "rel_q13_custdist": relational.q13_custdist,
+    "rel_q19_discounted": relational.q19_discounted_revenue,
     "rel_q18_large_orders": relational.q18_large_orders,
     "rel_cheapest_part": relational.cheapest_part,
     "events_funnel": relational.events_funnel,
@@ -2788,6 +2789,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         relational.Q5_REGION, relational.Q5_START, relational.Q5_END
     )
     out["rel_q13_custdist"] = sql_oracles.Q13_CUSTDIST_SQL
+    out["rel_q19_discounted"] = sql_oracles.q19_discounted_sql(
+        relational.Q19_TERMS
+    )
     out["rel_q14_promo"] = sql_oracles.q14_promo_sql(
         relational.Q14_START, relational.Q14_END
     )

@@ -1999,3 +1999,89 @@ def q13_custdist(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out
+
+
+#: (brand, size_lo, size_hi, qty_lo, qty_hi) disjuncts for the Q19 shape.
+Q19_TERMS = (
+    ("Brand#12", 1, 15, 1, 11),
+    ("Brand#23", 1, 25, 10, 20),
+    ("Brand#34", 1, 35, 20, 30),
+)
+
+
+def q19_discounted_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of brand/size/
+    quantity predicates -- the OR-of-conjunctions filter join.
+
+    Distributed plan: the part side prefilters streaming to the union
+    of the three brands (and tags each row with its term index), so the
+    ONE partkey-bucketed shuffle moves only candidate parts and
+    quantity-prefiltered lineitem partials; the per-term quantity
+    windows evaluate vectorized inside the join's buckets.  Output is a
+    single exact-integer revenue row."""
+    from ontology_time_machine_ray.stages.groupagg import bucketed_join
+
+    brands = {b: (slo, shi, qlo, qhi) for b, slo, shi, qlo, qhi in Q19_TERMS}
+    qty_min = min(q[2] for q in brands.values())
+    qty_max = max(q[3] for q in brands.values())
+
+    def parts_side(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["p_brand"].isin(brands)]
+        out = {
+            "p_partkey": df["p_partkey"],
+            "p_size": df["p_size"].astype("int64"),
+            "p_brand": df["p_brand"],
+        }
+        return pd.DataFrame(out)
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).map_batches(
+        parts_side, batch_format="pandas"
+    )
+
+    def items(df: pd.DataFrame) -> pd.DataFrame:
+        qty = df["l_quantity"]
+        df = df[(qty >= qty_min) & (qty <= qty_max)]
+        rev = (df["l_extendedprice"] * 100).round().astype("int64") * (
+            100 - (df["l_discount"] * 100).round().astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "p_partkey": df["l_partkey"],
+                "l_quantity": df["l_quantity"].astype("int64"),
+                "rev_e4": rev,
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(items, batch_format="pandas")
+
+    def eval_terms(df: pd.DataFrame) -> pd.DataFrame:
+        keep = pd.Series(False, index=df.index)
+        for b, (slo, shi, qlo, qhi) in brands.items():
+            keep |= (
+                (df["p_brand"] == b)
+                & (df["p_size"] >= slo)
+                & (df["p_size"] <= shi)
+                & (df["l_quantity"] >= qlo)
+                & (df["l_quantity"] <= qhi)
+            )
+        return pd.DataFrame({"rev_e4": [int(df.loc[keep, "rev_e4"].sum())]})
+
+    j = bucketed_join(
+        li,
+        part,
+        on=["p_partkey"],
+        left_schema={"p_partkey": "int64", "l_quantity": "int64", "rev_e4": "int64"},
+        right_schema={"p_partkey": "int64", "p_size": "int64", "p_brand": "object"},
+        post=eval_terms,
+    )
+    total = int(j.to_pandas()["rev_e4"].sum())
+    return pd.DataFrame(
+        {
+            "revenue_e4": pd.Series([total], dtype="int64"),
+            "revenue": pd.Series([total / 10000.0], dtype="float64"),
+        }
+    )

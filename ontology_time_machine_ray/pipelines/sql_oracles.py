@@ -2676,6 +2676,25 @@ FROM c GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC"""
 
 
+def q19_discounted_sql(terms) -> str:
+    """``rel_q19_discounted`` restatement (TPC-H Q19 shape): the same
+    OR-of-conjunctions over brand/size/quantity, exact integer revenue."""
+    ors = "\n   OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
+        f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in terms
+    )
+    return f"""
+SELECT CAST(COALESCE(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))), 0)
+       AS BIGINT) AS revenue_e4,
+       CAST(COALESCE(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))), 0)
+       AS BIGINT) / 10000.0 AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE {ors}"""
+
+
 def q14_promo_sql(start: str, end: str) -> str:
     """``rel_q14_promo`` restatement (TPC-H Q14 shape): exact integer
     promo/total revenue for the ship-month and the integer-ppm share."""
