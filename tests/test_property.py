@@ -576,3 +576,58 @@ def test_dedup_substrings_random_corpora_vs_naive(ray_session):
                 assert got.loc[d, "n_removed"] == len(t) - len(keep), (
                     seed, min_len, d,
                 )
+
+
+def test_dup_run_stats_random_corpora_vs_naive(ray_session):
+    """Random small-vocabulary corpora against a row-at-a-time replay of
+    the detection-side run semantics: positions covered by any n-gram
+    occurring in >= 2 distinct docs, merged into maximal runs; n_runs /
+    longest_run / covered_tokens / n_tokens must match exactly."""
+    import numpy as np
+    import ray.data as rd
+
+    from ontology_time_machine_ray.stages.textops import dup_run_stats
+
+    n = 3
+    for seed in (21, 22, 23):
+        rng = np.random.RandomState(seed)
+        words = [f"w{j}" for j in range(5)]
+        n_docs = 12
+        texts = [
+            " ".join(rng.choice(words, size=rng.randint(0, 12)))
+            for _ in range(n_docs)
+        ]
+        ids = (
+            [f"d{i:02d}" for i in range(n_docs)]
+            if seed % 2
+            else list(range(n_docs))
+        )
+        docs = pd.DataFrame({"doc_id": ids, "text": texts})
+        got = (
+            dup_run_stats("unused", n=n, docs_ds=rd.from_pandas(docs))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        toks = {d: t.split() for d, t in zip(ids, texts)}
+        occ: dict[str, list] = {}
+        for d, t in toks.items():
+            for i in range(len(t) - n + 1):
+                occ.setdefault(" ".join(t[i : i + n]), []).append((d, i))
+        cover = {d: set() for d in toks}
+        for places in occ.values():
+            if len({d for d, _ in places}) >= 2:  # cross-doc, ALL occs
+                for d, i in places:
+                    cover[d].update(range(i, i + n))
+        for d, t in toks.items():
+            # split the sorted covered positions into maximal runs
+            pos = sorted(cover[d])
+            runs = []
+            start = 0
+            for i in range(1, len(pos) + 1):
+                if i == len(pos) or pos[i] != pos[i - 1] + 1:
+                    runs.append(i - start)
+                    start = i
+            assert got.loc[d, "n_tokens"] == len(t), (seed, d)
+            assert got.loc[d, "n_runs"] == len(runs), (seed, d)
+            assert got.loc[d, "longest_run"] == (max(runs) if runs else 0), (seed, d)
+            assert got.loc[d, "covered_tokens"] == sum(runs), (seed, d)
